@@ -1,0 +1,105 @@
+"""Model/architecture configuration.
+
+The reference hard-codes every hyperparameter in its constructors
+(``/root/reference/sd/clip.py:214-221``, ``sd/diffusion.py:543-626``,
+``sd/encoder.py:54-93``, ``sd/decoder.py:232-340``).  We lift them into
+frozen dataclasses so tests can run scaled-down models and future SD
+variants reuse the same code.  Defaults reproduce SD-1.5 exactly
+(SURVEY §2.2 constants table).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+from ..core.dtypes import Policy, FP32
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPConfig:
+    """CLIP ViT-L/14 text tower (``sd/clip.py:214-221``)."""
+
+    vocab_size: int = 49408
+    d_model: int = 768
+    max_len: int = 77
+    n_layers: int = 12
+    n_heads: int = 12
+    d_ff: int = 3072
+
+
+@dataclasses.dataclass(frozen=True)
+class VAEConfig:
+    """AutoencoderKL (``sd/encoder.py:54-93``, ``sd/decoder.py:232-340``)."""
+
+    in_channels: int = 3
+    base_channels: int = 128
+    ch_mults: Tuple[int, ...] = (1, 2, 4, 4)
+    latent_channels: int = 4
+    groups: int = 32
+    scale_factor: float = 0.18215  # encoder.py:152 / decoder.py:364
+    logvar_clamp: Tuple[float, float] = (-30.0, 20.0)  # encoder.py:131
+
+    @property
+    def level_channels(self) -> Tuple[int, ...]:
+        return tuple(self.base_channels * m for m in self.ch_mults)
+
+    @property
+    def downsample_factor(self) -> int:
+        return 2 ** (len(self.ch_mults) - 1)
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    """SD-1.5 UNet (``sd/diffusion.py:543-626``): channel_mult (1,2,4,4),
+    2 res blocks/level, spatial attention on every level but the last."""
+
+    in_channels: int = 4
+    out_channels: int = 4
+    model_channels: int = 320
+    ch_mults: Tuple[int, ...] = (1, 2, 4, 4)
+    attn_levels: Tuple[bool, ...] = (True, True, True, False)
+    num_res_blocks: int = 2
+    n_heads: int = 8
+    d_context: int = 768
+    groups: int = 32
+
+    @property
+    def time_embed_dim(self) -> int:
+        return 4 * self.model_channels
+
+    @property
+    def level_channels(self) -> Tuple[int, ...]:
+        return tuple(self.model_channels * m for m in self.ch_mults)
+
+
+@dataclasses.dataclass(frozen=True)
+class SDConfig:
+    clip: CLIPConfig = CLIPConfig()
+    vae: VAEConfig = VAEConfig()
+    unet: UNetConfig = UNetConfig()
+    policy: Policy = FP32
+    #: "xla" (materialized scores — parity path) or "pallas" (flash).
+    attention_backend: str = "xla"
+    #: Reproduce the reference's two genuine bugs for golden parity:
+    #: dropped GeGLU gate (diffusion.py:359-363) and the VAE attention
+    #: un-transpose no-op (decoder.py:62,67).  Default False = correct SD-1.5.
+    reference_quirks: bool = False
+
+
+def tiny_sd_config(policy: Policy = FP32, **kw) -> SDConfig:
+    """Scaled-down config for fast CPU tests (same topology, small dims)."""
+    return SDConfig(
+        clip=CLIPConfig(vocab_size=128, d_model=32, max_len=16, n_layers=2, n_heads=4, d_ff=64),
+        vae=VAEConfig(base_channels=16, ch_mults=(1, 2), groups=4),
+        unet=UNetConfig(
+            model_channels=16, ch_mults=(1, 2), attn_levels=(True, False),
+            n_heads=4, d_context=32, groups=4,
+        ),
+        policy=policy,
+        **kw,
+    )
+
+
+def sd15_config(policy: Policy = FP32, **kw) -> SDConfig:
+    return SDConfig(policy=policy, **kw)

@@ -1,0 +1,255 @@
+"""SD-1.5 UNet denoiser (functional JAX, NHWC).
+
+Behavior-parity target: ``/root/reference/sd/diffusion.py``.
+  * TimeEmbedding MLP 320 -> 1280 -> 1280 with SiLU (``diffusion.py:8-80``);
+    the sinusoidal embedding itself is [cos, sin] — cos first! —
+    (``sd/pipeline.py:310-349``) and is computed here, inside the compiled
+    graph, instead of the reference's per-step host round-trip
+    (``pipeline.py:211``).
+  * Residual blocks: GN->SiLU->conv on features, SiLU->Linear on time, add,
+    GN->SiLU->conv, skip (``diffusion.py:83-209``).
+  * Spatial transformer blocks: GN + 1x1 conv in, LN->self-attn (no qkv
+    bias), LN->cross-attn vs 768-d context, LN->GeGLU FFN, 1x1 conv out +
+    long residual (``diffusion.py:212-381``).  The reference drops the GeGLU
+    gate (``diffusion.py:359-363``) — reproduced only under
+    ``reference_quirks``.
+  * Encoder: conv_in + 4 levels x 2 (res [+ attn]) with stride-2 pad-1
+    downsample convs between levels (``diffusion.py:543-575``); bottleneck
+    res/attn/res (``:577-584``); decoder: 4 levels x 3 (res [+ attn]) with
+    skip-concat from the 12-deep encoder stack and nearest-2x upsample
+    between levels (``:586-626,668-673``); GN+SiLU+conv out (``:679-748``).
+
+The skip-connection discipline matches the reference exactly: one skip pushed
+after every encoder stage (including conv_in and downsamples), popped by each
+decoder stage (``diffusion.py:658-673``).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.dtypes import Policy, FP32
+from ..ops import attention, conv, linear, norm
+from ..ops.act import geglu, silu
+from ..ops.conv import upsample_nearest_2x
+from .config import UNetConfig
+
+
+# ------------------------------------------------------- sinusoidal timestep
+def timestep_embedding(t, dim: int, max_period: float = 10000.0):
+    """t: scalar or (B,) -> (B, dim).  [cos, sin] order (pipeline.py:340-349)."""
+    t = jnp.atleast_1d(jnp.asarray(t, jnp.float32))
+    half = dim // 2
+    freqs = jnp.power(max_period, -jnp.arange(half, dtype=jnp.float32) / half)
+    args = t[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+
+
+# ------------------------------------------------------------- architecture plan
+def encoder_plan(cfg: UNetConfig) -> List[dict]:
+    """Stage descriptors mirroring diffusion.py:543-575."""
+    stages = [{"kind": "conv_in"}]
+    c_prev = cfg.model_channels
+    for i, c in enumerate(cfg.level_channels):
+        for _ in range(cfg.num_res_blocks):
+            stages.append({"kind": "block", "c_in": c_prev, "c_out": c,
+                           "attn": cfg.attn_levels[i]})
+            c_prev = c
+        if i < len(cfg.ch_mults) - 1:
+            stages.append({"kind": "down", "c": c})
+    return stages
+
+
+def decoder_plan(cfg: UNetConfig) -> List[dict]:
+    """Stage descriptors mirroring diffusion.py:586-626, derived from the
+    encoder skip stack rather than hard-coded channel lists."""
+    skips = [cfg.model_channels]
+    for st in encoder_plan(cfg)[1:]:
+        skips.append(st["c_out"] if st["kind"] == "block" else st["c"])
+    stages = []
+    c_prev = cfg.level_channels[-1]
+    for i in reversed(range(len(cfg.ch_mults))):
+        c = cfg.level_channels[i]
+        for j in range(cfg.num_res_blocks + 1):
+            stages.append({
+                "kind": "block",
+                "c_in": c_prev + skips.pop(),
+                "c_out": c,
+                "attn": cfg.attn_levels[i],
+                "upsample": (j == cfg.num_res_blocks and i > 0),
+            })
+            c_prev = c
+    assert not skips
+    return stages
+
+
+# ------------------------------------------------------------------ res block
+def init_res_block(key, c_in: int, c_out: int, t_dim: int, dtype=jnp.float32):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    p = {
+        "norm1": norm.init(c_in, dtype),
+        "conv1": conv.init(k1, c_in, c_out, 3, dtype=dtype),
+        "time_proj": linear.init(k2, t_dim, c_out, dtype=dtype),
+        "norm2": norm.init(c_out, dtype),
+        "conv2": conv.init(k3, c_out, c_out, 3, dtype=dtype),
+    }
+    if c_in != c_out:
+        p["shortcut"] = conv.init(k4, c_in, c_out, 1, dtype=dtype)
+    return p
+
+
+def apply_res_block(p, x, t_emb, groups: int, policy: Policy):
+    """diffusion.py:83-209.  t_emb: (B, t_dim) or (1, t_dim) (broadcast)."""
+    h = silu(norm.group_norm(p["norm1"], x, groups, policy=policy))
+    h = conv.apply(p["conv1"], h, padding=1, policy=policy)
+    t = linear.apply(p["time_proj"], silu(t_emb), policy)
+    h = h + t[:, None, None, :].astype(h.dtype)
+    h = silu(norm.group_norm(p["norm2"], h, groups, policy=policy))
+    h = conv.apply(p["conv2"], h, padding=1, policy=policy)
+    res = conv.apply(p["shortcut"], x, policy=policy) if "shortcut" in p else x
+    return h + res
+
+
+# ----------------------------------------------------------- transformer block
+def init_attn_block(key, channels: int, d_context: int, dtype=jnp.float32):
+    ks = jax.random.split(key, 6)
+    return {
+        "norm": norm.init(channels, dtype),
+        "conv_in": conv.init(ks[0], channels, channels, 1, dtype=dtype),
+        "ln1": norm.init(channels, dtype),
+        "self_attn": attention.init(ks[1], 1, channels, in_bias=False, dtype=dtype),
+        "ln2": norm.init(channels, dtype),
+        "cross_attn": attention.init(ks[2], 1, channels, d_cross=d_context,
+                                     in_bias=False, dtype=dtype),
+        "ln3": norm.init(channels, dtype),
+        "geglu_proj": linear.init(ks[3], channels, 8 * channels, dtype=dtype),
+        "geglu_out": linear.init(ks[4], 4 * channels, channels, dtype=dtype),
+        "conv_out": conv.init(ks[5], channels, channels, 1, dtype=dtype),
+    }
+
+
+def apply_attn_block(p, x, context, n_heads: int, groups: int, policy: Policy,
+                     *, backend: str = "xla", reference_quirks: bool = False):
+    """diffusion.py:212-381."""
+    n, h, w, c = x.shape
+    res_long = x
+    y = norm.group_norm(p["norm"], x, groups, policy=policy)
+    y = conv.apply(p["conv_in"], y, policy=policy)
+    y = y.reshape(n, h * w, c)
+
+    t = norm.layer_norm(p["ln1"], y, policy=policy)
+    y = y + attention.apply(p["self_attn"], t, n_heads=n_heads,
+                            backend=backend, policy=policy)
+    t = norm.layer_norm(p["ln2"], y, policy=policy)
+    y = y + attention.apply(p["cross_attn"], t, context, n_heads=n_heads,
+                            backend=backend, policy=policy)
+    t = norm.layer_norm(p["ln3"], y, policy=policy)
+    t = geglu(linear.apply(p["geglu_proj"], t, policy), reference_quirks)
+    y = y + linear.apply(p["geglu_out"], t, policy)
+
+    y = y.reshape(n, h, w, c)
+    return conv.apply(p["conv_out"], y, policy=policy) + res_long
+
+
+# ----------------------------------------------------------------- full UNet
+def init(key, cfg: UNetConfig, dtype=jnp.float32):
+    t_dim = cfg.time_embed_dim
+    k_t, k_cin, k_enc, k_mid, k_dec, k_out = jax.random.split(key, 6)
+    params = {
+        "time_embed": {
+            "fc1": linear.init(jax.random.fold_in(k_t, 0), cfg.model_channels, t_dim, dtype=dtype),
+            "fc2": linear.init(jax.random.fold_in(k_t, 1), t_dim, t_dim, dtype=dtype),
+        },
+        "conv_in": conv.init(k_cin, cfg.in_channels, cfg.model_channels, 3, dtype=dtype),
+    }
+
+    enc = []
+    for i, st in enumerate(encoder_plan(cfg)[1:]):
+        k = jax.random.fold_in(k_enc, i)
+        if st["kind"] == "down":
+            enc.append({"down": conv.init(k, st["c"], st["c"], 3, dtype=dtype)})
+        else:
+            stage = {"res": init_res_block(jax.random.fold_in(k, 0), st["c_in"],
+                                           st["c_out"], t_dim, dtype)}
+            if st["attn"]:
+                stage["attn"] = init_attn_block(jax.random.fold_in(k, 1),
+                                                st["c_out"], cfg.d_context, dtype)
+            enc.append(stage)
+    params["encoder"] = enc
+
+    c_mid = cfg.level_channels[-1]
+    params["bottleneck"] = {
+        "res1": init_res_block(jax.random.fold_in(k_mid, 0), c_mid, c_mid, t_dim, dtype),
+        "attn": init_attn_block(jax.random.fold_in(k_mid, 1), c_mid, cfg.d_context, dtype),
+        "res2": init_res_block(jax.random.fold_in(k_mid, 2), c_mid, c_mid, t_dim, dtype),
+    }
+
+    dec = []
+    for i, st in enumerate(decoder_plan(cfg)):
+        k = jax.random.fold_in(k_dec, i)
+        stage = {"res": init_res_block(jax.random.fold_in(k, 0), st["c_in"],
+                                       st["c_out"], t_dim, dtype)}
+        if st["attn"]:
+            stage["attn"] = init_attn_block(jax.random.fold_in(k, 1),
+                                            st["c_out"], cfg.d_context, dtype)
+        if st["upsample"]:
+            stage["upsample"] = conv.init(jax.random.fold_in(k, 2), st["c_out"],
+                                          st["c_out"], 3, dtype=dtype)
+        dec.append(stage)
+    params["decoder"] = dec
+
+    params["norm_out"] = norm.init(cfg.model_channels, dtype)
+    params["conv_out"] = conv.init(k_out, cfg.model_channels, cfg.out_channels, 3, dtype=dtype)
+    return params
+
+
+def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
+          *, attention_backend: str = "xla", reference_quirks: bool = False,
+          t_emb: Optional[jax.Array] = None):
+    """latents: (B, h, w, in_ch); context: (B, S, d_context); t: scalar timestep.
+
+    Returns predicted noise (B, h, w, out_ch).
+    """
+    if t_emb is None:
+        t_emb = timestep_embedding(t, cfg.model_channels)
+    t_emb = linear.apply(params["time_embed"]["fc1"], t_emb, policy)
+    t_emb = linear.apply(params["time_embed"]["fc2"], silu(t_emb), policy)
+
+    def block(stage, x):
+        x = apply_res_block(stage["res"], x, t_emb, cfg.groups, policy)
+        if "attn" in stage:
+            x = apply_attn_block(stage["attn"], x, context, cfg.n_heads,
+                                 cfg.groups, policy, backend=attention_backend,
+                                 reference_quirks=reference_quirks)
+        return x
+
+    x = conv.apply(params["conv_in"], latents.astype(policy.compute_dtype),
+                   padding=1, policy=policy)
+    skips = [x]
+    for stage in params["encoder"]:
+        if "down" in stage:
+            # stride-2 symmetric pad=1 (diffusion.py:553 — differs from VAE!)
+            x = conv.apply(stage["down"], x, stride=2, padding=1, policy=policy)
+        else:
+            x = block(stage, x)
+        skips.append(x)
+
+    mid = params["bottleneck"]
+    x = apply_res_block(mid["res1"], x, t_emb, cfg.groups, policy)
+    x = apply_attn_block(mid["attn"], x, context, cfg.n_heads, cfg.groups,
+                         policy, backend=attention_backend,
+                         reference_quirks=reference_quirks)
+    x = apply_res_block(mid["res2"], x, t_emb, cfg.groups, policy)
+
+    for stage in params["decoder"]:
+        x = jnp.concatenate([x, skips.pop()], axis=-1)
+        x = block(stage, x)
+        if "upsample" in stage:
+            x = upsample_nearest_2x(x)
+            x = conv.apply(stage["upsample"], x, padding=1, policy=policy)
+
+    x = silu(norm.group_norm(params["norm_out"], x, cfg.groups, policy=policy))
+    return conv.apply(params["conv_out"], x, padding=1, policy=policy)

@@ -1,0 +1,196 @@
+"""AutoencoderKL — VAE encoder + decoder (functional JAX, NHWC).
+
+Behavior-parity target: ``/root/reference/sd/encoder.py`` and
+``sd/decoder.py``.  The reference defines the shared blocks once in
+decoder.py (``decoder.py:7-189``) and imports them into the encoder
+(``encoder.py:4``); here both live in this module.
+
+Structure (SD-1.5 AutoencoderKL):
+  encoder: conv_in -> 4 levels x 2 res blocks (128/128/256/512/512 path,
+           stride-2 downsample with the reference's *asymmetric* right/bottom
+           pad, ``encoder.py:62,118-122``) -> mid res/attn/res -> GN+SiLU ->
+           conv_out (C->2L) -> 1x1 quant_conv -> split mean/logvar, clamp
+           logvar to [-30,20] (``encoder.py:131``), reparameterize with
+           caller-supplied noise (``encoder.py:147``), scale by 0.18215
+           (``encoder.py:152``).
+  decoder: 1x1 post_quant_conv -> conv_in -> mid -> 4 levels x 3 res blocks
+           (nearest-2x upsample + conv between levels, ``decoder.py:269-313``)
+           -> GN+SiLU -> conv_out; input divided by 0.18215 (``decoder.py:364``).
+
+``reference_quirks=True`` reproduces the reference's VAE-attention
+un-transpose bug: ``x.transpose(-1, 2)`` on a 3-D tensor is a no-op
+(``decoder.py:62``), so the following ``view((n,c,h,w))`` reinterprets
+(h*w, c)-ordered memory as (c,h,w) — a channel/spatial scramble present in
+both mid-blocks.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.dtypes import Policy, FP32
+from ..ops import attention, conv, norm
+from ..ops.act import silu
+from ..ops.conv import ASYM_DOWN, upsample_nearest_2x
+from .config import VAEConfig
+
+
+# ---------------------------------------------------------------- res block
+def init_res_block(key, c_in: int, c_out: int, dtype=jnp.float32):
+    k1, k2, k3 = jax.random.split(key, 3)
+    p = {
+        "norm1": norm.init(c_in, dtype),
+        "conv1": conv.init(k1, c_in, c_out, 3, dtype=dtype),
+        "norm2": norm.init(c_out, dtype),
+        "conv2": conv.init(k2, c_out, c_out, 3, dtype=dtype),
+    }
+    if c_in != c_out:
+        p["shortcut"] = conv.init(k3, c_in, c_out, 1, dtype=dtype)
+    return p
+
+
+def apply_res_block(p, x, groups: int, policy: Policy):
+    """GN -> SiLU -> conv3x3, twice, + identity/1x1 skip (decoder.py:103-189)."""
+    h = silu(norm.group_norm(p["norm1"], x, groups, policy=policy))
+    h = conv.apply(p["conv1"], h, padding=1, policy=policy)
+    h = silu(norm.group_norm(p["norm2"], h, groups, policy=policy))
+    h = conv.apply(p["conv2"], h, padding=1, policy=policy)
+    res = conv.apply(p["shortcut"], x, policy=policy) if "shortcut" in p else x
+    return h + res
+
+
+# ----------------------------------------------------------- attention block
+def init_attn_block(key, channels: int, dtype=jnp.float32):
+    return {
+        "norm": norm.init(channels, dtype),
+        "attn": attention.init(key, 1, channels, dtype=dtype),
+    }
+
+
+def apply_attn_block(p, x, groups: int, policy: Policy, *,
+                     backend: str = "xla", reference_quirks: bool = False):
+    """1-head spatial self-attention over H*W tokens, no mask (decoder.py:29-73)."""
+    n, h, w, c = x.shape
+    res = x
+    y = norm.group_norm(p["norm"], x, groups, policy=policy)
+    y = y.reshape(n, h * w, c)
+    y = attention.apply(p["attn"], y, n_heads=1, backend=backend, policy=policy)
+    if reference_quirks:
+        # decoder.py:62,67 — (n, h*w, c) memory reinterpreted as (n, c, h, w).
+        y = y.reshape(n, c, h, w).transpose(0, 2, 3, 1)
+    else:
+        y = y.reshape(n, h, w, c)
+    return res + y
+
+
+def _init_mid(key, ch: int, dtype):
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "res1": init_res_block(k1, ch, ch, dtype),
+        "attn": init_attn_block(k2, ch, dtype),
+        "res2": init_res_block(k3, ch, ch, dtype),
+    }
+
+
+def _apply_mid(p, x, groups, policy, backend, quirks):
+    x = apply_res_block(p["res1"], x, groups, policy)
+    x = apply_attn_block(p["attn"], x, groups, policy,
+                         backend=backend, reference_quirks=quirks)
+    return apply_res_block(p["res2"], x, groups, policy)
+
+
+# ------------------------------------------------------------------ encoder
+def init_encoder(key, cfg: VAEConfig, dtype=jnp.float32):
+    chs = cfg.level_channels
+    keys = iter(jax.random.split(key, 4 + 3 * len(chs) + 4))
+    params = {"conv_in": conv.init(next(keys), cfg.in_channels, chs[0], 3, dtype=dtype)}
+    down = []
+    c_prev = chs[0]
+    for i, c in enumerate(chs):
+        level = {"res": [init_res_block(next(keys), c_prev, c, dtype),
+                         init_res_block(next(keys), c, c, dtype)]}
+        c_prev = c
+        if i < len(chs) - 1:
+            level["downsample"] = conv.init(next(keys), c, c, 3, dtype=dtype)
+        down.append(level)
+    params["down"] = down
+    params["mid"] = _init_mid(next(keys), chs[-1], dtype)
+    params["norm_out"] = norm.init(chs[-1], dtype)
+    params["conv_out"] = conv.init(next(keys), chs[-1], 2 * cfg.latent_channels, 3, dtype=dtype)
+    params["quant_conv"] = conv.init(next(keys), 2 * cfg.latent_channels,
+                                     2 * cfg.latent_channels, 1, dtype=dtype)
+    return params
+
+
+def apply_encoder(params, image, noise, cfg: VAEConfig, policy: Policy = FP32,
+                  *, attention_backend: str = "xla", reference_quirks: bool = False):
+    """image: (N, H, W, 3) in [-1, 1]; noise: (N, H/f, W/f, latent_channels).
+
+    Returns scaled latents (N, H/f, W/f, latent_channels).
+    """
+    x = image.astype(policy.compute_dtype)
+    x = conv.apply(params["conv_in"], x, padding=1, policy=policy)
+    for level in params["down"]:
+        for rp in level["res"]:
+            x = apply_res_block(rp, x, cfg.groups, policy)
+        if "downsample" in level:
+            # stride-2, pad right/bottom only (encoder.py:62,118-122)
+            x = conv.apply(level["downsample"], x, stride=2, padding=ASYM_DOWN,
+                           policy=policy)
+    x = _apply_mid(params["mid"], x, cfg.groups, policy,
+                   attention_backend, reference_quirks)
+    x = silu(norm.group_norm(params["norm_out"], x, cfg.groups, policy=policy))
+    x = conv.apply(params["conv_out"], x, padding=1, policy=policy)
+    x = conv.apply(params["quant_conv"], x, policy=policy)
+
+    mean, log_var = jnp.split(x, 2, axis=-1)
+    log_var = jnp.clip(log_var.astype(policy.norm_dtype), *cfg.logvar_clamp)
+    std = jnp.exp(0.5 * log_var).astype(mean.dtype)
+    latents = mean + std * noise.astype(mean.dtype)
+    return latents * cfg.scale_factor
+
+
+# ------------------------------------------------------------------ decoder
+def init_decoder(key, cfg: VAEConfig, dtype=jnp.float32):
+    chs = cfg.level_channels
+    keys = iter(jax.random.split(key, 8 + 4 * len(chs)))
+    params = {
+        "post_quant_conv": conv.init(next(keys), cfg.latent_channels,
+                                     cfg.latent_channels, 1, dtype=dtype),
+        "conv_in": conv.init(next(keys), cfg.latent_channels, chs[-1], 3, dtype=dtype),
+        "mid": _init_mid(next(keys), chs[-1], dtype),
+    }
+    up = []  # stored top level (smallest spatial) first — processing order
+    c_prev = chs[-1]
+    for i in reversed(range(len(chs))):
+        c = chs[i]
+        level = {"res": [init_res_block(next(keys), c_prev, c, dtype),
+                         init_res_block(next(keys), c, c, dtype),
+                         init_res_block(next(keys), c, c, dtype)]}
+        c_prev = c
+        if i > 0:
+            level["upsample"] = conv.init(next(keys), c, c, 3, dtype=dtype)
+        up.append(level)
+    params["up"] = up
+    params["norm_out"] = norm.init(chs[0], dtype)
+    params["conv_out"] = conv.init(next(keys), chs[0], cfg.in_channels, 3, dtype=dtype)
+    return params
+
+
+def apply_decoder(params, latents, cfg: VAEConfig, policy: Policy = FP32,
+                  *, attention_backend: str = "xla", reference_quirks: bool = False):
+    """latents: (N, H/f, W/f, latent_channels) -> image (N, H, W, 3), ~[-1, 1]."""
+    x = (latents / cfg.scale_factor).astype(policy.compute_dtype)  # decoder.py:364
+    x = conv.apply(params["post_quant_conv"], x, policy=policy)
+    x = conv.apply(params["conv_in"], x, padding=1, policy=policy)
+    x = _apply_mid(params["mid"], x, cfg.groups, policy,
+                   attention_backend, reference_quirks)
+    for level in params["up"]:
+        for rp in level["res"]:
+            x = apply_res_block(rp, x, cfg.groups, policy)
+        if "upsample" in level:
+            x = upsample_nearest_2x(x)
+            x = conv.apply(level["upsample"], x, padding=1, policy=policy)
+    x = silu(norm.group_norm(params["norm_out"], x, cfg.groups, policy=policy))
+    return conv.apply(params["conv_out"], x, padding=1, policy=policy)

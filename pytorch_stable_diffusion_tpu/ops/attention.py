@@ -1,0 +1,91 @@
+"""Multi-head attention (self + cross), two backends.
+
+Reference semantics (``/root/reference/sd/attention.py``):
+  * SelfAttention: fused in_proj in the reference; we keep q/k/v separate
+    (CompVis ckpt stores them separately; JAX/XLA gains nothing from fusing,
+    SURVEY §7.5) — converter handles both layouts.
+  * scores = q @ k^T, optional causal mask to -inf, then scale by
+    1/sqrt(d_head), softmax, @v  (``attention.py:55-76``).  Masking before
+    vs after scaling is mathematically identical (-inf is scale-invariant,
+    unmasked logits are untouched), so both backends scale first.
+  * CrossAttention: kv from a 77-token context; the reference attends to
+    tokenizer padding with NO mask (``attention.py:219-229``) — we likewise
+    pass no padding mask (parity requirement, SURVEY §7 "hard parts").
+
+Backends:
+  * "xla":    einsum attention, scores materialized; used for parity tests
+              and tiny sequences (CLIP's 77 tokens).
+  * "pallas": flash attention (ops/pallas/flash_attention.py) — blockwise,
+              O(S) memory; the production path for the 4096/9216-token
+              spatial sequences of the UNet and VAE mid-blocks.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.dtypes import Policy, FP32
+from . import linear
+
+
+def init(key, n_heads: int, d_embed: int, d_cross: Optional[int] = None,
+         in_bias: bool = True, out_bias: bool = True, dtype=jnp.float32):
+    """Cross-attention when d_cross is given; self-attention otherwise.
+
+    UNet blocks use in_bias=False, out_bias=True (``sd/diffusion.py:259,262``);
+    CLIP and the VAE use biases everywhere.
+    """
+    d_kv = d_cross if d_cross is not None else d_embed
+    kq, kk, kv, ko = jax.random.split(key, 4)
+    return {
+        "q": linear.init(kq, d_embed, d_embed, bias=in_bias, dtype=dtype),
+        "k": linear.init(kk, d_kv, d_embed, bias=in_bias, dtype=dtype),
+        "v": linear.init(kv, d_kv, d_embed, bias=in_bias, dtype=dtype),
+        "out": linear.init(ko, d_embed, d_embed, bias=out_bias, dtype=dtype),
+    }
+
+
+def _split_heads(x, n_heads):
+    b, s, d = x.shape
+    return x.reshape(b, s, n_heads, d // n_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x):
+    b, h, s, dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, s, h * dh)
+
+
+def _xla_attention(q, k, v, causal: bool, policy: Policy):
+    """q,k,v: (B, H, S, Dh).  Softmax in policy.softmax_dtype."""
+    dh = q.shape[-1]
+    scale = 1.0 / (dh**0.5)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=policy.softmax_dtype) * scale
+    if causal:
+        sq, sk = scores.shape[-2:]
+        mask = jnp.tril(jnp.ones((sq, sk), bool))
+        scores = jnp.where(mask, scores, -jnp.inf)
+    probs = jax.nn.softmax(scores.astype(policy.softmax_dtype), axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(q.dtype), v,
+                     preferred_element_type=policy.compute_dtype)
+    return out.astype(q.dtype)
+
+
+def apply(params, x, context=None, *, n_heads: int, causal: bool = False,
+          backend: str = "xla", policy: Policy = FP32):
+    """x: (B, S, D); context: (B, S_kv, D_cross) for cross-attention."""
+    kv_src = x if context is None else context
+    q = linear.apply(params["q"], x, policy)
+    k = linear.apply(params["k"], kv_src, policy)
+    v = linear.apply(params["v"], kv_src, policy)
+    qh, kh, vh = (_split_heads(t, n_heads) for t in (q, k, v))
+    if backend == "pallas":
+        from .pallas.flash_attention import flash_attention
+
+        out = flash_attention(qh, kh, vh, causal=causal, policy=policy)
+    else:
+        out = _xla_attention(qh, kh, vh, causal, policy)
+    return linear.apply(params["out"], _merge_heads(out), policy)

@@ -1,0 +1,68 @@
+"""2-D convolution, NHWC (TPU-native layout).
+
+The reference uses torch NCHW Conv2d everywhere; on TPU, NHWC keeps the
+channel dim on the 128-lane minor axis so XLA tiles convs onto the MXU
+without layout transposes.  Kernel layout HWIO.
+
+Padding semantics the reference relies on (SURVEY §2.2):
+  * VAE-encoder downsampling: stride-2, pad=0 plus a manual *asymmetric*
+    F.pad(x, (0,1,0,1)) — right/bottom only (``/root/reference/sd/encoder.py:62,118-122``).
+  * UNet downsampling: stride-2 with symmetric pad=1 (``sd/diffusion.py:553``).
+``padding`` therefore accepts an int (symmetric, torch-style) or explicit
+per-edge ((top,bottom),(left,right)).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core.dtypes import Policy, FP32
+
+PadT = Union[int, Tuple[Tuple[int, int], Tuple[int, int]]]
+
+#: right/bottom-only padding used by VAE-encoder stride-2 convs
+ASYM_DOWN: PadT = ((0, 1), (0, 1))
+
+_DIMNUMS = ("NHWC", "HWIO", "NHWC")
+
+
+def init(key, c_in: int, c_out: int, ksize: int = 3, bias: bool = True, dtype=jnp.float32):
+    kw, kb = jax.random.split(key)
+    fan_in = c_in * ksize * ksize
+    bound = 1.0 / (fan_in**0.5)
+    p = {"kernel": jax.random.uniform(kw, (ksize, ksize, c_in, c_out), dtype, -bound, bound)}
+    if bias:
+        p["bias"] = jax.random.uniform(kb, (c_out,), dtype, -bound, bound)
+    return p
+
+
+def apply(params, x, stride: int = 1, padding: PadT = 0, policy: Policy = FP32):
+    """x: (N, H, W, C_in) -> (N, H', W', C_out)."""
+    if isinstance(padding, int):
+        pad = ((padding, padding), (padding, padding))
+    else:
+        pad = padding
+    k = params["kernel"].astype(policy.compute_dtype)
+    y = lax.conv_general_dilated(
+        x.astype(policy.compute_dtype),
+        k,
+        window_strides=(stride, stride),
+        padding=pad,
+        dimension_numbers=_DIMNUMS,
+        preferred_element_type=policy.compute_dtype,
+    )
+    if "bias" in params:
+        y = y + params["bias"].astype(y.dtype)
+    return y
+
+
+def upsample_nearest_2x(x):
+    """Nearest-neighbor 2x upsample, NHWC (reference: nn.Upsample(scale_factor=2),
+    ``/root/reference/sd/decoder.py:269`` and ``sd/diffusion.py:384-435``)."""
+    n, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
+    return x.reshape(n, h * 2, w * 2, c)

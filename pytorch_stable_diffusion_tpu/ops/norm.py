@@ -1,0 +1,49 @@
+"""GroupNorm / LayerNorm (functional, NHWC, fp32 statistics).
+
+Reference equivalents: ``nn.GroupNorm(32, C)`` throughout the VAE and UNet
+(e.g. ``/root/reference/sd/decoder.py:31,107``) and ``nn.LayerNorm`` in CLIP
+and the UNet transformer blocks.  Both use eps=1e-5 (torch default).
+
+Statistics are always computed in ``policy.norm_dtype`` (fp32) regardless of
+the bf16 compute path — GroupNorm over 512-channel 512² activations loses
+visible precision in bf16.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.dtypes import Policy, FP32
+
+EPS = 1e-5
+
+
+def init(num_channels: int, dtype=jnp.float32):
+    return {"scale": jnp.ones((num_channels,), dtype), "bias": jnp.zeros((num_channels,), dtype)}
+
+
+def group_norm(params, x, num_groups: int = 32, eps: float = EPS, policy: Policy = FP32):
+    """x: (..., C) with C divisible by num_groups; stats over all non-batch
+    spatial dims *and* the within-group channel dim (torch semantics)."""
+    orig_dtype = x.dtype
+    n = x.shape[0]
+    c = x.shape[-1]
+    if c % num_groups:
+        raise ValueError(f"channels {c} not divisible by num_groups {num_groups}")
+    xg = x.astype(policy.norm_dtype).reshape(n, -1, num_groups, c // num_groups)
+    mean = xg.mean(axis=(1, 3), keepdims=True)
+    var = ((xg - mean) ** 2).mean(axis=(1, 3), keepdims=True)
+    xg = (xg - mean) * jnp.reciprocal(jnp.sqrt(var + eps))
+    y = xg.reshape(x.shape)
+    y = y * params["scale"].astype(policy.norm_dtype) + params["bias"].astype(policy.norm_dtype)
+    return y.astype(orig_dtype)
+
+
+def layer_norm(params, x, eps: float = EPS, policy: Policy = FP32):
+    orig_dtype = x.dtype
+    xf = x.astype(policy.norm_dtype)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = ((xf - mean) ** 2).mean(axis=-1, keepdims=True)
+    y = (xf - mean) * jnp.reciprocal(jnp.sqrt(var + eps))
+    y = y * params["scale"].astype(policy.norm_dtype) + params["bias"].astype(policy.norm_dtype)
+    return y.astype(orig_dtype)

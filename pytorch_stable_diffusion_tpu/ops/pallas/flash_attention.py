@@ -1,0 +1,137 @@
+"""Flash attention (Pallas, TPU).
+
+Blockwise softmax-rescaled attention — O(S) memory instead of the reference's
+materialized (S, S) score matrices (``/root/reference/sd/attention.py:55-76``).
+At SD's 64²=4096-token spatial stage the score tensor is 4096²×8 heads×2
+(CFG) ≈ 1 GB of HBM traffic per UNet block in fp32; this kernel keeps scores
+in VMEM and streams K/V once.
+
+Numerics: scores and the softmax accumulator are fp32 (policy.softmax_dtype)
+regardless of the bf16 compute path.  Scale is 1/sqrt(Dh), applied to logits
+before softmax — equivalent to the reference's mask-then-scale order.
+
+Grid: (B*H, Sq/block_q, Sk/block_k), kv innermost; m/l/acc persist in VMEM
+scratch across the sequential kv steps (TPU grids execute in order).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...core.dtypes import Policy, FP32
+
+NEG_INF = -1e30
+
+
+def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+            *, scale: float, kv_len: int, block_k: int, causal: bool,
+            block_q: int):
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]  # (block_q, Dh)
+    k = k_ref[0]  # (block_k, Dh)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (block_q, block_k)
+
+    col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    if kv_len % block_k != 0:
+        s = jnp.where(col < kv_len, s, NEG_INF)
+    if causal:
+        qi = pl.program_id(1)
+        row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        s = jnp.where(col <= row, s, NEG_INF)
+
+    m_prev = m_ref[:, :1]  # (block_q, 1)
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)  # (block_q, block_k) f32
+    alpha = jnp.exp(m_prev - m_new)  # (block_q, 1)
+    l_new = alpha * l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+
+    pv = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (block_q, Dh)
+    acc_ref[:] = acc_ref[:] * alpha + pv
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(ki == nk - 1)
+    def _out():
+        l = l_ref[:, :1]
+        o_ref[0] = (acc_ref[:] * jnp.reciprocal(jnp.maximum(l, 1e-30))).astype(o_ref.dtype)
+
+
+def _pad_to(x, axis, mult):
+    size = x.shape[axis]
+    pad = (-size) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+@functools.partial(jax.jit, static_argnames=("causal", "policy", "block_q", "block_k"))
+def flash_attention(q, k, v, *, causal: bool = False, policy: Policy = FP32,
+                    block_q: int = 256, block_k: int = 512):
+    """q: (B, H, Sq, Dh); k,v: (B, H, Sk, Dh) -> (B, H, Sq, Dh)."""
+    b, h, sq, dh = q.shape
+    sk = k.shape[2]
+    scale = 1.0 / (dh**0.5)
+
+    block_q = min(block_q, max(8, sq))
+    block_k = min(block_k, max(128, sk))
+    if causal and block_q != block_k:
+        block_k = block_q = min(block_q, block_k)
+
+    qp = _pad_to(q.reshape(b * h, sq, dh), 1, block_q)
+    kp = _pad_to(k.reshape(b * h, sk, dh), 1, block_k)
+    vp = _pad_to(v.reshape(b * h, sk, dh), 1, block_k)
+    sq_p, sk_p = qp.shape[1], kp.shape[1]
+    nq, nk = sq_p // block_q, sk_p // block_k
+
+    grid = (b * h, nq, nk)
+    # Interpreter mode off-TPU so the CPU test mesh (conftest) still runs.
+    interpret = jax.default_backend() != "tpu"
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, scale=scale, kv_len=sk, block_k=block_k,
+            causal=causal, block_q=block_q,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, dh), lambda bh, qi, ki: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, dh), lambda bh, qi, ki: (bh, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, dh), lambda bh, qi, ki: (bh, ki, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, dh), lambda bh, qi, ki: (bh, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq_p, dh), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),  # running max m
+            pltpu.VMEM((block_q, 128), jnp.float32),  # running denom l
+            pltpu.VMEM((block_q, dh), jnp.float32),   # output accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :sq].reshape(b, h, sq, dh)

@@ -1,0 +1,118 @@
+"""DDPM sampler — schedule as precomputed arrays, step/add_noise as pure
+functions usable inside ``lax.scan``.
+
+Behavior-parity target: ``/root/reference/sd/ddpm.py``.
+  * scaled-linear betas: linspace(beta_start**0.5, beta_end**0.5, T)**2 with
+    beta_start=0.00085, beta_end=0.012, T=1000 (``ddpm.py:30,43``);
+    alpha-bar via cumprod (``ddpm.py:48``).
+  * inference subsampling: (arange(n) * (T // n)).round()[::-1]
+    (``ddpm.py:56-63``).
+  * ancestral step (``ddpm.py:102-139``): predict x0, DDPM-paper posterior
+    mean, posterior variance clamped >= 1e-20 (``ddpm.py:85``), noise added
+    only for t > 0.
+  * img2img strength: skip the first n*(1-strength) steps (``ddpm.py:90-99``)
+    — realized here as a traced ``start_step`` so one compilation serves all
+    strengths (SURVEY §7 "hard parts": scan with truncated schedules).
+
+All schedule math is float32; noise tensors are caller-supplied so parity
+tests can inject recorded values (SURVEY §7 RNG-parity resolution).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class DDPMSchedule:
+    betas: jax.Array           # (T,) f32
+    alphas_cumprod: jax.Array  # (T,) f32
+    num_train_timesteps: int
+
+    def tree_flatten(self):
+        return (self.betas, self.alphas_cumprod), self.num_train_timesteps
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux)
+
+
+jax.tree_util.register_pytree_node(
+    DDPMSchedule, DDPMSchedule.tree_flatten, DDPMSchedule.tree_unflatten
+)
+
+
+def make_schedule(num_train_timesteps: int = 1000, beta_start: float = 0.00085,
+                  beta_end: float = 0.012) -> DDPMSchedule:
+    betas = np.linspace(beta_start**0.5, beta_end**0.5, num_train_timesteps,
+                        dtype=np.float64) ** 2
+    alphas_cumprod = np.cumprod(1.0 - betas)
+    return DDPMSchedule(
+        betas=jnp.asarray(betas, jnp.float32),
+        alphas_cumprod=jnp.asarray(alphas_cumprod, jnp.float32),
+        num_train_timesteps=num_train_timesteps,
+    )
+
+
+def inference_timesteps(num_inference_steps: int,
+                        num_train_timesteps: int = 1000) -> np.ndarray:
+    """Descending int32 timesteps (ddpm.py:56-63)."""
+    ratio = num_train_timesteps // num_inference_steps
+    ts = (np.arange(num_inference_steps) * ratio).round()[::-1].copy()
+    return ts.astype(np.int32)
+
+
+def start_step_for_strength(num_inference_steps: int, strength: float) -> int:
+    """ddpm.py:90-99: skip the first n*(1-strength) steps."""
+    return num_inference_steps - int(num_inference_steps * strength)
+
+
+def _alpha_bar_prev(schedule: DDPMSchedule, prev_t):
+    safe = jnp.clip(prev_t, 0, schedule.num_train_timesteps - 1)
+    return jnp.where(prev_t >= 0, schedule.alphas_cumprod[safe], 1.0)
+
+
+def step(schedule: DDPMSchedule, t, latents, eps, noise, *,
+         num_inference_steps: int):
+    """One ancestral DDPM step (ddpm.py:102-139).  ``t`` may be traced.
+
+    latents/eps: (..., C); noise: same shape, standard normal (used iff t>0).
+    """
+    dt = latents.dtype
+    lat = latents.astype(jnp.float32)
+    eps = eps.astype(jnp.float32)
+    prev_t = t - schedule.num_train_timesteps // num_inference_steps
+
+    a_t = schedule.alphas_cumprod[t]
+    a_prev = _alpha_bar_prev(schedule, prev_t)
+    b_t = 1.0 - a_t
+    b_prev = 1.0 - a_prev
+    cur_alpha = a_t / a_prev
+    cur_beta = 1.0 - cur_alpha
+
+    x0 = (lat - jnp.sqrt(b_t) * eps) / jnp.sqrt(a_t)          # ddpm.py:116
+    coeff_x0 = jnp.sqrt(a_prev) * cur_beta / b_t              # ddpm.py:120
+    coeff_xt = jnp.sqrt(cur_alpha) * b_prev / b_t             # ddpm.py:123
+    mean = coeff_x0 * x0 + coeff_xt * lat
+
+    var = jnp.clip(b_prev / b_t * cur_beta, min=1e-20)        # ddpm.py:72-87
+    std = jnp.where(t > 0, jnp.sqrt(var), 0.0)
+    return (mean + std * noise.astype(jnp.float32)).astype(dt)
+
+
+def add_noise(schedule: DDPMSchedule, x0, t, noise):
+    """Forward q(x_t | x_0) (ddpm.py:143-186).  ``t`` scalar or (B,)."""
+    dt = x0.dtype
+    a = schedule.alphas_cumprod[t]
+    sqrt_a = jnp.sqrt(a)
+    sqrt_1ma = jnp.sqrt(1.0 - a)
+    # broadcast over trailing dims (reference unsqueezes, ddpm.py:164-186)
+    while sqrt_a.ndim < x0.ndim:
+        sqrt_a = sqrt_a[..., None]
+        sqrt_1ma = sqrt_1ma[..., None]
+    return (sqrt_a * x0.astype(jnp.float32)
+            + sqrt_1ma * noise.astype(jnp.float32)).astype(dt)

@@ -1,0 +1,352 @@
+"""CompVis SD checkpoint → framework pytrees.
+
+Parity target: ``/root/reference/sd/model_converter.py`` (1055 lines of
+hand-written key remaps) + ``sd/model_loader.py`` (strict load).  Instead of
+a literal table, the mapping here is *generated* from the architecture
+config (SURVEY §7.5), so it adapts to any ``SDConfig`` (tests round-trip a
+tiny config) and coverage is enforced exactly:
+
+  * every target leaf of ``init``-structured params must be produced once
+    (the ``strict=True`` analog, ``model_loader.py:30``);
+  * every source key must be either consumed or on the known-ignore list
+    (EMA weights, scheduler buffers, CLIP position_ids).
+
+Layout transforms (torch/CompVis → TPU-native):
+  * conv kernels OIHW → HWIO;
+  * linear kernels (out, in) → (in, out);
+  * VAE attention q/k/v/proj_out 1x1-conv (C, C, 1, 1) → linear (C, C)
+    (the reference instead reshapes them into a fused in_proj,
+    ``model_converter.py:1025-1030``; we keep q/k/v separate);
+  * UNet/CLIP attention stays unfused (the reference cats q/k/v into
+    in_proj, ``model_converter.py:1009-1024`` — XLA gains nothing from
+    fusing, and the ckpt stores them separately).
+
+Entry points:
+  load_state_dict(path)                      — .ckpt (torch pickle) or .safetensors
+  convert(state_dict, cfg)                   — {clip, encoder, decoder, diffusion}
+  deconvert(params, cfg)                     — inverse (for tests / export)
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import unet as unet_mod
+from ..models.config import SDConfig
+
+# kind -> (src->dst transform, dst->src transform)
+_FWD: Dict[str, Callable] = {
+    "direct": lambda x: x,
+    "conv": lambda x: np.transpose(x, (2, 3, 1, 0)),           # OIHW -> HWIO
+    "linear": lambda x: np.transpose(x, (1, 0)),               # (O,I) -> (I,O)
+    "conv1x1_linear": lambda x: np.transpose(x[:, :, 0, 0], (1, 0)),
+}
+_INV: Dict[str, Callable] = {
+    "direct": lambda x: x,
+    "conv": lambda x: np.transpose(x, (3, 2, 0, 1)),
+    "linear": lambda x: np.transpose(x, (1, 0)),
+    "conv1x1_linear": lambda x: np.transpose(x, (1, 0))[:, :, None, None],
+}
+
+Rule = Tuple[str, str, str]  # (src_key, dst_path, kind)
+
+
+def _conv(rules, src, dst, bias=True):
+    rules.append((f"{src}.weight", f"{dst}/kernel", "conv"))
+    if bias:
+        rules.append((f"{src}.bias", f"{dst}/bias", "direct"))
+
+
+def _linear(rules, src, dst, bias=True):
+    rules.append((f"{src}.weight", f"{dst}/kernel", "linear"))
+    if bias:
+        rules.append((f"{src}.bias", f"{dst}/bias", "direct"))
+
+
+def _norm(rules, src, dst):
+    rules.append((f"{src}.weight", f"{dst}/scale", "direct"))
+    rules.append((f"{src}.bias", f"{dst}/bias", "direct"))
+
+
+# ------------------------------------------------------------------- UNet
+def _unet_res_rules(rules, src, dst, c_in, c_out):
+    _norm(rules, f"{src}.in_layers.0", f"{dst}/norm1")
+    _conv(rules, f"{src}.in_layers.2", f"{dst}/conv1")
+    _linear(rules, f"{src}.emb_layers.1", f"{dst}/time_proj")
+    _norm(rules, f"{src}.out_layers.0", f"{dst}/norm2")
+    _conv(rules, f"{src}.out_layers.3", f"{dst}/conv2")
+    if c_in != c_out:
+        _conv(rules, f"{src}.skip_connection", f"{dst}/shortcut")
+
+
+def _unet_attn_rules(rules, src, dst):
+    _norm(rules, f"{src}.norm", f"{dst}/norm")
+    _conv(rules, f"{src}.proj_in", f"{dst}/conv_in")
+    tb = f"{src}.transformer_blocks.0"
+    _norm(rules, f"{tb}.norm1", f"{dst}/ln1")
+    for ours, theirs in (("q", "to_q"), ("k", "to_k"), ("v", "to_v")):
+        _linear(rules, f"{tb}.attn1.{theirs}", f"{dst}/self_attn/{ours}", bias=False)
+        _linear(rules, f"{tb}.attn2.{theirs}", f"{dst}/cross_attn/{ours}", bias=False)
+    _linear(rules, f"{tb}.attn1.to_out.0", f"{dst}/self_attn/out")
+    _linear(rules, f"{tb}.attn2.to_out.0", f"{dst}/cross_attn/out")
+    _norm(rules, f"{tb}.norm2", f"{dst}/ln2")
+    _norm(rules, f"{tb}.norm3", f"{dst}/ln3")
+    _linear(rules, f"{tb}.ff.net.0.proj", f"{dst}/geglu_proj")
+    _linear(rules, f"{tb}.ff.net.2", f"{dst}/geglu_out")
+    _conv(rules, f"{src}.proj_out", f"{dst}/conv_out")
+
+
+def unet_rules(cfg: SDConfig) -> List[Rule]:
+    u = cfg.unet
+    src = "model.diffusion_model"
+    rules: List[Rule] = []
+    _linear(rules, f"{src}.time_embed.0", "time_embed/fc1")
+    _linear(rules, f"{src}.time_embed.2", "time_embed/fc2")
+    _conv(rules, f"{src}.input_blocks.0.0", "conv_in")
+
+    for i, st in enumerate(unet_mod.encoder_plan(u)[1:]):
+        blk = f"{src}.input_blocks.{i + 1}"
+        dst = f"encoder/{i}"
+        if st["kind"] == "down":
+            _conv(rules, f"{blk}.0.op", f"{dst}/down")
+        else:
+            _unet_res_rules(rules, f"{blk}.0", f"{dst}/res", st["c_in"], st["c_out"])
+            if st["attn"]:
+                _unet_attn_rules(rules, f"{blk}.1", f"{dst}/attn")
+
+    mid_c = u.level_channels[-1]
+    _unet_res_rules(rules, f"{src}.middle_block.0", "bottleneck/res1", mid_c, mid_c)
+    _unet_attn_rules(rules, f"{src}.middle_block.1", "bottleneck/attn")
+    _unet_res_rules(rules, f"{src}.middle_block.2", "bottleneck/res2", mid_c, mid_c)
+
+    for j, st in enumerate(unet_mod.decoder_plan(u)):
+        blk = f"{src}.output_blocks.{j}"
+        dst = f"decoder/{j}"
+        _unet_res_rules(rules, f"{blk}.0", f"{dst}/res", st["c_in"], st["c_out"])
+        nxt = 1
+        if st["attn"]:
+            _unet_attn_rules(rules, f"{blk}.1", f"{dst}/attn")
+            nxt = 2
+        if st["upsample"]:
+            _conv(rules, f"{blk}.{nxt}.conv", f"{dst}/upsample")
+
+    _norm(rules, f"{src}.out.0", "norm_out")
+    _conv(rules, f"{src}.out.2", "conv_out")
+    return rules
+
+
+# -------------------------------------------------------------------- VAE
+def _vae_res_rules(rules, src, dst, c_in, c_out):
+    _norm(rules, f"{src}.norm1", f"{dst}/norm1")
+    _conv(rules, f"{src}.conv1", f"{dst}/conv1")
+    _norm(rules, f"{src}.norm2", f"{dst}/norm2")
+    _conv(rules, f"{src}.conv2", f"{dst}/conv2")
+    if c_in != c_out:
+        _conv(rules, f"{src}.nin_shortcut", f"{dst}/shortcut")
+
+
+def _vae_mid_rules(rules, src, dst, ch):
+    _vae_res_rules(rules, f"{src}.block_1", f"{dst}/res1", ch, ch)
+    _norm(rules, f"{src}.attn_1.norm", f"{dst}/attn/norm")
+    for ours, theirs in (("q", "q"), ("k", "k"), ("v", "v"), ("out", "proj_out")):
+        rules.append((f"{src}.attn_1.{theirs}.weight", f"{dst}/attn/attn/{ours}/kernel",
+                      "conv1x1_linear"))
+        rules.append((f"{src}.attn_1.{theirs}.bias", f"{dst}/attn/attn/{ours}/bias",
+                      "direct"))
+    _vae_res_rules(rules, f"{src}.block_2", f"{dst}/res2", ch, ch)
+
+
+def vae_encoder_rules(cfg: SDConfig) -> List[Rule]:
+    v = cfg.vae
+    chs = v.level_channels
+    src = "first_stage_model"
+    rules: List[Rule] = []
+    _conv(rules, f"{src}.encoder.conv_in", "conv_in")
+    c_prev = chs[0]
+    for l, c in enumerate(chs):
+        _vae_res_rules(rules, f"{src}.encoder.down.{l}.block.0", f"down/{l}/res/0", c_prev, c)
+        _vae_res_rules(rules, f"{src}.encoder.down.{l}.block.1", f"down/{l}/res/1", c, c)
+        c_prev = c
+        if l < len(chs) - 1:
+            _conv(rules, f"{src}.encoder.down.{l}.downsample.conv", f"down/{l}/downsample")
+    _vae_mid_rules(rules, f"{src}.encoder.mid", "mid", chs[-1])
+    _norm(rules, f"{src}.encoder.norm_out", "norm_out")
+    _conv(rules, f"{src}.encoder.conv_out", "conv_out")
+    _conv(rules, f"{src}.quant_conv", "quant_conv")
+    return rules
+
+
+def vae_decoder_rules(cfg: SDConfig) -> List[Rule]:
+    v = cfg.vae
+    chs = v.level_channels
+    src = "first_stage_model"
+    rules: List[Rule] = []
+    _conv(rules, f"{src}.post_quant_conv", "post_quant_conv")
+    _conv(rules, f"{src}.decoder.conv_in", "conv_in")
+    _vae_mid_rules(rules, f"{src}.decoder.mid", "mid", chs[-1])
+    c_prev = chs[-1]
+    # ours: processing order (top level first) = CompVis up.{L-1} .. up.0
+    for k, l in enumerate(reversed(range(len(chs)))):
+        c = chs[l]
+        for b in range(3):
+            _vae_res_rules(rules, f"{src}.decoder.up.{l}.block.{b}",
+                           f"up/{k}/res/{b}", c_prev if b == 0 else c, c)
+        c_prev = c
+        if l > 0:
+            _conv(rules, f"{src}.decoder.up.{l}.upsample.conv", f"up/{k}/upsample")
+    _norm(rules, f"{src}.decoder.norm_out", "norm_out")
+    _conv(rules, f"{src}.decoder.conv_out", "conv_out")
+    return rules
+
+
+# ------------------------------------------------------------------- CLIP
+def clip_rules(cfg: SDConfig) -> List[Rule]:
+    src = "cond_stage_model.transformer.text_model"
+    rules: List[Rule] = [
+        (f"{src}.embeddings.token_embedding.weight", "token_embedding", "direct"),
+        (f"{src}.embeddings.position_embedding.weight", "position_embedding", "direct"),
+    ]
+    for i in range(cfg.clip.n_layers):
+        lyr = f"{src}.encoder.layers.{i}"
+        dst = f"layers/{i}"
+        _norm(rules, f"{lyr}.layer_norm1", f"{dst}/ln1")
+        for ours, theirs in (("q", "q_proj"), ("k", "k_proj"), ("v", "v_proj"),
+                             ("out", "out_proj")):
+            _linear(rules, f"{lyr}.self_attn.{theirs}", f"{dst}/attn/{ours}")
+        _norm(rules, f"{lyr}.layer_norm2", f"{dst}/ln2")
+        _linear(rules, f"{lyr}.mlp.fc1", f"{dst}/fc1")
+        _linear(rules, f"{lyr}.mlp.fc2", f"{dst}/fc2")
+    _norm(rules, f"{src}.final_layer_norm", "final_norm")
+    return rules
+
+
+# --------------------------------------------------------------- execution
+_ALL_RULES = {
+    "clip": clip_rules,
+    "encoder": vae_encoder_rules,
+    "decoder": vae_decoder_rules,
+    "diffusion": unet_rules,
+}
+
+#: source keys that exist in CompVis ckpts but carry no model weight we need
+_IGNORE_PREFIXES = ("model_ema.", "cond_stage_model.transformer.text_model."
+                    "embeddings.position_ids")
+_IGNORE_EXACT = {
+    "betas", "alphas_cumprod", "alphas_cumprod_prev", "sqrt_alphas_cumprod",
+    "sqrt_one_minus_alphas_cumprod", "log_one_minus_alphas_cumprod",
+    "sqrt_recip_alphas_cumprod", "sqrt_recipm1_alphas_cumprod",
+    "posterior_variance", "posterior_log_variance_clipped",
+    "posterior_mean_coef1", "posterior_mean_coef2", "logvar",
+}
+
+
+def _nest(flat: Dict[str, np.ndarray]):
+    """'a/0/b' flat dict -> nested dicts with integer-keyed lists."""
+    root: dict = {}
+    for path, v in flat.items():
+        parts = path.split("/")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        if node and all(k.isdigit() for k in node):
+            return [listify(node[str(i)]) for i in range(len(node))]
+        return {k: listify(v) for k, v in node.items()}
+
+    return listify(root)
+
+
+def convert(state_dict: Dict[str, np.ndarray], cfg: SDConfig, dtype=None):
+    """CompVis flat state dict -> {'clip','encoder','decoder','diffusion'}.
+
+    Raises KeyError on missing source keys and on unconsumed non-ignored
+    source keys (exact-coverage, both directions).
+    """
+    dtype = dtype or cfg.policy.param_dtype
+    consumed = set()
+    out = {}
+    for name, rule_fn in _ALL_RULES.items():
+        flat = {}
+        for src_key, dst_path, kind in rule_fn(cfg):
+            if src_key not in state_dict:
+                raise KeyError(f"[{name}] missing source key: {src_key}")
+            x = np.asarray(state_dict[src_key])
+            flat[dst_path] = jnp.asarray(_FWD[kind](x), dtype)
+            consumed.add(src_key)
+        out[name] = _nest(flat)
+
+    leftover = [
+        k for k in state_dict
+        if k not in consumed and k not in _IGNORE_EXACT
+        and not any(k.startswith(p) for p in _IGNORE_PREFIXES)
+    ]
+    if leftover:
+        raise KeyError(
+            f"{len(leftover)} unconsumed source keys (first 10): {sorted(leftover)[:10]}"
+        )
+    return out
+
+
+def deconvert(params: Dict[str, dict], cfg: SDConfig) -> Dict[str, np.ndarray]:
+    """Inverse of ``convert`` — exports our pytrees back to CompVis layout."""
+    from ..core.pytree import flatten
+
+    sd: Dict[str, np.ndarray] = {}
+    for name, rule_fn in _ALL_RULES.items():
+        flat = flatten(params[name])
+        for src_key, dst_path, kind in rule_fn(cfg):
+            if dst_path not in flat:
+                raise KeyError(f"[{name}] missing target leaf: {dst_path}")
+            sd[src_key] = _INV[kind](np.asarray(flat[dst_path]))
+    return sd
+
+
+def load_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Read a CompVis checkpoint file: .safetensors (preferred) or .ckpt
+    (torch pickle — the reference's path, ``model_converter.py:5``)."""
+    p = str(path)
+    if p.endswith(".safetensors"):
+        from safetensors import safe_open
+
+        out = {}
+        with safe_open(p, framework="np") as f:
+            for k in f.keys():
+                out[k] = f.get_tensor(k)
+        return out
+    import torch
+
+    ckpt = torch.load(p, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt)
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+            for k, v in sd.items()}
+
+
+def load_sd_checkpoint(path: str, cfg: SDConfig, dtype=None):
+    """File path -> converted framework pytrees (the
+    ``preload_models_from_standard_weights`` analog, ``model_loader.py:9``)."""
+    return convert(load_state_dict(path), cfg, dtype)
+
+
+def synthetic_state_dict(cfg: SDConfig, seed: int = 0) -> Dict[str, np.ndarray]:
+    """CompVis-shaped random state dict for converter/coverage tests —
+    generated by inverting the rules over a freshly initialized model."""
+    import jax
+
+    from ..models import clip as clip_mod
+    from ..models import vae as vae_mod
+
+    key = jax.random.PRNGKey(seed)
+    params = {
+        "clip": clip_mod.init(jax.random.fold_in(key, 0), cfg.clip),
+        "encoder": vae_mod.init_encoder(jax.random.fold_in(key, 1), cfg.vae),
+        "decoder": vae_mod.init_decoder(jax.random.fold_in(key, 2), cfg.vae),
+        "diffusion": unet_mod.init(jax.random.fold_in(key, 3), cfg.unet),
+    }
+    return deconvert(params, cfg)

@@ -1,0 +1,197 @@
+"""CLIP byte-level BPE tokenizer (self-contained, no network, no torch).
+
+The reference loads ``transformers.CLIPTokenizer`` from local
+``data/vocab.json`` + ``data/merges.txt`` (``sd/inference_demo.ipynb`` cell 2,
+``data/links.txt:4-6``) and calls ``batch_encode_plus(padding="max_length",
+max_length=77)`` (``sd/pipeline.py:109-115``).  This module reimplements that
+tokenizer from the algorithm: byte→unicode remap, greedy lowest-rank BPE
+merges with the ``</w>`` word-end marker, CLIP's token regex, whitespace
+cleanup + lowercasing, then ``<|startoftext|> ... <|endoftext|>`` framing
+padded to max_len with the end-of-text id.
+
+Parity oracle in tests: transformers' slow CLIPTokenizer over the same vocab
+files (tests/test_tokenizer.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import gzip
+import html
+import json
+from typing import Dict, List, Sequence, Tuple
+
+try:
+    import regex as re  # supports \p{L}/\p{N} classes like the original
+
+    _PAT = re.compile(
+        r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
+        re.IGNORECASE,
+    )
+except ImportError:  # pragma: no cover - regex is in the base image
+    import re
+
+    _PAT = re.compile(
+        r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|\w+|[^\s\w]+""",
+        re.IGNORECASE,
+    )
+
+_WS = None  # lazily-compiled whitespace pattern
+
+
+@functools.lru_cache()
+def bytes_to_unicode() -> Dict[int, str]:
+    """GPT-2/CLIP reversible byte→printable-unicode map."""
+    bs = (list(range(ord("!"), ord("~") + 1))
+          + list(range(ord("¡"), ord("¬") + 1))
+          + list(range(ord("®"), ord("ÿ") + 1)))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
+
+
+def _whitespace_clean(text: str) -> str:
+    global _WS
+    if _WS is None:
+        import re as _stdre
+
+        _WS = _stdre.compile(r"\s+")
+    return _WS.sub(" ", text).strip()
+
+
+def _get_pairs(word: Tuple[str, ...]):
+    return {(word[i], word[i + 1]) for i in range(len(word) - 1)}
+
+
+class CLIPTokenizer:
+    """Byte-level BPE with ``</w>`` end-of-word, CLIP flavor."""
+
+    def __init__(self, vocab: Dict[str, int], merges: Sequence[Tuple[str, str]],
+                 max_len: int = 77):
+        self.encoder = dict(vocab)
+        self.decoder = {v: k for k, v in self.encoder.items()}
+        self.bpe_ranks = {tuple(m): i for i, m in enumerate(merges)}
+        self.byte_encoder = bytes_to_unicode()
+        self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
+        self.max_len = max_len
+        self.sot = self.encoder["<|startoftext|>"]
+        self.eot = self.encoder["<|endoftext|>"]
+        self._cache = {"<|startoftext|>": "<|startoftext|>",
+                       "<|endoftext|>": "<|endoftext|>"}
+
+    # ------------------------------------------------------------- loading
+    @classmethod
+    def from_files(cls, vocab_path: str, merges_path: str, max_len: int = 77):
+        with open(vocab_path, encoding="utf-8") as f:
+            vocab = json.load(f)
+        opener = gzip.open if str(merges_path).endswith(".gz") else open
+        with opener(merges_path, "rt", encoding="utf-8") as f:
+            lines = f.read().split("\n")
+        merges = []
+        for ln in lines[1:]:  # first line is the version header
+            ln = ln.strip()
+            if ln:
+                merges.append(tuple(ln.split()))
+        return cls(vocab, merges, max_len)
+
+    # ----------------------------------------------------------------- BPE
+    def _bpe(self, token: str) -> str:
+        if token in self._cache:
+            return self._cache[token]
+        word = tuple(token[:-1]) + (token[-1] + "</w>",)
+        pairs = _get_pairs(word)
+        if not pairs:
+            return token + "</w>"
+        while True:
+            bigram = min(pairs, key=lambda p: self.bpe_ranks.get(p, float("inf")))
+            if bigram not in self.bpe_ranks:
+                break
+            first, second = bigram
+            new_word: List[str] = []
+            i = 0
+            while i < len(word):
+                try:
+                    j = word.index(first, i)
+                except ValueError:
+                    new_word.extend(word[i:])
+                    break
+                new_word.extend(word[i:j])
+                i = j
+                if i < len(word) - 1 and word[i] == first and word[i + 1] == second:
+                    new_word.append(first + second)
+                    i += 2
+                else:
+                    new_word.append(word[i])
+                    i += 1
+            word = tuple(new_word)
+            if len(word) == 1:
+                break
+            pairs = _get_pairs(word)
+        out = " ".join(word)
+        self._cache[token] = out
+        return out
+
+    # ------------------------------------------------------------- encoding
+    def tokenize(self, text: str) -> List[int]:
+        """Raw BPE ids, no framing/padding."""
+        text = _whitespace_clean(html.unescape(html.unescape(text))).lower()
+        ids: List[int] = []
+        for tok in _PAT.findall(text):
+            tok_b = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
+            for piece in self._bpe(tok_b).split(" "):
+                ids.append(self.encoder[piece])
+        return ids
+
+    def encode(self, text: str) -> List[int]:
+        """sot + bpe + eot, truncated and padded with eot to max_len —
+        matches transformers CLIPTokenizer(padding="max_length")."""
+        ids = self.tokenize(text)
+        ids = ids[: self.max_len - 2]
+        full = [self.sot] + ids + [self.eot]
+        full.extend([self.eot] * (self.max_len - len(full)))
+        return full
+
+    def batch_encode(self, texts: Sequence[str]) -> List[List[int]]:
+        return [self.encode(t) for t in texts]
+
+    # ------------------------------------------------------------- decoding
+    def decode(self, ids: Sequence[int]) -> str:
+        text = "".join(self.decoder[i] for i in ids
+                       if i not in (self.sot, self.eot))
+        data = bytearray(self.byte_decoder[ch] for ch in text)
+        return data.decode("utf-8", errors="replace").replace("</w>", " ").strip()
+
+
+def make_test_tokenizer(words: Sequence[str], max_len: int = 16) -> CLIPTokenizer:
+    """Tiny tokenizer for tests: char-level vocab over ``words`` plus full
+    merges for each word, so each listed word encodes to one id."""
+    btu = bytes_to_unicode()
+    vocab: Dict[str, int] = {}
+
+    def add(tok):
+        if tok not in vocab:
+            vocab[tok] = len(vocab)
+
+    for ch in btu.values():
+        add(ch)
+        add(ch + "</w>")
+    merges: List[Tuple[str, str]] = []
+    seen = set()
+    for w in words:
+        chars = [btu[b] for b in w.encode("utf-8")]
+        chars[-1] += "</w>"
+        while len(chars) > 1:  # merge left-to-right
+            pair = (chars[0], chars[1])
+            if pair not in seen:
+                seen.add(pair)
+                merges.append(pair)
+                add(pair[0] + pair[1])
+            chars[:2] = [chars[0] + chars[1]]
+    add("<|startoftext|>")
+    add("<|endoftext|>")
+    return CLIPTokenizer(vocab, merges, max_len)
