@@ -1,0 +1,95 @@
+"""Benchmark: SD-1.5 txt2img 512x512, 50-step DDPM with CFG, on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the BASELINE.json north star (>= 1 image/sec/chip on v5e); the
+reference publishes no numbers of its own (BASELINE.md).
+
+Uses random weights (checkpoint files are not available in this environment;
+FLOP count and memory traffic are weight-value independent), bf16 compute
+policy, Pallas flash attention, and the fully-compiled scan pipeline.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_models(cfg, seed=0):
+    from pytorch_stable_diffusion_tpu.models import clip, unet, vae
+
+    key = jax.random.PRNGKey(seed)
+    dtype = cfg.policy.param_dtype
+    return {
+        "clip": clip.init(jax.random.fold_in(key, 0), cfg.clip, dtype=dtype),
+        "encoder": vae.init_encoder(jax.random.fold_in(key, 1), cfg.vae, dtype=dtype),
+        "decoder": vae.init_decoder(jax.random.fold_in(key, 2), cfg.vae, dtype=dtype),
+        "diffusion": unet.init(jax.random.fold_in(key, 3), cfg.unet, dtype=dtype),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--backend", default="pallas",
+                    choices=["pallas", "xla"])
+    args = ap.parse_args()
+
+    from pytorch_stable_diffusion_tpu.core.dtypes import BF16
+    from pytorch_stable_diffusion_tpu.models.config import sd15_config
+    from pytorch_stable_diffusion_tpu.pipeline import _compiled_txt2img
+
+    backend = args.backend if jax.default_backend() == "tpu" else "xla"
+    cfg = sd15_config(policy=BF16, attention_backend=backend)
+    models = build_models(cfg)
+
+    b = args.batch
+    h_lat = w_lat = args.size // cfg.vae.downsample_factor
+    run = _compiled_txt2img(cfg, args.steps, True, b, h_lat, w_lat, False)
+
+    cond = jnp.full((b, cfg.clip.max_len), 49406, jnp.int32)
+    uncond = jnp.full((b, cfg.clip.max_len), 49407, jnp.int32)
+    key = jax.random.PRNGKey(1337)
+    image = jnp.zeros((b, args.size, args.size, 3), jnp.float32)
+    noises = {"latent_init": jnp.zeros((1,), jnp.float32)}  # PRNG path
+    call = lambda k: run(models, cond, uncond, k, jnp.float32(7.5),
+                         jnp.int32(0), image, noises)
+
+    # compile + warmup
+    t0 = time.perf_counter()
+    imgs, _ = call(key)
+    imgs.block_until_ready()
+    compile_s = time.perf_counter() - t0
+
+    times = []
+    for i in range(args.iters):
+        k = jax.random.fold_in(key, i)
+        t0 = time.perf_counter()
+        imgs, _ = call(k)
+        imgs.block_until_ready()
+        times.append(time.perf_counter() - t0)
+
+    p50 = float(np.median(times))
+    ips = b / p50
+    result = {
+        "metric": f"txt2img {args.size}x{args.size} {args.steps}-step DDPM+CFG "
+                  f"batch={b} images/sec/chip ({backend} attention, bf16)",
+        "value": round(ips, 4),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / 1.0, 4),
+    }
+    print(json.dumps(result))
+    print(f"# p50 latency/image: {p50 / b:.3f}s  compile: {compile_s:.1f}s  "
+          f"times: {[round(t, 3) for t in times]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

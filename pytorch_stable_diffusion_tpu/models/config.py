@@ -90,7 +90,7 @@ class SDConfig:
 def tiny_sd_config(policy: Policy = FP32, **kw) -> SDConfig:
     """Scaled-down config for fast CPU tests (same topology, small dims)."""
     return SDConfig(
-        clip=CLIPConfig(vocab_size=128, d_model=32, max_len=16, n_layers=2, n_heads=4, d_ff=64),
+        clip=CLIPConfig(vocab_size=1024, d_model=32, max_len=16, n_layers=2, n_heads=4, d_ff=64),
         vae=VAEConfig(base_channels=16, ch_mults=(1, 2), groups=4),
         unet=UNetConfig(
             model_channels=16, ch_mults=(1, 2), attn_levels=(True, False),

@@ -1,0 +1,291 @@
+"""txt2img / img2img generation pipeline.
+
+Behavior-parity target: ``/root/reference/sd/pipeline.py`` — same public
+semantics and keyword names as ``generate()`` (``pipeline.py:13-27``), with
+the TPU-native execution model:
+
+  * The whole denoise loop is ONE jit-compiled ``lax.scan`` over timesteps —
+    no per-step Python dispatch, and the time embedding is computed inside
+    the compiled graph (the reference rebuilds it on host and transfers it
+    every step, ``pipeline.py:211``).
+  * CFG runs cond+uncond as one batched UNet call (the reference already
+    does this, ``pipeline.py:221`` — kept) with
+    ``eps = scale * (cond - uncond) + uncond`` (``pipeline.py:230-233``).
+  * img2img strength becomes a *traced* ``start_step`` (scan steps before it
+    are passed through unchanged), so one compilation serves every strength
+    — the reference instead truncates the Python timestep list
+    (``sd/ddpm.py:90-99``).
+  * ``device`` / ``idle_device`` are accepted for API compatibility but
+    ignored: weights stay HBM-resident (the reference's per-stage CPU
+    offload, ``pipeline.py:80-85``, is a VRAM workaround TPUs don't need).
+  * One root PRNG key replaces the reference's shared ``torch.Generator``
+    (``pipeline.py:92-98``): named streams 'latent_init' / 'encoder_noise' /
+    'sampler', folded per sample index so results are independent of batch
+    size and shard count.  Parity tests may instead inject recorded noise
+    via ``fixed_noise``.
+
+Compiled-function cache is keyed on (H, W, steps, do_cfg, batch, img2img,
+config) — repeated calls with the same shape reuse the compilation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core import rng as rng_mod
+from .core.dtypes import Policy
+from .models import clip as clip_mod
+from .models import unet as unet_mod
+from .models import vae as vae_mod
+from .models.config import SDConfig, sd15_config
+from .sampling import ddpm
+
+# --------------------------------------------------------------- tokenizing
+def _encode_tokens(tokenizer, prompts, max_len: int) -> np.ndarray:
+    """Accept our CLIPTokenizer or a transformers tokenizer (duck-typed)."""
+    if hasattr(tokenizer, "batch_encode"):
+        ids = tokenizer.batch_encode(prompts)
+    else:  # transformers API, as used by the reference (pipeline.py:109-115)
+        ids = tokenizer.batch_encode_plus(
+            prompts, padding="max_length", max_length=max_len, truncation=True
+        ).input_ids
+    return np.asarray(ids, np.int32)
+
+
+# ------------------------------------------------------------ image helpers
+def rescale(x, old_range, new_range, clamp: bool = False):
+    """Linear range remap (reference ``pipeline.py:265-307``)."""
+    old_min, old_max = old_range
+    new_min, new_max = new_range
+    x = (x - old_min) * (new_max - new_min) / (old_max - old_min) + new_min
+    if clamp:
+        x = jnp.clip(x, new_min, new_max) if isinstance(x, jax.Array) else np.clip(x, new_min, new_max)
+    return x
+
+
+def _prepare_image(input_image, width: int, height: int) -> np.ndarray:
+    """PIL image / array -> (1, H, W, 3) float32 in [-1, 1]."""
+    if not isinstance(input_image, np.ndarray) and hasattr(input_image, "resize"):
+        input_image = input_image.resize((width, height))  # PIL
+        arr = np.asarray(input_image, np.float32)
+    else:
+        arr = np.asarray(input_image, np.float32)
+        if arr.shape[:2] != (height, width):
+            raise ValueError(f"input image must be {height}x{width}, got {arr.shape}")
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=-1)
+    arr = arr[..., :3]
+    arr = rescale(arr, (0.0, 255.0), (-1.0, 1.0))
+    return arr[None]
+
+
+def get_time_embedding(timestep) -> jax.Array:
+    """(1, 320) sinusoidal embedding — reference helper parity
+    (``pipeline.py:310-349``)."""
+    return unet_mod.timestep_embedding(timestep, 320)
+
+
+# --------------------------------------------------------- compiled core fns
+@functools.lru_cache(maxsize=8)
+def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
+                      h_lat: int, w_lat: int, img2img: bool,
+                      fixed_noise: bool = False):
+    """Build + jit the full generate computation for one static shape.
+
+    ``fixed_noise=True`` compiles a variant whose latent-init / encoder /
+    per-step sampler noise are caller-supplied arrays instead of PRNG draws
+    — used by parity tests to compare against recorded reference noise.
+    """
+    timesteps = jnp.asarray(ddpm.inference_timesteps(n_steps))
+    schedule = ddpm.make_schedule()
+    policy: Policy = cfg.policy
+    lc = cfg.vae.latent_channels
+
+    def run(params: Dict[str, Any], cond_tokens, uncond_tokens, key,
+            cfg_scale, start_step, init_image, noises):
+        context = clip_mod.apply(params["clip"], cond_tokens, cfg.clip, policy)
+        if do_cfg:
+            uncond_ctx = clip_mod.apply(params["clip"], uncond_tokens, cfg.clip, policy)
+            context = jnp.concatenate([context, uncond_ctx], axis=0)
+
+        lat_shape = (batch, h_lat, w_lat, lc)
+
+        def draw(name, extra=None):
+            base = rng_mod.stream(key, name) if extra is None \
+                else rng_mod.step_key(key, name, extra)
+            ks = jax.vmap(lambda i: jax.random.fold_in(base, i))(jnp.arange(batch))
+            return jax.vmap(
+                lambda k: jax.random.normal(k, lat_shape[1:], jnp.float32))(ks)
+
+        init_noise = noises["latent_init"] if fixed_noise else draw("latent_init")
+
+        if img2img:
+            enc_noise = noises["encoder_noise"] if fixed_noise else draw("encoder_noise")
+            lat0 = vae_mod.apply_encoder(
+                params["encoder"], init_image, enc_noise, cfg.vae, policy,
+                attention_backend=cfg.attention_backend,
+                reference_quirks=cfg.reference_quirks)
+            t0 = timesteps[start_step]
+            latents = ddpm.add_noise(schedule, lat0.astype(jnp.float32), t0, init_noise)
+        else:
+            latents = init_noise
+
+        def body(latents, step_i):
+            t = timesteps[step_i]
+            lat_in = latents.astype(policy.compute_dtype)
+            model_in = jnp.concatenate([lat_in, lat_in], axis=0) if do_cfg else lat_in
+            eps = unet_mod.apply(
+                params["diffusion"], model_in, context, t, cfg.unet, policy,
+                attention_backend=cfg.attention_backend,
+                reference_quirks=cfg.reference_quirks)
+            if do_cfg:
+                eps_cond, eps_uncond = jnp.split(eps, 2, axis=0)
+                eps = cfg_scale * (eps_cond - eps_uncond) + eps_uncond  # pipeline.py:233
+            noise = noises["sampler_noise"][step_i] if fixed_noise \
+                else draw("sampler", step_i)
+            new_latents = ddpm.step(schedule, t, latents.astype(jnp.float32),
+                                    eps.astype(jnp.float32), noise,
+                                    num_inference_steps=n_steps)
+            # img2img: steps before start_step are inert (strength semantics)
+            new_latents = jnp.where(step_i >= start_step, new_latents, latents)
+            return new_latents.astype(jnp.float32), ()
+
+        latents, _ = jax.lax.scan(body, latents.astype(jnp.float32),
+                                  jnp.arange(n_steps))
+
+        images = vae_mod.apply_decoder(
+            params["decoder"], latents, cfg.vae, policy,
+            attention_backend=cfg.attention_backend,
+            reference_quirks=cfg.reference_quirks)
+        images = rescale(images.astype(jnp.float32), (-1.0, 1.0), (0.0, 255.0),
+                         clamp=True)
+        return images, latents
+
+    return jax.jit(run)
+
+
+# -------------------------------------------------------------- public API
+def _run_generate(
+    prompt: str,
+    uncond_prompt: str = "",
+    input_image=None,
+    strength: float = 0.8,
+    do_cfg: bool = True,
+    cfg_scale: float = 7.5,
+    sampler_name: str = "ddpm",
+    n_inference_steps: int = 50,
+    models: Optional[Dict[str, Any]] = None,
+    seed: Optional[int] = None,
+    device=None,
+    idle_device=None,
+    tokenizer=None,
+    *,
+    config: Optional[SDConfig] = None,
+    height: int = 512,
+    width: int = 512,
+    fixed_noise: Optional[Dict[str, np.ndarray]] = None,
+    mesh=None,
+):
+    """Internal: full-batch generation -> (images (B,H,W,3) uint8, latents).
+
+    With ``mesh``, batch inputs are sharded over the mesh's data axis and
+    params are expected replicated (see parallel/dp.py) — XLA partitions the
+    whole compiled program across the mesh (BASELINE.json config 5).
+    """
+    del device, idle_device  # weights are HBM-resident (see module docstring)
+    if not 0.0 < strength <= 1.0:
+        raise ValueError("strength must be between 0 and 1")  # pipeline.py:75-77
+    if sampler_name != "ddpm":
+        raise ValueError(f"Unknown sampler value {sampler_name!r}")  # pipeline.py:142
+    if models is None or tokenizer is None:
+        raise ValueError("models dict and tokenizer are required")
+    cfg = config or sd15_config()
+
+    prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+    uncond = [uncond_prompt] if isinstance(uncond_prompt, str) else list(uncond_prompt)
+    if len(uncond) == 1 and len(prompts) > 1:
+        uncond = uncond * len(prompts)
+    batch = len(prompts)
+
+    cond_tokens = _encode_tokens(tokenizer, prompts, cfg.clip.max_len)
+    uncond_tokens = _encode_tokens(tokenizer, uncond, cfg.clip.max_len)
+    # JAX gather clamps out-of-range indices silently — validate on host.
+    vmax = max(cond_tokens.max(), uncond_tokens.max())
+    if vmax >= cfg.clip.vocab_size:
+        raise ValueError(f"token id {vmax} >= vocab_size {cfg.clip.vocab_size} "
+                         "(tokenizer/config mismatch)")
+
+    factor = cfg.vae.downsample_factor
+    h_lat, w_lat = height // factor, width // factor
+    img2img = input_image is not None
+    if img2img:
+        image = np.broadcast_to(_prepare_image(input_image, width, height),
+                                (batch, height, width, 3)).copy()
+        start_step = ddpm.start_step_for_strength(n_inference_steps, strength)
+    else:
+        image = np.zeros((batch, height, width, 3), np.float32)
+        start_step = 0
+
+    lat_shape = (batch, h_lat, w_lat, cfg.vae.latent_channels)
+    use_fixed = fixed_noise is not None
+    if use_fixed:
+        noises = {
+            "latent_init": jnp.asarray(fixed_noise["latent_init"], jnp.float32)
+                .reshape(lat_shape),
+            "sampler_noise": jnp.asarray(fixed_noise["sampler_noise"], jnp.float32)
+                .reshape((n_inference_steps,) + lat_shape),
+        }
+        if img2img:
+            noises["encoder_noise"] = jnp.asarray(
+                fixed_noise["encoder_noise"], jnp.float32).reshape(lat_shape)
+    else:
+        noises = {"latent_init": jnp.zeros((1,), jnp.float32)}  # unused dummy
+
+    key = jax.random.PRNGKey(0 if seed is None else seed)
+    run = _compiled_txt2img(cfg, n_inference_steps, do_cfg, batch,
+                            h_lat, w_lat, img2img, use_fixed)
+    cond_tokens = jnp.asarray(cond_tokens)
+    uncond_tokens = jnp.asarray(uncond_tokens)
+    image = jnp.asarray(image)
+    if mesh is not None:
+        from .core.mesh import data_sharded
+
+        cond_tokens = jax.device_put(cond_tokens, data_sharded(mesh, 2))
+        uncond_tokens = jax.device_put(uncond_tokens, data_sharded(mesh, 2))
+        image = jax.device_put(image, data_sharded(mesh, 4))
+    images, latents = run(models, cond_tokens, uncond_tokens, key,
+                          jnp.float32(cfg_scale), jnp.int32(start_step),
+                          image, noises)
+    return np.asarray(images).astype(np.uint8), np.asarray(latents)
+
+
+def generate(prompt, uncond_prompt="", **kwargs):
+    """Generate one image from text (+ optional init image).
+
+    Reference-parity signature and semantics (``pipeline.py:13-27``); extra
+    keyword-only args are TPU-native additions.  Returns a single uint8 HWC
+    numpy image (the reference's output contract, ``pipeline.py:253-262``).
+
+    Pass ``return_latents=True`` to also get the final latents (for parity
+    tests against recorded goldens).
+    """
+    return_latents = kwargs.pop("return_latents", False)
+    images, latents = _run_generate(prompt, uncond_prompt, **kwargs)
+    if return_latents:
+        return images[0], latents
+    return images[0]
+
+
+def generate_images(prompts, uncond_prompts="", **kwargs) -> np.ndarray:
+    """Batched generation: list of prompts -> (B, H, W, 3) uint8 (all images).
+
+    One compiled call serves the whole batch (CFG doubles it internally);
+    this is the BASELINE.json "batched txt2img" config entry point.
+    """
+    images, _ = _run_generate(list(prompts), uncond_prompts, **kwargs)
+    return images

@@ -1,0 +1,67 @@
+"""Data-parallel generation on the 8-virtual-device CPU mesh (SURVEY §4.5;
+BASELINE.json config 5)."""
+
+import jax
+import numpy as np
+import pytest
+
+import pytorch_stable_diffusion_tpu as sdt
+from pytorch_stable_diffusion_tpu.core import mesh as mesh_mod
+from pytorch_stable_diffusion_tpu.parallel.dp import generate_images_dp, replicate_params
+
+N_STEPS = 2
+H = W = 16
+
+
+def test_virtual_devices_present():
+    assert len(jax.devices()) == 8, (
+        "conftest must provide 8 virtual CPU devices; got "
+        f"{len(jax.devices())}")
+
+
+def test_make_mesh_shapes():
+    m = mesh_mod.make_mesh()
+    assert m.shape == {"data": 8, "model": 1}
+    m2 = mesh_mod.make_mesh(data=4, model=2)
+    assert m2.shape == {"data": 4, "model": 2}
+    with pytest.raises(ValueError):
+        mesh_mod.make_mesh(data=3, model=2)
+
+
+def test_local_batch():
+    m = mesh_mod.make_mesh()
+    assert mesh_mod.local_batch(16, m) == 2
+    with pytest.raises(ValueError):
+        mesh_mod.local_batch(9, m)
+
+
+def test_dp_matches_single_device(tiny_cfg, tiny_models, tiny_tokenizer):
+    """8-way DP result == single-device result, bit-for-bit up to uint8
+    rounding (per-sample PRNG folding makes shard count invisible)."""
+    prompts = ["a cat", "a dog", "a photo", "a photo of a dog",
+               "cat", "dog", "a", "of a cat"]
+    kw = dict(models=tiny_models, tokenizer=tiny_tokenizer, seed=11,
+              n_inference_steps=N_STEPS, config=tiny_cfg, height=H, width=W)
+    single = sdt.generate_images(prompts, **kw)
+
+    m = mesh_mod.make_mesh()
+    dp = generate_images_dp(prompts, mesh=m, models=tiny_models,
+                            tokenizer=tiny_tokenizer, seed=11,
+                            n_inference_steps=N_STEPS, config=tiny_cfg,
+                            height=H, width=W)
+    assert dp.shape == single.shape == (8, H, W, 3)
+    assert np.abs(dp.astype(int) - single.astype(int)).max() <= 1
+
+
+def test_dp_batch_divisibility(tiny_cfg, tiny_models, tiny_tokenizer):
+    m = mesh_mod.make_mesh()
+    with pytest.raises(ValueError, match="divisible"):
+        generate_images_dp(["a", "b", "c"], mesh=m, models=tiny_models,
+                           tokenizer=tiny_tokenizer, config=tiny_cfg)
+
+
+def test_replicate_params(tiny_models):
+    m = mesh_mod.make_mesh()
+    rep = replicate_params(tiny_models, m)
+    leaf = jax.tree_util.tree_leaves(rep)[0]
+    assert len(leaf.sharding.device_set) == 8
