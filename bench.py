@@ -43,9 +43,12 @@ def main():
                     choices=["pallas", "xla"])
     args = ap.parse_args()
 
+    from pytorch_stable_diffusion_tpu.core.cache import enable_compilation_cache
     from pytorch_stable_diffusion_tpu.core.dtypes import BF16
     from pytorch_stable_diffusion_tpu.models.config import sd15_config
     from pytorch_stable_diffusion_tpu.pipeline import _compiled_txt2img
+
+    enable_compilation_cache()
 
     backend = args.backend if jax.default_backend() == "tpu" else "xla"
     cfg = sd15_config(policy=BF16, attention_backend=backend)
@@ -63,10 +66,14 @@ def main():
     call = lambda k: run(models, cond, uncond, k, jnp.float32(7.5),
                          jnp.int32(0), image, noises)
 
+    def force(x):
+        # axon relay: block_until_ready() does not block; a host fetch does
+        return float(jnp.ravel(x)[0])
+
     # compile + warmup
     t0 = time.perf_counter()
     imgs, _ = call(key)
-    imgs.block_until_ready()
+    force(imgs)
     compile_s = time.perf_counter() - t0
 
     times = []
@@ -74,7 +81,7 @@ def main():
         k = jax.random.fold_in(key, i)
         t0 = time.perf_counter()
         imgs, _ = call(k)
-        imgs.block_until_ready()
+        force(imgs)
         times.append(time.perf_counter() - t0)
 
     p50 = float(np.median(times))

@@ -135,7 +135,7 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
         else:
             latents = init_noise
 
-        def body(latents, step_i):
+        def body(step_i, latents):
             t = timesteps[step_i]
             lat_in = latents.astype(policy.compute_dtype)
             model_in = jnp.concatenate([lat_in, lat_in], axis=0) if do_cfg else lat_in
@@ -151,12 +151,12 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
             new_latents = ddpm.step(schedule, t, latents.astype(jnp.float32),
                                     eps.astype(jnp.float32), noise,
                                     num_inference_steps=n_steps)
-            # img2img: steps before start_step are inert (strength semantics)
-            new_latents = jnp.where(step_i >= start_step, new_latents, latents)
-            return new_latents.astype(jnp.float32), ()
+            return new_latents.astype(jnp.float32)
 
-        latents, _ = jax.lax.scan(body, latents.astype(jnp.float32),
-                                  jnp.arange(n_steps))
+        # dynamic lower bound: img2img strength skips steps without paying
+        # for them (the reference truncates the Python list, ddpm.py:97-99)
+        latents = jax.lax.fori_loop(start_step, n_steps, body,
+                                    latents.astype(jnp.float32))
 
         images = vae_mod.apply_decoder(
             params["decoder"], latents, cfg.vae, policy,

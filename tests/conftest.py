@@ -20,6 +20,10 @@ import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+from pytorch_stable_diffusion_tpu.core.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache("~/.cache/sdt_xla_tests")
+
 
 @pytest.fixture(scope="session")
 def tiny_cfg():
