@@ -81,6 +81,10 @@ class SDConfig:
     policy: Policy = FP32
     #: "xla" (materialized scores — parity path) or "pallas" (flash).
     attention_backend: str = "xla"
+    #: VAE mid-block attention: 1 head, batch 1-2 — measured faster on the
+    #: XLA path (benchmarks/components.py: 19.7ms vs 21.6ms decode); the
+    #: flash grid has too little parallelism there.  Overridable.
+    vae_attention_backend: str = "xla"
     #: Reproduce the reference's two genuine bugs for golden parity:
     #: dropped GeGLU gate (diffusion.py:359-363) and the VAE attention
     #: un-transpose no-op (decoder.py:62,67).  Default False = correct SD-1.5.

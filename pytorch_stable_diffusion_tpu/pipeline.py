@@ -128,7 +128,7 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
             enc_noise = noises["encoder_noise"] if fixed_noise else draw("encoder_noise")
             lat0 = vae_mod.apply_encoder(
                 params["encoder"], init_image, enc_noise, cfg.vae, policy,
-                attention_backend=cfg.attention_backend,
+                attention_backend=cfg.vae_attention_backend,
                 reference_quirks=cfg.reference_quirks)
             t0 = timesteps[start_step]
             latents = ddpm.add_noise(schedule, lat0.astype(jnp.float32), t0, init_noise)
@@ -160,7 +160,7 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
 
         images = vae_mod.apply_decoder(
             params["decoder"], latents, cfg.vae, policy,
-            attention_backend=cfg.attention_backend,
+            attention_backend=cfg.vae_attention_backend,
             reference_quirks=cfg.reference_quirks)
         images = rescale(images.astype(jnp.float32), (-1.0, 1.0), (0.0, 255.0),
                          clamp=True)

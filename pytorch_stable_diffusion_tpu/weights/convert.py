@@ -310,9 +310,16 @@ def deconvert(params: Dict[str, dict], cfg: SDConfig) -> Dict[str, np.ndarray]:
 
 def load_state_dict(path: str) -> Dict[str, np.ndarray]:
     """Read a CompVis checkpoint file: .safetensors (preferred) or .ckpt
-    (torch pickle — the reference's path, ``model_converter.py:5``)."""
+    (torch pickle — the reference's path, ``model_converter.py:5``).
+
+    .safetensors goes through the native mmap reader (csrc/) when the C++
+    toolchain is available, else the Python safetensors package."""
     p = str(path)
     if p.endswith(".safetensors"):
+        from . import native_io
+
+        if native_io.available():
+            return native_io.load_safetensors(p)
         from safetensors import safe_open
 
         out = {}
