@@ -47,11 +47,10 @@ def main():
         ("self32", 2, 8, 1024, 1024, 80),
     ]
     grids = {
-        "self64": [(256, 512), (256, 1024), (256, 2048), (256, 4096),
-                   (512, 1024), (512, 2048), (512, 4096), (1024, 2048),
-                   (128, 4096)],
-        "cross64": [(256, 128), (512, 128), (1024, 128), (2048, 128), (4096, 128)],
-        "self32": [(256, 512), (256, 1024), (512, 1024), (1024, 1024)],
+        "self64": [(128, 4096), (256, 4096), (512, 4096),   # one-pass
+                   (256, 512), (256, 2048)],                # multi-pass refs
+        "cross64": [(512, 128), (2048, 128)],
+        "self32": [(256, 1024), (512, 1024), (1024, 1024)],
     }
     for name, b, h, sq, sk, d in shapes:
         q = jax.random.normal(jax.random.fold_in(key, 1), (b, h, sq, d), jnp.bfloat16)

@@ -82,7 +82,10 @@ def apply(params, x, context=None, *, n_heads: int, causal: bool = False,
     k = linear.apply(params["k"], kv_src, policy)
     v = linear.apply(params["v"], kv_src, policy)
     qh, kh, vh = (_split_heads(t, n_heads) for t in (q, k, v))
-    if backend == "pallas":
+    # Flash pays off for long KV (it exists to keep O(S²) scores in VMEM);
+    # for short KV (cross-attention over 77 context tokens) the grid's tiny
+    # per-cell matmuls lose to one batched XLA matmul.
+    if backend == "pallas" and kh.shape[2] >= 256:
         from .pallas.flash_attention import flash_attention
 
         out = flash_attention(qh, kh, vh, causal=causal, policy=policy)

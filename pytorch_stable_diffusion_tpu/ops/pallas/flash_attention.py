@@ -75,6 +75,34 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
         o_ref[0] = (acc_ref[:] * jnp.reciprocal(jnp.maximum(l, 1e-30))).astype(o_ref.dtype)
 
 
+def _onepass_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int,
+                    causal: bool, block_q: int):
+    """Single KV block covers the whole sequence: plain (still numerically
+    safe) softmax per q block, no cross-step scratch.  This is the common
+    case for SD's spatial attention (Sk <= 4096) and avoids the online
+    rescaling work of the multi-pass kernel."""
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    if kv_len != s.shape[-1]:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, NEG_INF)
+    if causal:
+        qi = pl.program_id(1)
+        row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col <= row, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[0] = (pv * jnp.reciprocal(jnp.maximum(l, 1e-30))).astype(o_ref.dtype)
+
+
 def _pad_to(x, axis, mult):
     size = x.shape[axis]
     pad = (-size) % mult
@@ -85,15 +113,23 @@ def _pad_to(x, axis, mult):
     return jnp.pad(x, widths)
 
 
+#: KV lengths up to this run as a single pass (covers SD's 64²=4096 stage;
+#: 768²'s 9216-token sequences take the multi-pass online-softmax path).
+ONE_PASS_MAX_KV = 4096
+
+
 @functools.partial(jax.jit, static_argnames=("causal", "policy", "block_q", "block_k"))
 def flash_attention(q, k, v, *, causal: bool = False, policy: Policy = FP32,
-                    block_q: int = 256, block_k: int = 512):
+                    block_q: int = 256, block_k: int = None):
     """q: (B, H, Sq, Dh); k,v: (B, H, Sk, Dh) -> (B, H, Sq, Dh)."""
     b, h, sq, dh = q.shape
     sk = k.shape[2]
     scale = 1.0 / (dh**0.5)
 
     block_q = min(block_q, max(8, sq))
+    if block_k is None:
+        sk_padded = -(-max(sk, 128) // 128) * 128
+        block_k = sk_padded if sk_padded <= ONE_PASS_MAX_KV else 2048
     block_k = min(block_k, max(128, sk))
     if causal and block_q != block_k:
         block_k = block_q = min(block_q, block_k)
@@ -104,26 +140,40 @@ def flash_attention(q, k, v, *, causal: bool = False, policy: Policy = FP32,
     sq_p, sk_p = qp.shape[1], kp.shape[1]
     nq, nk = sq_p // block_q, sk_p // block_k
 
-    grid = (b * h, nq, nk)
     # Interpreter mode off-TPU so the CPU test mesh (conftest) still runs.
     interpret = jax.default_backend() != "tpu"
+    q_spec = pl.BlockSpec((1, block_q, dh), lambda bh, qi, *_: (bh, qi, 0),
+                          memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((b * h, sq_p, dh), q.dtype)
+
+    if nk == 1:
+        kv_spec = pl.BlockSpec((1, sk_p, dh), lambda bh, qi: (bh, 0, 0),
+                               memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            functools.partial(_onepass_kernel, scale=scale, kv_len=sk,
+                              causal=causal, block_q=block_q),
+            grid=(b * h, nq),
+            in_specs=[q_spec, kv_spec, kv_spec],
+            out_specs=q_spec,
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+            ),
+            interpret=interpret,
+        )(qp, kp, vp)
+        return out[:, :sq].reshape(b, h, sq, dh)
+
+    kv_spec = pl.BlockSpec((1, block_k, dh), lambda bh, qi, ki: (bh, ki, 0),
+                           memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(
             _kernel, scale=scale, kv_len=sk, block_k=block_k,
             causal=causal, block_q=block_q,
         ),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, dh), lambda bh, qi, ki: (bh, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, dh), lambda bh, qi, ki: (bh, ki, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, dh), lambda bh, qi, ki: (bh, ki, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, dh), lambda bh, qi, ki: (bh, qi, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, sq_p, dh), q.dtype),
+        grid=(b * h, nq, nk),
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=q_spec,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),  # running max m
             pltpu.VMEM((block_q, 128), jnp.float32),  # running denom l

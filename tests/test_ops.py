@@ -199,3 +199,40 @@ def test_flash_attention_causal():
     ours = np.asarray(flash_attention(q, k, v, causal=True, block_q=16, block_k=16))
     ref = np.asarray(_xla_attention(q, k, v, True, FP32))
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("shape,causal", [
+    ((1, 2, 64, 64, 8), False),    # one-pass, exact block
+    ((1, 2, 48, 33, 8), False),    # one-pass with kv padding mask
+    ((1, 2, 32, 32, 8), True),     # one-pass causal
+])
+def test_flash_attention_one_pass_path(shape, causal):
+    """Default block_k covers the whole KV -> single-pass kernel (no scratch)."""
+    from pytorch_stable_diffusion_tpu.core.dtypes import FP32
+    from pytorch_stable_diffusion_tpu.ops.attention import _xla_attention
+    from pytorch_stable_diffusion_tpu.ops.pallas.flash_attention import flash_attention
+
+    b, h, sq, sk, d = shape
+    rng = np.random.RandomState(19)
+    q = jnp.asarray(rng.randn(b, h, sq, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, h, sk, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, h, sk, d), jnp.float32)
+    ours = np.asarray(flash_attention(q, k, v, causal=causal, block_q=16))
+    ref = np.asarray(_xla_attention(q, k, v, causal, FP32))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_flash_attention_multipass_long_kv():
+    """KV > ONE_PASS_MAX_KV exercises the online-softmax multi-pass path
+    with the default block choice (the 768² hi-res regime)."""
+    from pytorch_stable_diffusion_tpu.core.dtypes import FP32
+    from pytorch_stable_diffusion_tpu.ops.attention import _xla_attention
+    from pytorch_stable_diffusion_tpu.ops.pallas import flash_attention as fa
+
+    rng = np.random.RandomState(20)
+    q = jnp.asarray(rng.randn(1, 1, 64, 8), jnp.float32)
+    k = jnp.asarray(rng.randn(1, 1, 4160, 8), jnp.float32)  # > 4096 -> 2 passes
+    v = jnp.asarray(rng.randn(1, 1, 4160, 8), jnp.float32)
+    ours = np.asarray(fa.flash_attention(q, k, v, block_q=64))
+    ref = np.asarray(_xla_attention(q, k, v, False, FP32))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
