@@ -36,7 +36,9 @@ def build_models(cfg, seed=0):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=50)
-    ap.add_argument("--batch", type=int, default=1)
+    # batch 4 is the throughput config (north star is images/sec/chip);
+    # run --batch 1 for the latency-oriented number (p50 ~1.1s/image).
+    ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--backend", default="pallas",

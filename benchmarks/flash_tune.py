@@ -61,10 +61,12 @@ def main():
             try:
                 @jax.jit
                 def chain(q, k, v):
-                    def body(i, acc):
-                        o = flash_attention(q, k, v, block_q=bq, block_k=bk)
-                        return acc + jnp.sum(o[0, 0, 0]).astype(jnp.float32)
-                    return jax.lax.fori_loop(0, R, body, jnp.float32(0.0))
+                    # q must depend on the carry or XLA hoists the kernel out
+                    # of the loop (loop-invariant code motion).
+                    def body(i, carry):
+                        o = flash_attention(carry, k, v, block_q=bq, block_k=bk)
+                        return o.astype(carry.dtype)
+                    return jax.lax.fori_loop(0, R, body, q)
 
                 t = (bench(chain, q, k, v) - base) / R
                 print(json.dumps({"shape": name, "bq": bq, "bk": bk,

@@ -120,12 +120,16 @@ ONE_PASS_MAX_KV = 4096
 
 @functools.partial(jax.jit, static_argnames=("causal", "policy", "block_q", "block_k"))
 def flash_attention(q, k, v, *, causal: bool = False, policy: Policy = FP32,
-                    block_q: int = 256, block_k: int = None):
+                    block_q: int = None, block_k: int = None):
     """q: (B, H, Sq, Dh); k,v: (B, H, Sk, Dh) -> (B, H, Sq, Dh)."""
     b, h, sq, dh = q.shape
     sk = k.shape[2]
     scale = 1.0 / (dh**0.5)
 
+    if block_q is None:
+        # Swept on v5e (benchmarks/flash_tune.py): 256 wins at 4096 tokens;
+        # 512 wins by ~4x at 1024 tokens (fewer, fatter grid cells).
+        block_q = 256 if sq > 2048 else 512
     block_q = min(block_q, max(8, sq))
     if block_k is None:
         sk_padded = -(-max(sk, 128) // 128) * 128

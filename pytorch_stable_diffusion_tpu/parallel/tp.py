@@ -1,0 +1,124 @@
+"""Tensor parallelism over the mesh's ``model`` axis.
+
+The reference is single-device (SURVEY §2.3); BASELINE's required multi-chip
+mode is data parallelism (dp.py).  This module adds the elective TP tier:
+Megatron-style sharding of the transformer matmuls, expressed purely as
+parameter PartitionSpecs — XLA's SPMD partitioner then splits the matmuls
+and inserts the psum/all-gather collectives (no hand-written comms, ICI by
+construction).
+
+Pattern per attention/FFN pair (column-then-row):
+  * q/k/v and GeGLU up-projection kernels (in, out): shard OUT -> heads and
+    hidden units split across chips, no comm on entry;
+  * out-projection / GeGLU down-projection kernels (in, out): shard IN ->
+    each chip contracts its local slice, XLA inserts one psum per pair.
+Convs, norms, embeddings, and the VAE stay replicated (conv channel counts
+at the small SD sizes don't amortize collective latency).
+
+Head-count constraint: n_heads must be divisible by the model-axis size for
+the head-split to be balanced (8 heads -> model in {1,2,4,8}).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.mesh import MODEL_AXIS
+
+COL = P(None, MODEL_AXIS)   # shard kernel out-dim
+ROW = P(MODEL_AXIS, None)   # shard kernel in-dim
+BIAS_COL = P(MODEL_AXIS)    # bias of a column-parallel linear
+REPL = P()
+
+
+def _attention_rules(prefix: str) -> Dict[str, P]:
+    rules = {}
+    for proj in ("q", "k", "v"):
+        rules[f"{prefix}/{proj}/kernel"] = COL
+        rules[f"{prefix}/{proj}/bias"] = BIAS_COL
+    rules[f"{prefix}/out/kernel"] = ROW
+    # row-parallel bias stays replicated (added after the psum)
+    rules[f"{prefix}/out/bias"] = REPL
+    return rules
+
+
+def unet_tp_rules(params) -> Dict[str, P]:
+    """PartitionSpec per flat param path for the UNet pytree."""
+    from ..core.pytree import flatten
+
+    rules: Dict[str, P] = {}
+    for path in flatten(params):
+        if "/self_attn/" in path or "/cross_attn/" in path:
+            head = path.rsplit("/", 2)[0]  # .../{self,cross}_attn
+            rules.update(_attention_rules(head))
+        elif path.endswith("geglu_proj/kernel"):
+            rules[path] = COL
+        elif path.endswith("geglu_proj/bias"):
+            rules[path] = BIAS_COL
+        elif path.endswith("geglu_out/kernel"):
+            rules[path] = ROW
+    return rules
+
+
+def clip_tp_rules(params) -> Dict[str, P]:
+    from ..core.pytree import flatten
+
+    rules: Dict[str, P] = {}
+    for path in flatten(params):
+        if "/attn/" in path:
+            head = path.rsplit("/", 2)[0]
+            rules.update(_attention_rules(head))
+        elif path.endswith("fc1/kernel"):
+            rules[path] = COL
+        elif path.endswith("fc1/bias"):
+            rules[path] = BIAS_COL
+        elif path.endswith("fc2/kernel"):
+            rules[path] = ROW
+    return rules
+
+
+def shard_models(models, mesh: Mesh):
+    """Place {clip, encoder, decoder, diffusion} on the mesh with TP specs.
+
+    Unruled params are replicated.  With model-axis size 1 this degrades to
+    plain replication (the dp.py layout).
+    """
+    from ..core.pytree import flatten, unflatten_like
+
+    all_rules = {
+        "clip": clip_tp_rules(models["clip"]),
+        "diffusion": unet_tp_rules(models["diffusion"]),
+        "encoder": {},
+        "decoder": {},
+    }
+    out = {}
+    for name, params in models.items():
+        rules = all_rules.get(name, {})
+        flat = flatten(params)
+        placed = {}
+        for path, leaf in flat.items():
+            spec = rules.get(path, REPL)
+            placed[path] = jax.device_put(leaf, NamedSharding(mesh, spec))
+        out[name] = unflatten_like(params, placed)
+    return out
+
+
+def generate_images_tp(prompts, uncond_prompts="", *, mesh: Mesh, models=None,
+                       **kwargs):
+    """Batched generation with TP (+DP if the data axis > 1) shardings.
+
+    The compiled pipeline is unchanged — XLA partitions it from the input
+    and parameter shardings alone.
+    """
+    from .. import pipeline as pipeline_mod
+
+    n_data = mesh.shape["data"]
+    if len(prompts) % n_data:
+        raise ValueError(f"batch {len(prompts)} not divisible by data axis {n_data}")
+    models = shard_models(models, mesh)
+    images, _ = pipeline_mod._run_generate(
+        list(prompts), uncond_prompts, models=models, mesh=mesh, **kwargs)
+    return images

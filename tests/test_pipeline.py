@@ -129,6 +129,16 @@ def test_input_validation(tiny_cfg, tiny_models, tiny_tokenizer):
         sdt.generate("x", tokenizer=tiny_tokenizer)
 
 
+def test_progress_callback(tiny_cfg, tiny_models, tiny_tokenizer, capfd):
+    """Opt-in denoise progress (the reference's tqdm bar, ref pipeline.py:205)."""
+    img = sdt.generate("a cat", models=tiny_models, tokenizer=tiny_tokenizer,
+                       seed=2, n_inference_steps=N_STEPS, config=tiny_cfg,
+                       height=H, width=W, progress=True)
+    assert img.shape == (H, W, 3)
+    out = capfd.readouterr().out
+    assert f"denoise step {N_STEPS}/{N_STEPS}" in out
+
+
 def test_do_cfg_false(tiny_cfg, tiny_models, tiny_tokenizer):
     img = sdt.generate("a cat", do_cfg=False, models=tiny_models,
                        tokenizer=tiny_tokenizer, seed=2,

@@ -1,0 +1,46 @@
+"""Tensor parallelism: sharded run must match the replicated run."""
+
+import jax
+import numpy as np
+import pytest
+
+import pytorch_stable_diffusion_tpu as sdt
+from pytorch_stable_diffusion_tpu.core import mesh as mesh_mod
+from pytorch_stable_diffusion_tpu.parallel import tp
+
+N_STEPS = 2
+H = W = 16
+
+
+def test_rules_cover_attention_and_ffn(tiny_models):
+    rules = tp.unet_tp_rules(tiny_models["diffusion"])
+    assert any(p.endswith("self_attn/q/kernel") for p in rules)
+    assert any(p.endswith("cross_attn/out/kernel") for p in rules)
+    assert any(p.endswith("geglu_proj/kernel") for p in rules)
+    crules = tp.clip_tp_rules(tiny_models["clip"])
+    assert any(p.endswith("fc1/kernel") for p in crules)
+
+
+def test_shard_models_placement(tiny_models):
+    mesh = mesh_mod.make_mesh(data=2, model=4)
+    placed = tp.shard_models(tiny_models, mesh)
+    qk = placed["diffusion"]["bottleneck"]["attn"]["self_attn"]["q"]["kernel"]
+    # column-parallel: out-dim sharded 4 ways
+    assert qk.sharding.spec == tp.COL
+    norm = placed["diffusion"]["norm_out"]["scale"]
+    assert norm.sharding.spec == tp.REPL
+
+
+def test_tp_matches_replicated(tiny_cfg, tiny_models, tiny_tokenizer):
+    """model=4 TP (+2-way DP) output == single-device output (uint8 ±1).
+
+    tiny config has 4 heads -> divisible by model axis 4."""
+    prompts = ["a cat", "a dog"]
+    kw = dict(tokenizer=tiny_tokenizer, seed=3, n_inference_steps=N_STEPS,
+              config=tiny_cfg, height=H, width=W)
+    single = sdt.generate_images(prompts, models=tiny_models, **kw)
+
+    mesh = mesh_mod.make_mesh(data=2, model=4)
+    tp_imgs = tp.generate_images_tp(prompts, mesh=mesh, models=tiny_models, **kw)
+    assert tp_imgs.shape == single.shape
+    assert np.abs(tp_imgs.astype(int) - single.astype(int)).max() <= 1
