@@ -129,6 +129,26 @@ def test_input_validation(tiny_cfg, tiny_models, tiny_tokenizer):
         sdt.generate("x", tokenizer=tiny_tokenizer)
 
 
+def test_img2img_pil_input(tiny_cfg, tiny_models, tiny_tokenizer):
+    """PIL images are resized to the target size (ref pipeline.py:156)."""
+    PIL = pytest.importorskip("PIL.Image")
+    arr = (np.random.RandomState(4).rand(40, 24, 3) * 255).astype(np.uint8)
+    pil = PIL.fromarray(arr)  # wrong size on purpose -> must be resized
+    img = sdt.generate("a cat", input_image=pil, strength=0.5,
+                       models=tiny_models, tokenizer=tiny_tokenizer, seed=1,
+                       n_inference_steps=N_STEPS, config=tiny_cfg,
+                       height=H, width=W)
+    assert img.shape == (H, W, 3)
+
+
+def test_img2img_wrong_size_array_raises(tiny_cfg, tiny_models, tiny_tokenizer):
+    bad = np.zeros((40, 24, 3), np.uint8)  # arrays are NOT resized
+    with pytest.raises(ValueError, match="input image"):
+        sdt.generate("a cat", input_image=bad, models=tiny_models,
+                     tokenizer=tiny_tokenizer, config=tiny_cfg,
+                     height=H, width=W)
+
+
 def test_progress_callback(tiny_cfg, tiny_models, tiny_tokenizer, capfd):
     """Opt-in denoise progress (the reference's tqdm bar, ref pipeline.py:205)."""
     img = sdt.generate("a cat", models=tiny_models, tokenizer=tiny_tokenizer,
