@@ -17,6 +17,7 @@ Quick start::
                      seed=1337, cfg_scale=7.5, n_inference_steps=50)
 """
 
+from .api import StableDiffusion
 from .models.config import (CLIPConfig, SDConfig, UNetConfig, VAEConfig,
                             sd15_config, tiny_sd_config)
 from .core.dtypes import BF16, FP32, MIXED, Policy
@@ -27,6 +28,7 @@ from .weights.tokenizer import CLIPTokenizer
 __version__ = "0.1.0"
 
 __all__ = [
+    "StableDiffusion",
     "generate", "generate_images", "load_models", "CLIPTokenizer",
     "SDConfig", "CLIPConfig", "UNetConfig", "VAEConfig",
     "sd15_config", "tiny_sd_config", "Policy", "FP32", "BF16", "MIXED",

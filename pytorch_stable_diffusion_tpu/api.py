@@ -1,0 +1,77 @@
+"""High-level convenience API.
+
+The reference exposes a bare ``generate()`` plus a manual preload step
+(``sd/model_loader.py``); this wrapper bundles checkpoint, tokenizer, config,
+and (optionally) a device mesh into one object for repeated generation.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+from . import pipeline as pipeline_mod
+from .models.config import SDConfig, sd15_config
+from .weights.convert import load_sd_checkpoint
+from .weights.tokenizer import CLIPTokenizer
+
+
+class StableDiffusion:
+    """Loaded SD model bundle.
+
+    Example::
+
+        sd = StableDiffusion.from_checkpoint(
+            "v1-5.safetensors", "vocab.json", "merges.txt",
+            config=sd15_config(policy=BF16, attention_backend="pallas"))
+        image = sd.txt2img("a photo of a dog", seed=1337)
+        image = sd.img2img("a cat", init_image, strength=0.8)
+        images = sd.generate_batch(["a dog"] * 8, seed=0)
+    """
+
+    def __init__(self, models, tokenizer, config: Optional[SDConfig] = None,
+                 mesh=None):
+        self.models = models
+        self.tokenizer = tokenizer
+        self.config = config or sd15_config()
+        self.mesh = mesh
+        if mesh is not None and mesh.shape.get("model", 1) > 1:
+            from .parallel.tp import shard_models
+
+            self.models = shard_models(self.models, mesh)
+        elif mesh is not None:
+            from .parallel.dp import replicate_params
+
+            self.models = replicate_params(self.models, mesh)
+
+    @classmethod
+    def from_checkpoint(cls, ckpt_path: str, vocab_path: str, merges_path: str,
+                        config: Optional[SDConfig] = None, mesh=None):
+        config = config or sd15_config()
+        models = load_sd_checkpoint(ckpt_path, config)
+        tokenizer = CLIPTokenizer.from_files(vocab_path, merges_path,
+                                             max_len=config.clip.max_len)
+        return cls(models, tokenizer, config, mesh)
+
+    def _kw(self, kwargs):
+        kwargs.setdefault("models", self.models)
+        kwargs.setdefault("tokenizer", self.tokenizer)
+        kwargs.setdefault("config", self.config)
+        if self.mesh is not None:
+            kwargs.setdefault("mesh", self.mesh)
+        return kwargs
+
+    def txt2img(self, prompt: str, uncond_prompt: str = "", **kwargs) -> np.ndarray:
+        return pipeline_mod.generate(prompt, uncond_prompt, **self._kw(kwargs))
+
+    def img2img(self, prompt: str, init_image, strength: float = 0.8,
+                uncond_prompt: str = "", **kwargs) -> np.ndarray:
+        return pipeline_mod.generate(prompt, uncond_prompt,
+                                     input_image=init_image, strength=strength,
+                                     **self._kw(kwargs))
+
+    def generate_batch(self, prompts: Sequence[str], uncond_prompts="",
+                       **kwargs) -> np.ndarray:
+        return pipeline_mod.generate_images(list(prompts), uncond_prompts,
+                                            **self._kw(kwargs))

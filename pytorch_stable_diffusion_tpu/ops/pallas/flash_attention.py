@@ -113,9 +113,9 @@ def _pad_to(x, axis, mult):
     return jnp.pad(x, widths)
 
 
-#: KV lengths up to this run as a single pass (covers SD's 64²=4096 stage;
-#: 768²'s 9216-token sequences take the multi-pass online-softmax path).
-ONE_PASS_MAX_KV = 4096
+#: VMEM budget for the one-pass scores block (block_q x Sk_pad x 4B).
+#: 8 MB leaves room for q/k/v/out blocks and double buffering in ~16 MB VMEM.
+ONE_PASS_SCORE_BYTES = 8 * 1024 * 1024
 
 
 @functools.partial(jax.jit, static_argnames=("causal", "policy", "block_q", "block_k"))
@@ -126,14 +126,19 @@ def flash_attention(q, k, v, *, causal: bool = False, policy: Policy = FP32,
     sk = k.shape[2]
     scale = 1.0 / (dh**0.5)
 
+    sk_padded = -(-max(sk, 128) // 128) * 128
     if block_q is None:
         # Swept on v5e (benchmarks/flash_tune.py): 256 wins at 4096 tokens;
-        # 512 wins by ~4x at 1024 tokens (fewer, fatter grid cells).
+        # 512 wins by ~4x at 1024 tokens (fewer, fatter grid cells).  For
+        # very long KV, shrink block_q until one pass fits the VMEM budget
+        # (768² -> Sk 9216 -> block_q 128: 4.7 MB scores, still one pass).
         block_q = 256 if sq > 2048 else 512
+        while block_q > 128 and block_q * sk_padded * 4 > ONE_PASS_SCORE_BYTES:
+            block_q //= 2
     block_q = min(block_q, max(8, sq))
     if block_k is None:
-        sk_padded = -(-max(sk, 128) // 128) * 128
-        block_k = sk_padded if sk_padded <= ONE_PASS_MAX_KV else 2048
+        one_pass_ok = block_q * sk_padded * 4 <= ONE_PASS_SCORE_BYTES
+        block_k = sk_padded if one_pass_ok else 2048
     block_k = min(block_k, max(128, sk))
     if causal and block_q != block_k:
         block_k = block_q = min(block_q, block_k)

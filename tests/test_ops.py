@@ -223,16 +223,33 @@ def test_flash_attention_one_pass_path(shape, causal):
 
 
 def test_flash_attention_multipass_long_kv():
-    """KV > ONE_PASS_MAX_KV exercises the online-softmax multi-pass path
-    with the default block choice (the 768² hi-res regime)."""
+    """Explicit small block_k forces the online-softmax multi-pass path
+    (the default takes it only when one pass would blow the VMEM budget)."""
     from pytorch_stable_diffusion_tpu.core.dtypes import FP32
     from pytorch_stable_diffusion_tpu.ops.attention import _xla_attention
     from pytorch_stable_diffusion_tpu.ops.pallas import flash_attention as fa
 
     rng = np.random.RandomState(20)
     q = jnp.asarray(rng.randn(1, 1, 64, 8), jnp.float32)
-    k = jnp.asarray(rng.randn(1, 1, 4160, 8), jnp.float32)  # > 4096 -> 2 passes
+    k = jnp.asarray(rng.randn(1, 1, 4160, 8), jnp.float32)
     v = jnp.asarray(rng.randn(1, 1, 4160, 8), jnp.float32)
-    ours = np.asarray(fa.flash_attention(q, k, v, block_q=64))
+    ours = np.asarray(fa.flash_attention(q, k, v, block_q=64, block_k=1024))
+    ref = np.asarray(_xla_attention(q, k, v, False, FP32))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_flash_attention_default_blocks_one_pass_9216():
+    """768² regime: default block choice keeps one pass by shrinking block_q
+    (scores 128x9216x4B = 4.7MB <= budget)."""
+    from pytorch_stable_diffusion_tpu.core.dtypes import FP32
+    from pytorch_stable_diffusion_tpu.ops.attention import _xla_attention
+    from pytorch_stable_diffusion_tpu.ops.pallas import flash_attention as fa
+
+    rng = np.random.RandomState(21)
+    # small head count/dim to keep CPU interpret fast; seq is what matters
+    q = jnp.asarray(rng.randn(1, 1, 256, 8), jnp.float32)
+    k = jnp.asarray(rng.randn(1, 1, 9216, 8), jnp.float32)
+    v = jnp.asarray(rng.randn(1, 1, 9216, 8), jnp.float32)
+    ours = np.asarray(fa.flash_attention(q, k, v))
     ref = np.asarray(_xla_attention(q, k, v, False, FP32))
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
