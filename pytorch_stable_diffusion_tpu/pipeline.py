@@ -43,7 +43,9 @@ from .models import clip as clip_mod
 from .models import unet as unet_mod
 from .models import vae as vae_mod
 from .models.config import SDConfig, sd15_config
-from .sampling import ddpm
+from .sampling import ddim, ddpm
+
+SAMPLERS = ("ddpm", "ddim")
 
 # --------------------------------------------------------------- tokenizing
 def _encode_tokens(tokenizer, prompts, max_len: int) -> np.ndarray:
@@ -102,7 +104,8 @@ def get_time_embedding(timestep) -> jax.Array:
 @functools.lru_cache(maxsize=8)
 def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                       h_lat: int, w_lat: int, img2img: bool,
-                      fixed_noise: bool = False, progress: bool = False):
+                      fixed_noise: bool = False, progress: bool = False,
+                      sampler: str = "ddpm", eta: float = 0.0):
     """Build + jit the full generate computation for one static shape.
 
     ``fixed_noise=True`` compiles a variant whose latent-init / encoder /
@@ -168,9 +171,14 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                 eps_cond, eps_uncond = jnp.split(eps, 2, axis=0)
                 eps = cfg_scale * (eps_cond - eps_uncond) + eps_uncond  # pipeline.py:233
             noise = step_noises[step_i]
-            new_latents = ddpm.step(schedule, t, latents.astype(jnp.float32),
-                                    eps.astype(jnp.float32), noise,
-                                    num_inference_steps=n_steps)
+            if sampler == "ddim":
+                new_latents = ddim.step(schedule, t, latents.astype(jnp.float32),
+                                        eps.astype(jnp.float32), noise,
+                                        num_inference_steps=n_steps, eta=eta)
+            else:
+                new_latents = ddpm.step(schedule, t, latents.astype(jnp.float32),
+                                        eps.astype(jnp.float32), noise,
+                                        num_inference_steps=n_steps)
             if progress:  # reference's tqdm bar (ref pipeline.py:205), opt-in
                 jax.debug.callback(_progress_tick, step_i, n_steps,
                                    ordered=False)
@@ -214,6 +222,7 @@ def _run_generate(
     fixed_noise: Optional[Dict[str, np.ndarray]] = None,
     mesh=None,
     progress: bool = False,
+    ddim_eta: float = 0.0,
 ):
     """Internal: full-batch generation -> (images (B,H,W,3) uint8, latents).
 
@@ -224,8 +233,8 @@ def _run_generate(
     del device, idle_device  # weights are HBM-resident (see module docstring)
     if not 0.0 < strength <= 1.0:
         raise ValueError("strength must be between 0 and 1")  # pipeline.py:75-77
-    if sampler_name != "ddpm":
-        raise ValueError(f"Unknown sampler value {sampler_name!r}")  # pipeline.py:142
+    if sampler_name not in SAMPLERS:  # reference rejects unknown names (pipeline.py:142)
+        raise ValueError(f"Unknown sampler value {sampler_name!r}")
     if models is None or tokenizer is None:
         raise ValueError("models dict and tokenizer are required")
     cfg = config or sd15_config()
@@ -272,7 +281,8 @@ def _run_generate(
 
     key = jax.random.PRNGKey(0 if seed is None else seed)
     run = _compiled_txt2img(cfg, n_inference_steps, do_cfg, batch,
-                            h_lat, w_lat, img2img, use_fixed, progress)
+                            h_lat, w_lat, img2img, use_fixed, progress,
+                            sampler_name, float(ddim_eta))
     cond_tokens = jnp.asarray(cond_tokens)
     uncond_tokens = jnp.asarray(uncond_tokens)
     image = jnp.asarray(image)
