@@ -101,13 +101,14 @@ def init_res_block(key, c_in: int, c_out: int, t_dim: int, dtype=jnp.float32):
     return p
 
 
-def apply_res_block(p, x, t_emb, groups: int, policy: Policy):
+def apply_res_block(p, x, t_emb, groups: int, policy: Policy,
+                    backend: str = "xla"):
     """diffusion.py:83-209.  t_emb: (B, t_dim) or (1, t_dim) (broadcast)."""
-    h = silu(norm.group_norm(p["norm1"], x, groups, policy=policy))
+    h = norm.group_norm_silu(p["norm1"], x, groups, policy=policy, backend=backend)
     h = conv.apply(p["conv1"], h, padding=1, policy=policy)
     t = linear.apply(p["time_proj"], silu(t_emb), policy)
     h = h + t[:, None, None, :].astype(h.dtype)
-    h = silu(norm.group_norm(p["norm2"], h, groups, policy=policy))
+    h = norm.group_norm_silu(p["norm2"], h, groups, policy=policy, backend=backend)
     h = conv.apply(p["conv2"], h, padding=1, policy=policy)
     res = conv.apply(p["shortcut"], x, policy=policy) if "shortcut" in p else x
     return h + res
@@ -136,7 +137,8 @@ def apply_attn_block(p, x, context, n_heads: int, groups: int, policy: Policy,
     """diffusion.py:212-381."""
     n, h, w, c = x.shape
     res_long = x
-    y = norm.group_norm(p["norm"], x, groups, policy=policy)
+    y = norm.group_norm_silu(p["norm"], x, groups, policy=policy,
+                             backend=backend, apply_silu=False)
     y = conv.apply(p["conv_in"], y, policy=policy)
     y = y.reshape(n, h * w, c)
 
@@ -219,7 +221,8 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
     t_emb = linear.apply(params["time_embed"]["fc2"], silu(t_emb), policy)
 
     def block(stage, x):
-        x = apply_res_block(stage["res"], x, t_emb, cfg.groups, policy)
+        x = apply_res_block(stage["res"], x, t_emb, cfg.groups, policy,
+                            backend=attention_backend)
         if "attn" in stage:
             x = apply_attn_block(stage["attn"], x, context, cfg.n_heads,
                                  cfg.groups, policy, backend=attention_backend,
@@ -238,11 +241,13 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
         skips.append(x)
 
     mid = params["bottleneck"]
-    x = apply_res_block(mid["res1"], x, t_emb, cfg.groups, policy)
+    x = apply_res_block(mid["res1"], x, t_emb, cfg.groups, policy,
+                        backend=attention_backend)
     x = apply_attn_block(mid["attn"], x, context, cfg.n_heads, cfg.groups,
                          policy, backend=attention_backend,
                          reference_quirks=reference_quirks)
-    x = apply_res_block(mid["res2"], x, t_emb, cfg.groups, policy)
+    x = apply_res_block(mid["res2"], x, t_emb, cfg.groups, policy,
+                        backend=attention_backend)
 
     for stage in params["decoder"]:
         x = jnp.concatenate([x, skips.pop()], axis=-1)
@@ -251,5 +256,6 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
             x = upsample_nearest_2x(x)
             x = conv.apply(stage["upsample"], x, padding=1, policy=policy)
 
-    x = silu(norm.group_norm(params["norm_out"], x, cfg.groups, policy=policy))
+    x = norm.group_norm_silu(params["norm_out"], x, cfg.groups, policy=policy,
+                             backend=attention_backend)
     return conv.apply(params["conv_out"], x, padding=1, policy=policy)

@@ -39,6 +39,32 @@ def group_norm(params, x, num_groups: int = 32, eps: float = EPS, policy: Policy
     return y.astype(orig_dtype)
 
 
+def group_norm_silu(params, x, num_groups: int = 32, eps: float = EPS,
+                    policy: Policy = FP32, *, backend: str = "xla",
+                    apply_silu: bool = True):
+    """GroupNorm optionally fused with SiLU.
+
+    backend="pallas_gn" (opt-in, experimental) uses the single-pass VMEM
+    kernel (ops/pallas/group_norm.py).  Measured on v5e it LOSES to XLA's
+    lowering (UNet fwd 26.7ms vs 20.4ms — the per-sample grid serializes
+    and breaks XLA's surrounding elementwise fusions; benchmarks/RESULTS.md),
+    so the default "pallas" compute backend intentionally does NOT select it.
+    """
+    if backend == "pallas_gn":
+        from .pallas import group_norm as pgn
+
+        if pgn.supported(x, num_groups):
+            return pgn.group_norm_silu(x, params["scale"], params["bias"],
+                                       num_groups=num_groups, eps=eps,
+                                       apply_silu=apply_silu)
+    y = group_norm(params, x, num_groups, eps, policy)
+    if apply_silu:
+        from .act import silu
+
+        y = silu(y)
+    return y
+
+
 def layer_norm(params, x, eps: float = EPS, policy: Policy = FP32):
     orig_dtype = x.dtype
     xf = x.astype(policy.norm_dtype)
