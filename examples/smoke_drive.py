@@ -1,0 +1,48 @@
+"""Smoke drive: every public API surface through the package boundary (CPU-runnable).
+
+Usage: JAX_PLATFORMS=cpu PYTHONPATH=. python examples/smoke_drive.py
+"""
+import json, numpy as np, jax
+import pytorch_stable_diffusion_tpu as sdt
+from pytorch_stable_diffusion_tpu.models import clip, vae, unet
+from pytorch_stable_diffusion_tpu.weights import save, diffusers
+from pytorch_stable_diffusion_tpu.weights.tokenizer import make_test_tokenizer
+import tempfile, os
+
+cfg = sdt.tiny_sd_config()
+key = jax.random.PRNGKey(0)
+models = {
+    "clip": clip.init(jax.random.fold_in(key, 0), cfg.clip),
+    "encoder": vae.init_encoder(jax.random.fold_in(key, 1), cfg.vae),
+    "decoder": vae.init_decoder(jax.random.fold_in(key, 2), cfg.vae),
+    "diffusion": unet.init(jax.random.fold_in(key, 3), cfg.unet),
+}
+tok = make_test_tokenizer(["a", "cat", "dog"], max_len=cfg.clip.max_len)
+
+sd = sdt.StableDiffusion(models, tok, cfg)
+img = sd.txt2img("a cat", seed=1, n_inference_steps=2, height=16, width=16)
+print("wrapper txt2img:", img.shape, flush=True)
+img_ddim = sd.txt2img("a cat", seed=1, n_inference_steps=2, height=16, width=16,
+                      sampler_name="ddim")
+print("wrapper ddim:", img_ddim.shape, "differs from ddpm:", bool((img_ddim != img).any()), flush=True)
+
+# diffusers directory load through public API
+d = tempfile.mkdtemp()
+from safetensors.numpy import save_file
+u_sd, v_sd, t_sd = diffusers.deconvert_diffusers(models, cfg)
+for sub, s_, f in (("unet", u_sd, "diffusion_pytorch_model.safetensors"),
+                   ("vae", v_sd, "diffusion_pytorch_model.safetensors"),
+                   ("text_encoder", t_sd, "model.safetensors")):
+    os.makedirs(f"{d}/{sub}")
+    save_file({k: np.ascontiguousarray(x) for k, x in s_.items()}, f"{d}/{sub}/{f}")
+m2 = sdt.load_diffusers_models(d, cfg)
+img2 = sdt.generate("a cat", models=m2, tokenizer=tok, seed=1,
+                    n_inference_steps=2, config=cfg, height=16, width=16)
+print("diffusers-loaded generate == original:", bool((img2 == img).all()), flush=True)
+
+# probe: mixed-up diffusers dirs -> clear error
+try:
+    sdt.load_diffusers_models("/nonexistent", cfg)
+    print("missing-dir probe: NO ERROR (bad)")
+except FileNotFoundError as e:
+    print("missing-dir probe ->", str(e)[:60], flush=True)
