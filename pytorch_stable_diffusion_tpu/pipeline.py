@@ -43,9 +43,9 @@ from .models import clip as clip_mod
 from .models import unet as unet_mod
 from .models import vae as vae_mod
 from .models.config import SDConfig, sd15_config
-from .sampling import ddim, ddpm
+from .sampling import ddim, ddpm, dpm
 
-SAMPLERS = ("ddpm", "ddim")
+SAMPLERS = ("ddpm", "ddim", "dpm++")
 
 # --------------------------------------------------------------- tokenizing
 def _encode_tokens(tokenizer, prompts, max_len: int) -> np.ndarray:
@@ -159,7 +159,7 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
         else:
             latents = init_noise
 
-        def body(step_i, latents):
+        def eps_at(step_i, latents):
             t = timesteps[step_i]
             lat_in = latents.astype(policy.compute_dtype)
             model_in = jnp.concatenate([lat_in, lat_in], axis=0) if do_cfg else lat_in
@@ -170,24 +170,40 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
             if do_cfg:
                 eps_cond, eps_uncond = jnp.split(eps, 2, axis=0)
                 eps = cfg_scale * (eps_cond - eps_uncond) + eps_uncond  # pipeline.py:233
-            noise = step_noises[step_i]
-            if sampler == "ddim":
-                new_latents = ddim.step(schedule, t, latents.astype(jnp.float32),
-                                        eps.astype(jnp.float32), noise,
-                                        num_inference_steps=n_steps, eta=eta)
-            else:
-                new_latents = ddpm.step(schedule, t, latents.astype(jnp.float32),
-                                        eps.astype(jnp.float32), noise,
-                                        num_inference_steps=n_steps)
             if progress:  # reference's tqdm bar (ref pipeline.py:205), opt-in
                 jax.debug.callback(_progress_tick, step_i, n_steps,
                                    ordered=False)
-            return new_latents.astype(jnp.float32)
+            return eps.astype(jnp.float32), t
 
         # dynamic lower bound: img2img strength skips steps without paying
         # for them (the reference truncates the Python list, ddpm.py:97-99)
-        latents = jax.lax.fori_loop(start_step, n_steps, body,
-                                    latents.astype(jnp.float32))
+        if sampler == "dpm++":
+            def body(step_i, carry):
+                lat, st = carry
+                eps, t = eps_at(step_i, lat)
+                new_lat, st = dpm.step(schedule, t, lat, eps, st,
+                                       num_inference_steps=n_steps)
+                return new_lat.astype(jnp.float32), st
+
+            latents, _ = jax.lax.fori_loop(
+                start_step, n_steps, body,
+                (latents.astype(jnp.float32), dpm.init_state(lat_shape)))
+        else:
+            def body(step_i, latents):
+                eps, t = eps_at(step_i, latents)
+                noise = step_noises[step_i]
+                if sampler == "ddim":
+                    new_latents = ddim.step(schedule, t, latents.astype(jnp.float32),
+                                            eps, noise,
+                                            num_inference_steps=n_steps, eta=eta)
+                else:
+                    new_latents = ddpm.step(schedule, t, latents.astype(jnp.float32),
+                                            eps, noise,
+                                            num_inference_steps=n_steps)
+                return new_latents.astype(jnp.float32)
+
+            latents = jax.lax.fori_loop(start_step, n_steps, body,
+                                        latents.astype(jnp.float32))
 
         images = vae_mod.apply_decoder(
             params["decoder"], latents, cfg.vae, policy,

@@ -1,0 +1,97 @@
+"""DPM-Solver++(2M): exactness invariants + pipeline integration."""
+
+import numpy as np
+import pytest
+
+import pytorch_stable_diffusion_tpu as sdt
+from pytorch_stable_diffusion_tpu.sampling import ddim, ddpm, dpm
+
+N_STEPS = 2
+H = W = 16
+
+
+def _run_sampler(x0_fn, n_steps, x_init, use_dpm=True):
+    """Run a full sampling trajectory with a synthetic model whose
+    x0-prediction is given by x0_fn(x, t)."""
+    s = ddpm.make_schedule()
+    acp = np.asarray(s.alphas_cumprod, np.float64)
+    ts = ddpm.inference_timesteps(n_steps)
+    x = x_init.astype(np.float32)
+    state = dpm.init_state(x.shape)
+    for t in ts:
+        a = acp[int(t)]
+        alpha, sigma = np.sqrt(a), np.sqrt(1 - a)
+        x0 = x0_fn(x, int(t))
+        eps = ((x - alpha * x0) / sigma).astype(np.float32)
+        if use_dpm:
+            x, state = dpm.step(s, int(t), x, eps, state,
+                                num_inference_steps=n_steps)
+        else:
+            x = ddim.step(s, int(t), x, eps, np.zeros_like(x),
+                          num_inference_steps=n_steps)
+        x = np.asarray(x)
+    return x
+
+
+def test_constant_x0_is_solved_exactly():
+    """A model with constant x0-prediction must land on it exactly, at any
+    step count (see sampling/dpm.py exactness invariant)."""
+    C = np.full((1, 2, 2, 4), 0.37, np.float32)
+    rng = np.random.RandomState(0)
+    x_init = rng.randn(1, 2, 2, 4).astype(np.float32)
+    for n in (2, 5, 10):
+        out = _run_sampler(lambda x, t: C, n, x_init)
+        np.testing.assert_allclose(out, C, rtol=1e-4, atol=1e-4)
+
+
+def test_first_step_equals_ddim():
+    """Order-1 DPM-Solver++ is algebraically a DDIM eta=0 step."""
+    s = ddpm.make_schedule()
+    rng = np.random.RandomState(1)
+    x = rng.randn(1, 4, 4, 4).astype(np.float32)
+    eps = rng.randn(1, 4, 4, 4).astype(np.float32)
+    t, n = 980, 50
+    got, _ = dpm.step(s, t, x, eps, dpm.init_state(x.shape),
+                      num_inference_steps=n)
+    expect = ddim.step(s, t, x, eps, np.zeros_like(x), num_inference_steps=n)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_second_order_beats_first_order():
+    """For a smooth x-dependent model, few-step dpm++ lands closer to the
+    many-step reference solution than few-step ddim does."""
+    def x0_fn(x, t):  # smooth state-dependent data prediction
+        return np.tanh(x) * 0.8
+
+    rng = np.random.RandomState(2)
+    x_init = rng.randn(1, 2, 2, 4).astype(np.float32)
+    ref = _run_sampler(x0_fn, 500, x_init, use_dpm=False)  # fine-step DDIM = ODE ref
+    few_dpm = _run_sampler(x0_fn, 8, x_init, use_dpm=True)
+    few_ddim = _run_sampler(x0_fn, 8, x_init, use_dpm=False)
+    err_dpm = np.abs(few_dpm - ref).mean()
+    err_ddim = np.abs(few_ddim - ref).mean()
+    assert err_dpm < err_ddim, (err_dpm, err_ddim)
+
+
+def test_final_step_returns_x0():
+    s = ddpm.make_schedule()
+    rng = np.random.RandomState(3)
+    x = rng.randn(1, 2, 2, 4).astype(np.float32)
+    eps = rng.randn(1, 2, 2, 4).astype(np.float32)
+    acp = np.asarray(s.alphas_cumprod, np.float64)
+    got, _ = dpm.step(s, 0, x, eps, dpm.init_state(x.shape),
+                      num_inference_steps=50)
+    x0 = (x - np.sqrt(1 - acp[0]) * eps) / np.sqrt(acp[0])
+    np.testing.assert_allclose(np.asarray(got), x0, rtol=2e-4, atol=2e-5)
+
+
+def test_pipeline_dpm(tiny_cfg, tiny_models, tiny_tokenizer):
+    kw = dict(models=tiny_models, tokenizer=tiny_tokenizer, seed=4,
+              n_inference_steps=N_STEPS, config=tiny_cfg, height=H, width=W)
+    img = sdt.generate("a cat", sampler_name="dpm++", **kw)
+    assert img.shape == (H, W, 3) and img.dtype == np.uint8
+    img2 = sdt.generate("a cat", sampler_name="dpm++", **kw)
+    assert (img == img2).all()  # deterministic
+    img_ddpm = sdt.generate("a cat", sampler_name="ddpm", **kw)
+    assert (img != img_ddpm).any()
