@@ -1,0 +1,76 @@
+"""Architecture-config generality: the plan-driven models and rule-generated
+converters must work for any SDConfig, not just the SD-1.5 and tiny shapes
+(guards the 'rules, not tables' design of weights/convert.py)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pytorch_stable_diffusion_tpu.core.pytree import flatten, param_count
+from pytorch_stable_diffusion_tpu.models import unet, vae
+from pytorch_stable_diffusion_tpu.models.config import (CLIPConfig, SDConfig,
+                                                        UNetConfig, VAEConfig)
+from pytorch_stable_diffusion_tpu.weights import convert, diffusers
+
+VARIANTS = [
+    # three levels, single res block, attn only on the middle level
+    SDConfig(
+        clip=CLIPConfig(vocab_size=64, d_model=16, max_len=8, n_layers=1,
+                        n_heads=2, d_ff=32),
+        vae=VAEConfig(base_channels=8, ch_mults=(1, 2, 2), groups=4),
+        unet=UNetConfig(model_channels=8, ch_mults=(1, 2, 2),
+                        attn_levels=(False, True, False), num_res_blocks=1,
+                        n_heads=2, d_context=16, groups=4),
+    ),
+    # deeper single-level stack
+    SDConfig(
+        clip=CLIPConfig(vocab_size=64, d_model=16, max_len=8, n_layers=1,
+                        n_heads=2, d_ff=32),
+        vae=VAEConfig(base_channels=8, ch_mults=(1,), groups=4),
+        unet=UNetConfig(model_channels=8, ch_mults=(1,), attn_levels=(True,),
+                        num_res_blocks=3, n_heads=2, d_context=16, groups=4),
+    ),
+]
+
+
+@pytest.mark.parametrize("cfg", VARIANTS, ids=["3lvl-1res", "1lvl-3res"])
+def test_plans_and_converters_generalize(cfg):
+    key = jax.random.PRNGKey(0)
+    params = {
+        "clip": __import__("pytorch_stable_diffusion_tpu.models.clip",
+                           fromlist=["init"]).init(key, cfg.clip),
+        "encoder": vae.init_encoder(key, cfg.vae),
+        "decoder": vae.init_decoder(key, cfg.vae),
+        "diffusion": unet.init(key, cfg.unet),
+    }
+    assert param_count(params) > 0
+
+    # CompVis round trip
+    sd = convert.deconvert(params, cfg)
+    back = convert.convert(sd, cfg)
+    a, b = flatten(params), flatten(back)
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]), err_msg=k)
+
+    # diffusers round trip
+    d_sds = diffusers.deconvert_diffusers(params, cfg)
+    back2 = diffusers.convert_diffusers(*d_sds, cfg)
+    for k in a:
+        np.testing.assert_array_equal(np.asarray(a[k]),
+                                      np.asarray(flatten(back2)[k]), err_msg=k)
+
+    # forward shapes
+    f = cfg.vae.downsample_factor
+    hw = 8 * f
+    lat = jnp.zeros((1, 8, 8, 4))
+    ctx = jnp.zeros((1, cfg.clip.max_len, cfg.unet.d_context))
+    out = unet.apply(params["diffusion"], lat, ctx, 10, cfg.unet)
+    assert out.shape == lat.shape
+    img = vae.apply_decoder(params["decoder"], lat, cfg.vae)
+    assert img.shape == (1, hw, hw, 3)
+    enc = vae.apply_encoder(params["encoder"], img, jnp.zeros_like(lat), cfg.vae)
+    assert enc.shape == lat.shape
