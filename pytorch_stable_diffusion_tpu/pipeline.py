@@ -270,6 +270,9 @@ def _run_generate(
                          "(tokenizer/config mismatch)")
 
     factor = cfg.vae.downsample_factor
+    if height % factor or width % factor:
+        raise ValueError(f"height/width must be multiples of {factor}, "
+                         f"got {height}x{width}")
     h_lat, w_lat = height // factor, width // factor
     img2img = input_image is not None
     if img2img:

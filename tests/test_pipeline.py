@@ -165,3 +165,9 @@ def test_do_cfg_false(tiny_cfg, tiny_models, tiny_tokenizer):
                        n_inference_steps=N_STEPS, config=tiny_cfg,
                        height=H, width=W)
     assert img.shape == (H, W, 3) and img.dtype == np.uint8
+
+
+def test_non_multiple_size_rejected(tiny_cfg, tiny_models, tiny_tokenizer):
+    with pytest.raises(ValueError, match="multiples"):
+        sdt.generate("x", models=tiny_models, tokenizer=tiny_tokenizer,
+                     config=tiny_cfg, height=17, width=16)
