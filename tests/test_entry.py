@@ -1,6 +1,7 @@
 """Driver entry points: entry() traces; dryrun_multichip executes on the
 8-virtual-device mesh."""
 
+import pytest
 import sys
 
 import jax
@@ -25,6 +26,7 @@ def test_entry_traces():
     assert out.shape == (1, 64, 64, 4)
 
 
-def test_dryrun_multichip():
+@pytest.mark.parametrize("n", [1, 4, 8])
+def test_dryrun_multichip(n):
     mod = _load_entry()
-    mod.dryrun_multichip(8)
+    mod.dryrun_multichip(n)
