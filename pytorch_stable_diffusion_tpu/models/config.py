@@ -61,6 +61,10 @@ class UNetConfig:
     attn_levels: Tuple[bool, ...] = (True, True, True, False)
     num_res_blocks: int = 2
     n_heads: int = 8
+    #: SD-2.x style: fixed per-head width instead of a fixed head count
+    #: (SD-2 uses head_dim=64 -> 5/10/20 heads across levels).  When set,
+    #: overrides n_heads per attention block.
+    head_dim: int = None
     d_context: int = 768
     groups: int = 32
 
@@ -71,6 +75,15 @@ class UNetConfig:
     @property
     def level_channels(self) -> Tuple[int, ...]:
         return tuple(self.model_channels * m for m in self.ch_mults)
+
+    def heads_for(self, channels: int) -> int:
+        """Head count for an attention block at ``channels`` width."""
+        if self.head_dim is not None:
+            if channels % self.head_dim:
+                raise ValueError(f"channels {channels} not divisible by "
+                                 f"head_dim {self.head_dim}")
+            return channels // self.head_dim
+        return self.n_heads
 
 
 @dataclasses.dataclass(frozen=True)

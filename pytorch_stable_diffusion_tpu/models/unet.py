@@ -224,8 +224,9 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
         x = apply_res_block(stage["res"], x, t_emb, cfg.groups, policy,
                             backend=attention_backend)
         if "attn" in stage:
-            x = apply_attn_block(stage["attn"], x, context, cfg.n_heads,
-                                 cfg.groups, policy, backend=attention_backend,
+            x = apply_attn_block(stage["attn"], x, context,
+                                 cfg.heads_for(x.shape[-1]), cfg.groups,
+                                 policy, backend=attention_backend,
                                  reference_quirks=reference_quirks)
         return x
 
@@ -243,7 +244,8 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
     mid = params["bottleneck"]
     x = apply_res_block(mid["res1"], x, t_emb, cfg.groups, policy,
                         backend=attention_backend)
-    x = apply_attn_block(mid["attn"], x, context, cfg.n_heads, cfg.groups,
+    x = apply_attn_block(mid["attn"], x, context,
+                         cfg.heads_for(x.shape[-1]), cfg.groups,
                          policy, backend=attention_backend,
                          reference_quirks=reference_quirks)
     x = apply_res_block(mid["res2"], x, t_emb, cfg.groups, policy,

@@ -74,3 +74,25 @@ def test_plans_and_converters_generalize(cfg):
     assert img.shape == (1, hw, hw, 3)
     enc = vae.apply_encoder(params["encoder"], img, jnp.zeros_like(lat), cfg.vae)
     assert enc.shape == lat.shape
+
+
+def test_head_dim_mode():
+    """SD-2.x style fixed head_dim -> per-level head counts."""
+    cfg = UNetConfig(model_channels=8, ch_mults=(1, 2), attn_levels=(True, True),
+                     num_res_blocks=1, head_dim=4, d_context=16, groups=4)
+    assert cfg.heads_for(8) == 2 and cfg.heads_for(16) == 4
+    with pytest.raises(ValueError, match="divisible"):
+        cfg.heads_for(10)
+
+    key = jax.random.PRNGKey(0)
+    params = unet.init(key, cfg)
+    lat = jnp.zeros((1, 8, 8, 4))
+    ctx = jnp.zeros((1, 8, 16))
+    out = unet.apply(params, lat, ctx, 10, cfg)
+    assert out.shape == lat.shape
+
+    # head_dim equal to C/n_heads everywhere == fixed n_heads (same math)
+    cfg_fixed = dataclasses.replace(cfg, head_dim=None, n_heads=2)
+    out_fixed = unet.apply(params, lat, ctx, 10, cfg_fixed)
+    # level-0 blocks match (2 heads there either way); level-1 differs (4 vs 2)
+    assert out.shape == out_fixed.shape
