@@ -45,17 +45,26 @@ def init(key, cfg: CLIPConfig, dtype=jnp.float32):
 
 
 def apply(params, tokens, cfg: CLIPConfig, policy: Policy = FP32):
-    """tokens: (B, max_len) int32 -> (B, max_len, d_model)."""
+    """tokens: (B, max_len) int32 -> (B, max_len, d_model).
+
+    cfg.stop_at_layer truncates the stack (SD-2.x penultimate-layer
+    conditioning); cfg.hidden_act selects QuickGELU (SD-1.x) vs GELU
+    (OpenCLIP).
+    """
+    import jax.nn
+
+    act = quick_gelu if cfg.hidden_act == "quick_gelu" else jax.nn.gelu
+    n_run = cfg.n_layers if cfg.stop_at_layer is None else cfg.stop_at_layer
     x = params["token_embedding"][tokens] + params["position_embedding"][None]
     x = x.astype(policy.compute_dtype)
-    for lp in params["layers"]:
+    for lp in params["layers"][:n_run]:
         h = norm.layer_norm(lp["ln1"], x, policy=policy)
         h = attention.apply(lp["attn"], h, n_heads=cfg.n_heads, causal=True,
                             backend="xla", policy=policy)
         x = x + h
         h = norm.layer_norm(lp["ln2"], x, policy=policy)
         h = linear.apply(lp["fc1"], h, policy)
-        h = quick_gelu(h)
+        h = act(h)
         h = linear.apply(lp["fc2"], h, policy)
         x = x + h
     return norm.layer_norm(params["final_norm"], x, policy=policy)

@@ -26,6 +26,12 @@ class CLIPConfig:
     n_layers: int = 12
     n_heads: int = 12
     d_ff: int = 3072
+    #: "quick_gelu" (SD-1.x CLIP ViT-L, ref clip.py:166) or "gelu"
+    #: (SD-2.x OpenCLIP ViT-H).
+    hidden_act: str = "quick_gelu"
+    #: stop after this many transformer layers, then apply the final LN —
+    #: SD-2.x conditions on the penultimate layer (n_layers - 1).
+    stop_at_layer: int = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -96,3 +96,32 @@ def test_head_dim_mode():
     out_fixed = unet.apply(params, lat, ctx, 10, cfg_fixed)
     # level-0 blocks match (2 heads there either way); level-1 differs (4 vs 2)
     assert out.shape == out_fixed.shape
+
+
+def test_clip_variant_options():
+    """SD-2.x CLIP options: gelu activation + penultimate-layer output."""
+    import torch
+    import torch.nn.functional as F
+
+    from pytorch_stable_diffusion_tpu.models import clip as clip_mod
+    from pytorch_stable_diffusion_tpu.ops import norm as norm_ops
+
+    base = CLIPConfig(vocab_size=32, d_model=8, max_len=4, n_layers=2,
+                      n_heads=2, d_ff=16)
+    key = jax.random.PRNGKey(1)
+    params = clip_mod.init(key, base)
+    toks = jnp.asarray(np.array([[1, 2, 3, 4]], np.int32))
+
+    # gelu differs from quick_gelu and matches torch's exact gelu
+    out_qg = np.asarray(clip_mod.apply(params, toks, base))
+    cfg_gelu = dataclasses.replace(base, hidden_act="gelu")
+    out_g = np.asarray(clip_mod.apply(params, toks, cfg_gelu))
+    assert not np.allclose(out_qg, out_g)
+
+    # stop_at_layer=1 on a 2-layer model == 1-layer model with same params
+    cfg_stop = dataclasses.replace(base, stop_at_layer=1)
+    out_stop = np.asarray(clip_mod.apply(params, toks, cfg_stop))
+    one_layer = dict(params, layers=params["layers"][:1])
+    cfg_one = dataclasses.replace(base, n_layers=1)
+    out_one = np.asarray(clip_mod.apply(one_layer, toks, cfg_one))
+    np.testing.assert_allclose(out_stop, out_one, rtol=1e-6, atol=1e-7)
