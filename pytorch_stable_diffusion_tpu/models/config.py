@@ -108,6 +108,8 @@ class SDConfig:
     #: dropped GeGLU gate (diffusion.py:359-363) and the VAE attention
     #: un-transpose no-op (decoder.py:62,67).  Default False = correct SD-1.5.
     reference_quirks: bool = False
+    #: "epsilon" (SD-1.x / SD-2-base) or "v" (SD-2.x 768-v checkpoints).
+    prediction_type: str = "epsilon"
 
 
 def tiny_sd_config(policy: Policy = FP32, **kw) -> SDConfig:
@@ -126,3 +128,24 @@ def tiny_sd_config(policy: Policy = FP32, **kw) -> SDConfig:
 
 def sd15_config(policy: Policy = FP32, **kw) -> SDConfig:
     return SDConfig(policy=policy, **kw)
+
+
+def sd21_config(policy: Policy = FP32, v_prediction: bool = True, **kw) -> SDConfig:
+    """SD-2.1 architecture preset (EXPERIMENTAL — checkpoint conversion and
+    weight-level validation pending; the reference covers only SD-1.5).
+
+    OpenCLIP ViT-H text tower (24 layers, d 1024, GELU, penultimate-layer
+    conditioning), UNet with head_dim 64 and d_context 1024; 768-v
+    checkpoints use v-prediction."""
+    return SDConfig(
+        clip=CLIPConfig(vocab_size=49408, d_model=1024, max_len=77,
+                        n_layers=24, n_heads=16, d_ff=4096,
+                        hidden_act="gelu", stop_at_layer=23),
+        vae=VAEConfig(),
+        unet=UNetConfig(model_channels=320, ch_mults=(1, 2, 4, 4),
+                        attn_levels=(True, True, True, False),
+                        n_heads=8, head_dim=64, d_context=1024),
+        policy=policy,
+        prediction_type="v" if v_prediction else "epsilon",
+        **kw,
+    )

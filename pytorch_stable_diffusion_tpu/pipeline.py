@@ -170,6 +170,9 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
             if do_cfg:
                 eps_cond, eps_uncond = jnp.split(eps, 2, axis=0)
                 eps = cfg_scale * (eps_cond - eps_uncond) + eps_uncond  # pipeline.py:233
+            # SD-2.x v-prediction -> epsilon (no-op for "epsilon"; CFG and
+            # the conversion are both affine, so combining first is exact)
+            eps = ddpm.to_epsilon(schedule, t, latents, eps, cfg.prediction_type)
             if progress:  # reference's tqdm bar (ref pipeline.py:205), opt-in
                 jax.debug.callback(_progress_tick, step_i, n_steps,
                                    ordered=False)

@@ -76,6 +76,22 @@ def _alpha_bar_prev(schedule: DDPMSchedule, prev_t):
     return jnp.where(prev_t >= 0, schedule.alphas_cumprod[safe], 1.0)
 
 
+def to_epsilon(schedule: DDPMSchedule, t, latents, model_output,
+               prediction_type: str = "epsilon"):
+    """Convert a model output to an epsilon prediction.
+
+    prediction_type "epsilon" (SD-1.x, pass-through) or "v"
+    (SD-2.x 768-v: x0 = a x - s v  =>  eps = s x + a v,
+    a = sqrt(abar_t), s = sqrt(1 - abar_t))."""
+    if prediction_type == "epsilon":
+        return model_output
+    if prediction_type != "v":
+        raise ValueError(f"unknown prediction_type {prediction_type!r}")
+    abar = schedule.alphas_cumprod[t]
+    a, s = jnp.sqrt(abar), jnp.sqrt(1.0 - abar)
+    return s * latents.astype(jnp.float32) + a * model_output.astype(jnp.float32)
+
+
 def step(schedule: DDPMSchedule, t, latents, eps, noise, *,
          num_inference_steps: int):
     """One ancestral DDPM step (ddpm.py:102-139).  ``t`` may be traced.

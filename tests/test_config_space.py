@@ -125,3 +125,59 @@ def test_clip_variant_options():
     cfg_one = dataclasses.replace(base, n_layers=1)
     out_one = np.asarray(clip_mod.apply(one_layer, toks, cfg_one))
     np.testing.assert_allclose(out_stop, out_one, rtol=1e-6, atol=1e-7)
+
+
+def test_v_prediction_conversion():
+    """v-pred -> epsilon: with eps = s x + a v both parameterizations must
+    drive the sampler identically."""
+    from pytorch_stable_diffusion_tpu.sampling import ddpm as ddpm_mod
+
+    s = ddpm_mod.make_schedule()
+    acp = np.asarray(s.alphas_cumprod, np.float64)
+    rng = np.random.RandomState(0)
+    x = rng.randn(1, 4, 4, 4).astype(np.float32)
+    eps = rng.randn(1, 4, 4, 4).astype(np.float32)
+    t = 500
+    a, sg = np.sqrt(acp[t]), np.sqrt(1 - acp[t])
+    v = ((eps - sg * x) / a).astype(np.float32)  # the v that encodes this eps
+    got = np.asarray(ddpm_mod.to_epsilon(s, t, x, v, "v"))
+    np.testing.assert_allclose(got, eps, rtol=1e-4, atol=1e-5)
+    # epsilon mode is a pass-through
+    np.testing.assert_array_equal(
+        np.asarray(ddpm_mod.to_epsilon(s, t, x, eps, "epsilon")), eps)
+    with pytest.raises(ValueError, match="prediction_type"):
+        ddpm_mod.to_epsilon(s, t, x, eps, "sample")
+
+
+def test_v_prediction_pipeline(tmp_path):
+    """v-pred tiny pipeline runs and differs from epsilon interpretation."""
+    import pytorch_stable_diffusion_tpu as sdt
+    from pytorch_stable_diffusion_tpu.models import clip as clip_mod
+    from pytorch_stable_diffusion_tpu.weights.tokenizer import make_test_tokenizer
+
+    cfg = sdt.tiny_sd_config()
+    cfg_v = dataclasses.replace(cfg, prediction_type="v")
+    key = jax.random.PRNGKey(0)
+    models = {
+        "clip": clip_mod.init(jax.random.fold_in(key, 0), cfg.clip),
+        "encoder": vae.init_encoder(jax.random.fold_in(key, 1), cfg.vae),
+        "decoder": vae.init_decoder(jax.random.fold_in(key, 2), cfg.vae),
+        "diffusion": unet.init(jax.random.fold_in(key, 3), cfg.unet),
+    }
+    tok = make_test_tokenizer(["a", "cat"], max_len=cfg.clip.max_len)
+    kw = dict(models=models, tokenizer=tok, seed=3, n_inference_steps=2,
+              height=16, width=16)
+    img_v = sdt.generate("a cat", config=cfg_v, **kw)
+    img_e = sdt.generate("a cat", config=cfg, **kw)
+    assert img_v.shape == (16, 16, 3)
+    assert (img_v != img_e).any()
+
+
+def test_sd21_preset_shapes():
+    from pytorch_stable_diffusion_tpu.models.config import sd21_config
+
+    cfg = sd21_config()
+    assert cfg.unet.heads_for(320) == 5 and cfg.unet.heads_for(1280) == 20
+    assert cfg.clip.stop_at_layer == 23 and cfg.clip.hidden_act == "gelu"
+    assert cfg.prediction_type == "v"
+    assert sd21_config(v_prediction=False).prediction_type == "epsilon"
