@@ -327,12 +327,19 @@ def load_state_dict(path: str) -> Dict[str, np.ndarray]:
             for k in f.keys():
                 out[k] = f.get_tensor(k)
         return out
-    import torch
+    # torch-free restricted reader first (no pickle code execution, no torch
+    # dependency); fall back to torch.load for exotic/legacy checkpoints.
+    try:
+        from .ckpt_reader import load_torch_ckpt
 
-    ckpt = torch.load(p, map_location="cpu", weights_only=False)
-    sd = ckpt.get("state_dict", ckpt)
-    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
-            for k, v in sd.items()}
+        return load_torch_ckpt(p)
+    except Exception:
+        import torch
+
+        ckpt = torch.load(p, map_location="cpu", weights_only=False)
+        sd = ckpt.get("state_dict", ckpt)
+        return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+                for k, v in sd.items()}
 
 
 def load_sd_checkpoint(path: str, cfg: SDConfig, dtype=None):
