@@ -76,3 +76,17 @@ def test_from_files_roundtrip(tok, tmp_path):
     tok2 = CLIPTokenizer.from_files(str(tmp_path / "vocab.json"),
                                     str(tmp_path / "merges.txt"), max_len=16)
     assert tok2.encode("a photo of a cat") == tok.encode("a photo of a cat")
+
+
+def test_fuzz_against_transformers(tok, hf_tok):
+    """Random ASCII strings (fixed seed) must tokenize identically."""
+    import random
+
+    rng = random.Random(1234)
+    alphabet = "abcdefghijklmnopqrstuvwxyz AB!?',.-0123456789&"
+    for _ in range(25):
+        text = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40)))
+        ours = tok.encode(text)
+        theirs = hf_tok(text, padding="max_length", max_length=16,
+                        truncation=True).input_ids
+        assert ours == theirs, repr(text)
