@@ -12,6 +12,14 @@ before softmax — equivalent to the reference's mask-then-scale order.
 
 Grid: (B*H, Sq/block_q, Sk/block_k), kv innermost; m/l/acc persist in VMEM
 scratch across the sequential kv steps (TPU grids execute in order).
+
+Known numerical edge (unreachable with current callers, documented for
+future changes): in the multi-pass kernel, if a q-row's FIRST kv block were
+entirely masked, ``exp(s - m_new)`` evaluates with both at NEG_INF and would
+weight masked entries at exp(0)=1.  Today every row always has >=1 unmasked
+column in kv block 0 (causal rows include col 0; KV padding never fills a
+whole block, since the pad is < block_k by construction).  If a future mask
+kind can fully mask a leading block, add ``p = where(s > NEG_INF, p, 0)``.
 """
 
 from __future__ import annotations
