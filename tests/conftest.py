@@ -5,6 +5,46 @@ imports anywhere."""
 import os
 import sys
 
+# On the TPU host, the axon sitecustomize (PYTHONPATH=/root/.axon_site)
+# imports jax at interpreter startup with JAX_PLATFORMS=axon — long before
+# this file can force CPU.  Running the suite against the live relay is both
+# wrong (tests assume 8 virtual CPU devices) and harmful (it drives the
+# fragile remote-compile service).  Detect that case and re-exec pytest with
+# a scrubbed environment (done in pytest_configure so global output capture
+# can be suspended first — an exec'd child would otherwise write into
+# pytest's capture temp file and its output would vanish).
+_NEEDS_CPU_REEXEC = (
+    "jax" in sys.modules
+    and os.environ.get("JAX_PLATFORMS", "cpu").lower() != "cpu"
+    and not os.environ.get("_SDT_PYTEST_REEXEC")
+)
+
+
+def pytest_configure(config):
+    if not _NEEDS_CPU_REEXEC:
+        return
+    env = dict(os.environ)
+    env["_SDT_PYTEST_REEXEC"] = "1"
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # disables the axon sitecustomize
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and "axon_site" not in p)
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if "host_platform_device_count" not in f]
+    env["XLA_FLAGS"] = " ".join(
+        flags + ["--xla_force_host_platform_device_count=8"])
+    capman = config.pluginmanager.get_plugin("capturemanager")
+    if capman is not None:
+        capman.suspend_global_capture(in_=True)
+    sys.stderr.write("[conftest] jax was pre-imported with a non-CPU backend "
+                     "(axon site hook); re-executing pytest on CPU with 8 "
+                     "virtual devices...\n")
+    sys.stderr.flush()
+    argv = [sys.executable, "-m", "pytest"] + list(config.invocation_params.args)
+    os.execve(sys.executable, argv, env)
+
+
 # Hard-set CPU: the TPU host environment presets JAX_PLATFORMS=axon, and
 # tests must run on the virtual-device CPU mesh regardless.
 os.environ["JAX_PLATFORMS"] = "cpu"
