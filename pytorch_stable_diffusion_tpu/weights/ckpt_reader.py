@@ -27,6 +27,13 @@ from typing import Any, Dict
 
 import numpy as np
 
+class LegacyCkptError(ValueError):
+    """Raised when the file is not a torch zip-format checkpoint at all
+    (legacy tar-format pickle, or some other container).  This — and only
+    this — is the error class callers may treat as "try another loader";
+    security refusals (``pickle.UnpicklingError``) must never be."""
+
+
 _DTYPES = {
     "FloatStorage": np.float32,
     "DoubleStorage": np.float64,
@@ -104,8 +111,9 @@ class _CkptReader:
         names = zf.namelist()
         pkls = [n for n in names if n.endswith("/data.pkl") or n == "data.pkl"]
         if not pkls:
-            raise ValueError("not a torch zip checkpoint (no data.pkl) — "
-                             "legacy tar-format .ckpt files are not supported")
+            raise LegacyCkptError(
+                "not a torch zip checkpoint (no data.pkl) — "
+                "legacy tar-format .ckpt files are not supported")
         self._pkl = pkls[0]
         self._prefix = self._pkl[: -len("data.pkl")]
         self._cache: Dict[str, np.ndarray] = {}
@@ -119,8 +127,31 @@ class _CkptReader:
     def _materialize(self, ref: _StorageRef, offset: int, size, stride):
         raw = self._storage_bytes(ref.key)
         flat = raw.view(ref.dtype)
+        total = int(flat.shape[0])
+        offset = int(offset)
+        # Bounds validation BEFORE any as_strided: offset/size/stride come
+        # from the (untrusted) pickle stream, and an out-of-range view would
+        # read past the storage buffer (heap disclosure / segfault).
+        if offset < 0 or any(int(s) < 0 for s in size) \
+                or any(int(st) < 0 for st in stride):
+            raise ValueError(
+                f"storage {ref.key}: negative offset/size/stride "
+                f"({offset}, {size}, {stride})")
         if not size:  # 0-d tensor -> 0-d ndarray (not a numpy scalar)
+            if offset >= total:
+                raise ValueError(f"storage {ref.key}: scalar offset {offset} "
+                                 f"out of bounds (storage has {total} elems)")
             return flat[offset: offset + 1].reshape(()).copy()
+        n = int(np.prod(size))
+        if n == 0:
+            return np.zeros(size, ref.dtype)
+        last = offset + sum((int(s) - 1) * int(st)
+                            for s, st in zip(size, stride))
+        if last >= total:
+            raise ValueError(
+                f"storage {ref.key}: tensor extent out of bounds — offset "
+                f"{offset}, shape {tuple(size)}, strides {tuple(stride)} "
+                f"address element {last} of a {total}-element storage")
         itemsize = ref.dtype.itemsize
         contig = []
         acc = 1
@@ -128,7 +159,6 @@ class _CkptReader:
             contig.append(acc)
             acc *= s
         contig = tuple(reversed(contig))
-        n = int(np.prod(size))
         if tuple(stride) == contig:
             return flat[offset: offset + n].reshape(size).copy()
         arr = np.lib.stride_tricks.as_strided(

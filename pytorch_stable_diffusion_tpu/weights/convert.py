@@ -308,12 +308,24 @@ def deconvert(params: Dict[str, dict], cfg: SDConfig) -> Dict[str, np.ndarray]:
     return sd
 
 
-def load_state_dict(path: str) -> Dict[str, np.ndarray]:
+def load_state_dict(path: str, *,
+                    allow_unsafe_fallback: bool = False) -> Dict[str, np.ndarray]:
     """Read a CompVis checkpoint file: .safetensors (preferred) or .ckpt
     (torch pickle — the reference's path, ``model_converter.py:5``).
 
     .safetensors goes through the native mmap reader (csrc/) when the C++
-    toolchain is available, else the Python safetensors package."""
+    toolchain is available, else the Python safetensors package.
+
+    .ckpt goes through the torch-free *restricted* unpickler
+    (``ckpt_reader.py``) — no pickle code execution.  A file that reader
+    refuses for safety reasons (``pickle.UnpicklingError``) is never retried
+    through ``torch.load``: that would hand the exact payload the restricted
+    reader just blocked to a full pickle VM.  Only genuinely pre-zip legacy
+    containers (``LegacyCkptError`` / ``zipfile.BadZipFile``) may fall back,
+    and only when the caller opts in with ``allow_unsafe_fallback=True`` —
+    torch.load on such files executes arbitrary code from the file."""
+    import zipfile
+
     p = str(path)
     if p.endswith(".safetensors"):
         from . import native_io
@@ -327,13 +339,18 @@ def load_state_dict(path: str) -> Dict[str, np.ndarray]:
             for k in f.keys():
                 out[k] = f.get_tensor(k)
         return out
-    # torch-free restricted reader first (no pickle code execution, no torch
-    # dependency); fall back to torch.load for exotic/legacy checkpoints.
-    try:
-        from .ckpt_reader import load_torch_ckpt
+    from .ckpt_reader import LegacyCkptError, load_torch_ckpt
 
+    try:
         return load_torch_ckpt(p)
-    except Exception:
+    except (LegacyCkptError, zipfile.BadZipFile) as e:
+        if not allow_unsafe_fallback:
+            raise ValueError(
+                f"{p} is not a torch zip-format checkpoint ({e}). Loading it "
+                "requires torch.load's full pickle execution, which runs "
+                "arbitrary code embedded in the file; pass "
+                "allow_unsafe_fallback=True only if you trust this file."
+            ) from e
         import torch
 
         ckpt = torch.load(p, map_location="cpu", weights_only=False)
@@ -342,10 +359,12 @@ def load_state_dict(path: str) -> Dict[str, np.ndarray]:
                 for k, v in sd.items()}
 
 
-def load_sd_checkpoint(path: str, cfg: SDConfig, dtype=None):
+def load_sd_checkpoint(path: str, cfg: SDConfig, dtype=None, *,
+                       allow_unsafe_fallback: bool = False):
     """File path -> converted framework pytrees (the
     ``preload_models_from_standard_weights`` analog, ``model_loader.py:9``)."""
-    return convert(load_state_dict(path), cfg, dtype)
+    sd = load_state_dict(path, allow_unsafe_fallback=allow_unsafe_fallback)
+    return convert(sd, cfg, dtype)
 
 
 def synthetic_state_dict(cfg: SDConfig, seed: int = 0) -> Dict[str, np.ndarray]:

@@ -29,12 +29,13 @@ try:
         re.IGNORECASE,
     )
 except ImportError:  # pragma: no cover - regex is in the base image
+    # No silent stdlib-re substitute: \w+ differs from CLIP's letters-only
+    # [\p{L}]+ / single-digit [\p{N}] on digit runs, underscores, and mixed
+    # alphanumerics — it would quietly produce different token ids and thus
+    # different images.  Fail at first use instead.
     import re
 
-    _PAT = re.compile(
-        r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|\w+|[^\s\w]+""",
-        re.IGNORECASE,
-    )
+    _PAT = None
 
 _WS = None  # lazily-compiled whitespace pattern
 
@@ -139,6 +140,12 @@ class CLIPTokenizer:
     # ------------------------------------------------------------- encoding
     def tokenize(self, text: str) -> List[int]:
         """Raw BPE ids, no framing/padding."""
+        if _PAT is None:  # pragma: no cover - regex is in the base image
+            raise ImportError(
+                "the 'regex' package is required for CLIP-faithful "
+                "tokenization (stdlib re cannot express \\p{L}/\\p{N}; a "
+                "\\w-based substitute would silently produce different "
+                "token ids)")
         text = _whitespace_clean(html.unescape(html.unescape(text))).lower()
         ids: List[int] = []
         for tok in _PAT.findall(text):
