@@ -104,9 +104,11 @@ class SDConfig:
     #: XLA path (benchmarks/components.py: 19.7ms vs 21.6ms decode); the
     #: flash grid has too little parallelism there.  Overridable.
     vae_attention_backend: str = "xla"
-    #: Reproduce the reference's two genuine bugs for golden parity:
-    #: dropped GeGLU gate (diffusion.py:359-363) and the VAE attention
-    #: un-transpose no-op (decoder.py:62,67).  Default False = correct SD-1.5.
+    #: Reproduce the reference's three genuine bugs for golden parity:
+    #: dropped GeGLU gate (diffusion.py:359-363), the VAE attention
+    #: un-transpose no-op (decoder.py:62,67), and the beta_start typo
+    #: 0.000085 (ddpm.py:30; CompVis value is 0.00085).
+    #: Default False = correct SD-1.5.
     reference_quirks: bool = False
     #: "epsilon" (SD-1.x / SD-2-base) or "v" (SD-2.x 768-v checkpoints).
     prediction_type: str = "epsilon"

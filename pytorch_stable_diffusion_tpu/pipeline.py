@@ -113,7 +113,11 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
     — used by parity tests to compare against recorded reference noise.
     """
     timesteps = jnp.asarray(ddpm.inference_timesteps(n_steps))
-    schedule = ddpm.make_schedule()
+    # third reference quirk: the reference's beta_start is a typo (0.000085
+    # vs CompVis 0.00085, ref ddpm.py:30) — reproduce it only in quirk mode
+    schedule = ddpm.make_schedule(
+        beta_start=ddpm.REFERENCE_BETA_START if cfg.reference_quirks
+        else ddpm.BETA_START)
     policy: Policy = cfg.policy
     lc = cfg.vae.latent_channels
 

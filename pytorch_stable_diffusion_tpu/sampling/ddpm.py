@@ -2,9 +2,15 @@
 functions usable inside ``lax.scan``.
 
 Behavior-parity target: ``/root/reference/sd/ddpm.py``.
-  * scaled-linear betas: linspace(beta_start**0.5, beta_end**0.5, T)**2 with
-    beta_start=0.00085, beta_end=0.012, T=1000 (``ddpm.py:30,43``);
-    alpha-bar via cumprod (``ddpm.py:48``).
+  * scaled-linear betas: linspace(beta_start**0.5, beta_end**0.5, T)**2
+    (``ddpm.py:43``); alpha-bar via cumprod (``ddpm.py:48``).
+  * beta_start: the reference defaults to **0.000085** (``ddpm.py:30``) — a
+    typo of the CompVis value 0.00085 that its own comment cites
+    (v1-inference.yaml linear_start).  Our default is the *correct* 0.00085
+    (the checkpoints were trained with it); bit-parity runs against the
+    reference must pass ``beta_start=REFERENCE_BETA_START``, which
+    ``SDConfig(reference_quirks=True)`` does (third reference quirk, next to
+    the dropped GeGLU gate and the VAE attention un-transpose).
   * inference subsampling: (arange(n) * (T // n)).round()[::-1]
     (``ddpm.py:56-63``).
   * ancestral step (``ddpm.py:102-139``): predict x0, DDPM-paper posterior
@@ -46,7 +52,15 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def make_schedule(num_train_timesteps: int = 1000, beta_start: float = 0.00085,
+#: CompVis SD-1.x linear_start (v1-inference.yaml) — the value the released
+#: checkpoints were trained with; our default.
+BETA_START = 0.00085
+#: The reference's typo'd default (ref ddpm.py:30): one zero too many.
+#: Used only under SDConfig(reference_quirks=True) for bit-parity runs.
+REFERENCE_BETA_START = 0.000085
+
+
+def make_schedule(num_train_timesteps: int = 1000, beta_start: float = BETA_START,
                   beta_end: float = 0.012) -> DDPMSchedule:
     betas = np.linspace(beta_start**0.5, beta_end**0.5, num_train_timesteps,
                         dtype=np.float64) ** 2

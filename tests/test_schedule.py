@@ -22,6 +22,20 @@ def test_beta_schedule_closed_form():
         np.asarray(s.alphas_cumprod), np.cumprod(1 - betas), rtol=1e-5)
 
 
+def test_reference_beta_start_quirk():
+    """The reference's beta_start default is the typo 0.000085 (ref
+    ddpm.py:30) — one zero more than the CompVis 0.00085 its comment cites.
+    Our default is the correct value; quirk mode reproduces the typo."""
+    assert ddpm.BETA_START == 0.00085
+    assert ddpm.REFERENCE_BETA_START == 0.000085
+    s = ddpm.make_schedule(beta_start=ddpm.REFERENCE_BETA_START)
+    betas = np.asarray(s.betas)
+    np.testing.assert_allclose(betas[0], 0.000085, rtol=1e-6)
+    np.testing.assert_allclose(betas[-1], 0.012, rtol=1e-6)
+    # the two schedules genuinely differ (so quirk-mode tests are meaningful)
+    assert not np.allclose(betas, np.asarray(ddpm.make_schedule().betas))
+
+
 def test_inference_timesteps_spacing():
     ts = ddpm.inference_timesteps(50)
     assert ts.dtype == np.int32 and len(ts) == 50

@@ -5,10 +5,11 @@ from a CompVis-format state dict — deliberately written as stateless
 functions over the checkpoint key namespace, NOT as a module tree, so it is
 an independent consumer of the same checkpoint format our converter reads.
 
-``quirks=True`` reproduces the reference's two bugs (SURVEY §2.2):
+``quirks=True`` reproduces the reference's three bugs (SURVEY §2.2):
   * GeGLU gate dropped in the UNet FFN (sd/diffusion.py:359-363);
   * VAE attention un-transpose no-op -> channel/spatial scramble
-    (sd/decoder.py:62,67).
+    (sd/decoder.py:62,67);
+  * beta_start typo 0.000085 (sd/ddpm.py:30; CompVis trained with 0.00085).
 ``quirks=False`` gives stock SD-1.5 semantics (gated GeGLU, correct
 transpose) — matching our framework's default.
 """
@@ -248,6 +249,8 @@ def unet_forward(sd, x, ctx, t, cfg, quirks):
 
 # ------------------------------------------------------------- full pipeline
 def ddpm_arrays(T=1000, b0=0.00085, b1=0.012):
+    """b0=0.00085 is the CompVis value; the reference's own default is the
+    typo 0.000085 (ref ddpm.py:30), reproduced by quirks=True below."""
     betas = np.linspace(b0**0.5, b1**0.5, T, dtype=np.float64) ** 2
     return betas, np.cumprod(1.0 - betas)
 
@@ -265,7 +268,7 @@ def oracle_generate(sd, cond_tokens, uncond_tokens, cfg, *, n_steps, cfg_scale,
         ctx_u = clip_forward(sd, torch.as_tensor(uncond_tokens), cfg.clip)
         ctx = torch.cat([ctx_c, ctx_u])
 
-        betas, acp = ddpm_arrays()
+        betas, acp = ddpm_arrays(b0=0.000085 if quirks else 0.00085)
         ratio = 1000 // n_steps
         timesteps = (np.arange(n_steps) * ratio).round()[::-1].astype(np.int64)
 
