@@ -13,13 +13,16 @@ before softmax — equivalent to the reference's mask-then-scale order.
 Grid: (B*H, Sq/block_q, Sk/block_k), kv innermost; m/l/acc persist in VMEM
 scratch across the sequential kv steps (TPU grids execute in order).
 
-Known numerical edge (unreachable with current callers, documented for
-future changes): in the multi-pass kernel, if a q-row's FIRST kv block were
-entirely masked, ``exp(s - m_new)`` evaluates with both at NEG_INF and would
-weight masked entries at exp(0)=1.  Today every row always has >=1 unmasked
-column in kv block 0 (causal rows include col 0; KV padding never fills a
-whole block, since the pad is < block_k by construction).  If a future mask
-kind can fully mask a leading block, add ``p = where(s > NEG_INF, p, 0)``.
+Numerical edge, guarded: while the running max is still NEG_INF (every
+score seen so far masked), ``exp(s - m_new)`` evaluates masked entries at
+exp(0)=1, temporarily accumulating garbage V rows.  A later unmasked block
+self-heals (alpha = exp(NEG_INF - m_real) = 0 rescales the poison away),
+but a q-row masked in EVERY block would output the mean of masked V instead
+of 0 — so ``_online_update`` zeroes p where s is masked (and the one-pass
+kernel gets the same guard).  Unreachable through today's public callers
+(causal rows include col 0; KV padding never fills a whole row), but the
+guard keeps a future mask kind — sliding windows, prefix masks — from
+silently averaging garbage; regression-tested in tests/test_flash_edge.py.
 """
 
 from __future__ import annotations
@@ -34,6 +37,28 @@ from jax.experimental.pallas import tpu as pltpu
 from ...core.dtypes import Policy, FP32
 
 NEG_INF = -1e30
+
+
+def _online_update(s, m_prev, l_prev, acc_prev, v, v_dtype):
+    """One online-softmax step over a (block_q, block_k) score block.
+
+    Pure jnp — traced inline by the kernel, unit-testable outside it
+    (tests/test_flash_edge.py).  Returns (m_new, l_new, acc_new), fp32.
+    """
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)  # (block_q, block_k) f32
+    # Masked-row guard: while m_new is still NEG_INF (nothing unmasked seen
+    # yet), exp(s - m_new) == 1 for masked entries; zero them so a q-row
+    # masked in every block yields 0, not the mean of masked V rows.
+    p = jnp.where(s > NEG_INF * 0.5, p, 0.0)
+    alpha = jnp.exp(m_prev - m_new)  # (block_q, 1)
+    l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(
+        p.astype(v_dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (block_q, Dh)
+    return m_new, l_new, acc_prev * alpha + pv
 
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
@@ -62,18 +87,9 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
         row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
         s = jnp.where(col <= row, s, NEG_INF)
 
-    m_prev = m_ref[:, :1]  # (block_q, 1)
-    m_cur = jnp.max(s, axis=-1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new)  # (block_q, block_k) f32
-    alpha = jnp.exp(m_prev - m_new)  # (block_q, 1)
-    l_new = alpha * l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
-
-    pv = jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (block_q, Dh)
-    acc_ref[:] = acc_ref[:] * alpha + pv
+    m_new, l_new, acc_new = _online_update(
+        s, m_ref[:, :1], l_ref[:, :1], acc_ref[:], v_ref[0], v_ref.dtype)
+    acc_ref[:] = acc_new
     m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
     l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
 
@@ -104,6 +120,9 @@ def _onepass_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int,
         s = jnp.where(col <= row, s, NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
+    # same masked-row guard as _online_update (a fully-masked q-row would
+    # otherwise output the mean of masked V rows)
+    p = jnp.where(s > NEG_INF * 0.5, p, 0.0)
     l = jnp.sum(p, axis=-1, keepdims=True)
     pv = jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
