@@ -32,6 +32,11 @@ class CLIPConfig:
     #: stop after this many transformer layers, then apply the final LN —
     #: SD-2.x conditions on the penultimate layer (n_layers - 1).
     stop_at_layer: int = None
+    #: checkpoint key namespace: "clip" (SD-1.x, HF-transformers-style
+    #: cond_stage_model.transformer.text_model.*) or "open_clip" (SD-2.x,
+    #: cond_stage_model.model.* with fused attn in_proj).  Affects only
+    #: weights/convert.py; the runtime model is identical.
+    layout: str = "clip"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -133,16 +138,19 @@ def sd15_config(policy: Policy = FP32, **kw) -> SDConfig:
 
 
 def sd21_config(policy: Policy = FP32, v_prediction: bool = True, **kw) -> SDConfig:
-    """SD-2.1 architecture preset (EXPERIMENTAL — checkpoint conversion and
-    weight-level validation pending; the reference covers only SD-1.5).
+    """SD-2.1 architecture preset (the reference covers only SD-1.5).
 
     OpenCLIP ViT-H text tower (24 layers, d 1024, GELU, penultimate-layer
     conditioning), UNet with head_dim 64 and d_context 1024; 768-v
-    checkpoints use v-prediction."""
+    checkpoints use v-prediction.  Checkpoint conversion: weights/convert.py
+    handles the cond_stage_model.model.* OpenCLIP namespace including the
+    fused attn in_proj split (synthetic round-trip tested at this topology
+    in tests/test_sd2_convert.py; no real SD-2 weights on this host)."""
     return SDConfig(
         clip=CLIPConfig(vocab_size=49408, d_model=1024, max_len=77,
                         n_layers=24, n_heads=16, d_ff=4096,
-                        hidden_act="gelu", stop_at_layer=23),
+                        hidden_act="gelu", stop_at_layer=23,
+                        layout="open_clip"),
         vae=VAEConfig(),
         unet=UNetConfig(model_channels=320, ch_mults=(1, 2, 4, 4),
                         attn_levels=(True, True, True, False),

@@ -53,6 +53,35 @@ _INV: Dict[str, Callable] = {
 
 Rule = Tuple[str, str, str]  # (src_key, dst_path, kind)
 
+# Parametric kinds for 1-source -> N-destination mappings (SD-2.x OpenCLIP
+# stores attention qkv as one fused in_proj, shape (3d, ...)): kind is a
+# tuple ("split3_linear" | "split3_direct", slice_index).  convert() slices;
+# deconvert() reassembles all three parts back into the fused source tensor.
+
+
+def _fwd_transform(kind, x):
+    if isinstance(kind, tuple):
+        op, i = kind
+        d = x.shape[0] // 3
+        part = x[i * d:(i + 1) * d]
+        if op == "split3_linear":
+            return np.transpose(part, (1, 0))
+        if op == "split3_direct":
+            return part
+        raise KeyError(f"unknown parametric kind {kind!r}")
+    return _FWD[kind](x)
+
+
+def _inv_assemble(parts):
+    """[(kind_tuple, array), ...] for one fused source key -> source tensor."""
+    op = parts[0][0][0]
+    ordered = [a for _, a in sorted(parts, key=lambda p: p[0][1])]
+    if op == "split3_linear":
+        return np.concatenate([np.transpose(a, (1, 0)) for a in ordered], 0)
+    if op == "split3_direct":
+        return np.concatenate(ordered, 0)
+    raise KeyError(f"unknown parametric kind {parts[0][0]!r}")
+
 
 def _conv(rules, src, dst, bias=True):
     rules.append((f"{src}.weight", f"{dst}/kernel", "conv"))
@@ -203,7 +232,42 @@ def vae_decoder_rules(cfg: SDConfig) -> List[Rule]:
 
 
 # ------------------------------------------------------------------- CLIP
+def _open_clip_rules(cfg: SDConfig) -> List[Rule]:
+    """SD-2.x text tower: OpenCLIP ViT-H under ``cond_stage_model.model.*``.
+
+    Layout differences vs SD-1.x (verified against the standard SD-2.1
+    CompVis checkpoint key schema): positional embedding is a bare param
+    (``positional_embedding``, no ``.weight``), transformer blocks live at
+    ``transformer.resblocks.{i}`` with ``ln_1/ln_2``, ``mlp.c_fc/c_proj``,
+    and attention stores a FUSED ``attn.in_proj_weight``/``in_proj_bias``
+    (3d, d)/(3d,) that we split into our unfused q/k/v."""
+    src = "cond_stage_model.model"
+    rules: List[Rule] = [
+        (f"{src}.token_embedding.weight", "token_embedding", "direct"),
+        (f"{src}.positional_embedding", "position_embedding", "direct"),
+    ]
+    for i in range(cfg.clip.n_layers):
+        lyr = f"{src}.transformer.resblocks.{i}"
+        dst = f"layers/{i}"
+        _norm(rules, f"{lyr}.ln_1", f"{dst}/ln1")
+        for j, ours in enumerate(("q", "k", "v")):
+            rules.append((f"{lyr}.attn.in_proj_weight",
+                          f"{dst}/attn/{ours}/kernel", ("split3_linear", j)))
+            rules.append((f"{lyr}.attn.in_proj_bias",
+                          f"{dst}/attn/{ours}/bias", ("split3_direct", j)))
+        _linear(rules, f"{lyr}.attn.out_proj", f"{dst}/attn/out")
+        _norm(rules, f"{lyr}.ln_2", f"{dst}/ln2")
+        _linear(rules, f"{lyr}.mlp.c_fc", f"{dst}/fc1")
+        _linear(rules, f"{lyr}.mlp.c_proj", f"{dst}/fc2")
+    _norm(rules, f"{src}.ln_final", "final_norm")
+    return rules
+
+
 def clip_rules(cfg: SDConfig) -> List[Rule]:
+    if cfg.clip.layout == "open_clip":
+        return _open_clip_rules(cfg)
+    if cfg.clip.layout != "clip":
+        raise ValueError(f"unknown CLIP layout {cfg.clip.layout!r}")
     src = "cond_stage_model.transformer.text_model"
     rules: List[Rule] = [
         (f"{src}.embeddings.token_embedding.weight", "token_embedding", "direct"),
@@ -235,6 +299,9 @@ _ALL_RULES = {
 _IGNORE_PREFIXES = ("model_ema.", "cond_stage_model.transformer.text_model."
                     "embeddings.position_ids")
 _IGNORE_EXACT = {
+    # SD-2.x OpenCLIP extras not used for conditioning (image-text heads)
+    "cond_stage_model.model.text_projection",
+    "cond_stage_model.model.logit_scale",
     "betas", "alphas_cumprod", "alphas_cumprod_prev", "sqrt_alphas_cumprod",
     "sqrt_one_minus_alphas_cumprod", "log_one_minus_alphas_cumprod",
     "sqrt_recip_alphas_cumprod", "sqrt_recipm1_alphas_cumprod",
@@ -278,7 +345,7 @@ def convert(state_dict: Dict[str, np.ndarray], cfg: SDConfig, dtype=None):
             if src_key not in state_dict:
                 raise KeyError(f"[{name}] missing source key: {src_key}")
             x = np.asarray(state_dict[src_key])
-            flat[dst_path] = jnp.asarray(_FWD[kind](x), dtype)
+            flat[dst_path] = jnp.asarray(_fwd_transform(kind, x), dtype)
             consumed.add(src_key)
         out[name] = _nest(flat)
 
@@ -299,12 +366,19 @@ def deconvert(params: Dict[str, dict], cfg: SDConfig) -> Dict[str, np.ndarray]:
     from ..core.pytree import flatten
 
     sd: Dict[str, np.ndarray] = {}
+    fused: Dict[str, list] = {}
     for name, rule_fn in _ALL_RULES.items():
         flat = flatten(params[name])
         for src_key, dst_path, kind in rule_fn(cfg):
             if dst_path not in flat:
                 raise KeyError(f"[{name}] missing target leaf: {dst_path}")
-            sd[src_key] = _INV[kind](np.asarray(flat[dst_path]))
+            leaf = np.asarray(flat[dst_path])
+            if isinstance(kind, tuple):  # N dst leaves -> 1 fused src tensor
+                fused.setdefault(src_key, []).append((kind, leaf))
+            else:
+                sd[src_key] = _INV[kind](leaf)
+    for src_key, parts in fused.items():
+        sd[src_key] = _inv_assemble(parts)
     return sd
 
 
