@@ -43,9 +43,9 @@ from .models import clip as clip_mod
 from .models import unet as unet_mod
 from .models import vae as vae_mod
 from .models.config import SDConfig, sd15_config
-from .sampling import ddim, ddpm, dpm
+from .sampling import ddim, ddpm, dpm, euler
 
-SAMPLERS = ("ddpm", "ddim", "dpm++")
+SAMPLERS = ("ddpm", "ddim", "dpm++", "euler", "euler_a")
 
 # --------------------------------------------------------------- tokenizing
 def _encode_tokens(tokenizer, prompts, max_len: int) -> np.ndarray:
@@ -199,13 +199,19 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
             def body(step_i, latents):
                 eps, t = eps_at(step_i, latents)
                 noise = step_noises[step_i]
+                lat32 = latents.astype(jnp.float32)
                 if sampler == "ddim":
-                    new_latents = ddim.step(schedule, t, latents.astype(jnp.float32),
-                                            eps, noise,
+                    new_latents = ddim.step(schedule, t, lat32, eps, noise,
                                             num_inference_steps=n_steps, eta=eta)
+                elif sampler == "euler":
+                    new_latents = euler.step(schedule, t, lat32, eps, noise,
+                                             num_inference_steps=n_steps)
+                elif sampler == "euler_a":
+                    new_latents = euler.step_ancestral(
+                        schedule, t, lat32, eps, noise,
+                        num_inference_steps=n_steps)
                 else:
-                    new_latents = ddpm.step(schedule, t, latents.astype(jnp.float32),
-                                            eps, noise,
+                    new_latents = ddpm.step(schedule, t, lat32, eps, noise,
                                             num_inference_steps=n_steps)
                 return new_latents.astype(jnp.float32)
 
