@@ -70,10 +70,22 @@ def init_attn_block(key, channels: int, dtype=jnp.float32):
 
 def apply_attn_block(p, x, groups: int, policy: Policy, *,
                      backend: str = "xla", reference_quirks: bool = False):
-    """1-head spatial self-attention over H*W tokens, no mask (decoder.py:29-73)."""
+    """1-head spatial self-attention over H*W tokens, no mask (decoder.py:29-73).
+
+    The reference has TWO bugs here, both reproduced under quirks (verified
+    by executing the reference at full size, tests/test_reference_goldens.py):
+      * its forward never calls the GroupNorm it initializes — ``residual=x``
+        goes straight to view/attention (decoder.py forward body); the norm
+        weights are loaded but unused;
+      * the un-transpose after attention is the no-op ``transpose(-1, 2)``,
+        so ``view((n,c,h,w))`` reinterprets (h*w, c)-ordered memory
+        (decoder.py:62,67)."""
     n, h, w, c = x.shape
     res = x
-    y = norm.group_norm(p["norm"], x, groups, policy=policy)
+    if reference_quirks:
+        y = x  # reference skips its GroupNorm (bug: initialized, never called)
+    else:
+        y = norm.group_norm(p["norm"], x, groups, policy=policy)
     y = y.reshape(n, h * w, c)
     y = attention.apply(p["attn"], y, n_heads=1, backend=backend, policy=policy)
     if reference_quirks:

@@ -106,7 +106,9 @@ def _conv1x1_as_linear(sd, k, y):
 def vae_attn_block(x, sd, k, groups, quirks):
     n, c, h, w = x.shape
     res = x
-    y = gn(x, sd, f"{k}.norm", groups)
+    # quirk: the reference never calls this block's GroupNorm (initialized
+    # but absent from its forward) — verified by executing the reference
+    y = x if quirks else gn(x, sd, f"{k}.norm", groups)
     y = y.view(n, c, h * w).transpose(-1, -2)
     q = _conv1x1_as_linear(sd, f"{k}.q", y)
     kk = _conv1x1_as_linear(sd, f"{k}.k", y)
