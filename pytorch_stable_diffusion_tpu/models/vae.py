@@ -26,8 +26,11 @@ both mid-blocks.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.dtypes import Policy, FP32
 from ..ops import attention, conv, norm
@@ -190,14 +193,17 @@ def init_decoder(key, cfg: VAEConfig, dtype=jnp.float32):
     return params
 
 
-def apply_decoder(params, latents, cfg: VAEConfig, policy: Policy = FP32,
-                  *, attention_backend: str = "xla", reference_quirks: bool = False):
-    """latents: (N, H/f, W/f, latent_channels) -> image (N, H, W, 3), ~[-1, 1]."""
+def _decoder_head(params, latents, cfg, policy, backend, quirks):
+    """Latent-resolution prefix: scale, 1x1/3x3 convs, mid res+attn+res.
+    Runs whole-image so the global spatial attention stays exact."""
     x = (latents / cfg.scale_factor).astype(policy.compute_dtype)  # decoder.py:364
     x = conv.apply(params["post_quant_conv"], x, policy=policy)
     x = conv.apply(params["conv_in"], x, padding=1, policy=policy)
-    x = _apply_mid(params["mid"], x, cfg.groups, policy,
-                   attention_backend, reference_quirks)
+    return _apply_mid(params["mid"], x, cfg.groups, policy, backend, quirks)
+
+
+def _decoder_tail(params, x, cfg, policy):
+    """Upsampling tail (post-mid): purely local convs + GroupNorms."""
     for level in params["up"]:
         for rp in level["res"]:
             x = apply_res_block(rp, x, cfg.groups, policy)
@@ -206,3 +212,89 @@ def apply_decoder(params, latents, cfg: VAEConfig, policy: Policy = FP32,
             x = conv.apply(level["upsample"], x, padding=1, policy=policy)
     x = silu(norm.group_norm(params["norm_out"], x, cfg.groups, policy=policy))
     return conv.apply(params["conv_out"], x, padding=1, policy=policy)
+
+
+def apply_decoder(params, latents, cfg: VAEConfig, policy: Policy = FP32,
+                  *, attention_backend: str = "xla", reference_quirks: bool = False):
+    """latents: (N, H/f, W/f, latent_channels) -> image (N, H, W, 3), ~[-1, 1]."""
+    x = _decoder_head(params, latents, cfg, policy, attention_backend,
+                      reference_quirks)
+    return _decoder_tail(params, x, cfg, policy)
+
+
+def tail_receptive_halo(cfg: VAEConfig) -> int:
+    """Conv receptive-field radius of the decoder tail, in latent pixels.
+
+    Each 3x3 conv adds a 1-px halo at its own scale = 2^-level latent px:
+    per level, 3 res blocks x 2 convs, plus the upsample conv at the next
+    scale; plus the final output conv.  SD-1.5 (4 levels): ceil(12.25) = 13.
+    """
+    r = 0.0
+    scale = 1.0
+    n_levels = len(cfg.ch_mults)
+    for i in range(n_levels):
+        r += 6.0 * scale           # 3 res blocks x 2 convs
+        if i < n_levels - 1:
+            scale /= 2.0
+            r += 1.0 * scale       # upsample conv at the finer scale
+    r += 1.0 * scale               # conv_out
+    return int(np.ceil(r))
+
+
+def apply_decoder_tiled(params, latents, cfg: VAEConfig, policy: Policy = FP32,
+                        *, tile: int = 64, halo: Optional[int] = None,
+                        attention_backend: str = "xla",
+                        reference_quirks: bool = False):
+    """Memory-bounded decode for hi-res outputs (no reference analog — the
+    reference materializes the whole image, ``decoder.py:342-374``).
+
+    The head (incl. the GLOBAL mid-block attention) runs whole at latent
+    resolution, where activations are small; the upsampling tail — where
+    memory explodes (512 channels at image resolution) — runs as a
+    sequential ``lax.map`` over overlapping spatial tiles, so peak memory is
+    one tile's activations instead of the whole image's.
+
+    ``halo`` defaults to the tail's conv receptive field
+    (:func:`tail_receptive_halo`), which makes every tile interior exact
+    w.r.t. convolutions; GroupNorm spatial statistics are computed per tile
+    (the standard tiled-VAE approximation, cf. diffusers
+    ``enable_vae_tiling``) — tested against whole decode in
+    tests/test_vae_tiling.py.  Border tiles clamp their window to the image
+    so conv zero-padding at the true border matches the whole computation.
+    """
+    x = _decoder_head(params, latents, cfg, policy, attention_backend,
+                      reference_quirks)
+    n, h, w, c = x.shape
+    if halo is None:
+        halo = tail_receptive_halo(cfg)
+    if h <= tile and w <= tile:
+        return _decoder_tail(params, x, cfg, policy)
+    if h % tile or w % tile:
+        raise ValueError(f"latent dims {h}x{w} must be multiples of "
+                         f"tile={tile} (pick a divisor)")
+    win = tile + 2 * halo
+    if win > min(h, w):
+        halo = (min(h, w) - tile) // 2
+        win = tile + 2 * halo
+    up = cfg.downsample_factor
+    gh, gw = h // tile, w // tile
+
+    starts = []
+    for i in range(gh):
+        for j in range(gw):
+            si = min(max(i * tile - halo, 0), h - win)
+            sj = min(max(j * tile - halo, 0), w - win)
+            starts.append((si, sj, i * tile - si, j * tile - sj))
+    starts = jnp.asarray(starts, jnp.int32)  # (T, 4)
+
+    def one(st):
+        si, sj, oi, oj = st[0], st[1], st[2], st[3]
+        win_x = jax.lax.dynamic_slice(x, (0, si, sj, 0), (n, win, win, c))
+        y = _decoder_tail(params, win_x, cfg, policy)
+        return jax.lax.dynamic_slice(
+            y, (0, oi * up, oj * up, 0), (n, tile * up, tile * up, y.shape[-1]))
+
+    tiles = jax.lax.map(one, starts)  # sequential: one tile live at a time
+    tiles = tiles.reshape(gh, gw, n, tile * up, tile * up, tiles.shape[-1])
+    return tiles.transpose(2, 0, 3, 1, 4, 5).reshape(
+        n, h * up, w * up, tiles.shape[-1])

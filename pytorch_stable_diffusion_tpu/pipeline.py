@@ -105,7 +105,8 @@ def get_time_embedding(timestep) -> jax.Array:
 def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                       h_lat: int, w_lat: int, img2img: bool,
                       fixed_noise: bool = False, progress: bool = False,
-                      sampler: str = "ddpm", eta: float = 0.0):
+                      sampler: str = "ddpm", eta: float = 0.0,
+                      decode_tile: Optional[int] = None):
     """Build + jit the full generate computation for one static shape.
 
     ``fixed_noise=True`` compiles a variant whose latent-init / encoder /
@@ -218,10 +219,17 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
             latents = jax.lax.fori_loop(start_step, n_steps, body,
                                         latents.astype(jnp.float32))
 
-        images = vae_mod.apply_decoder(
-            params["decoder"], latents, cfg.vae, policy,
-            attention_backend=cfg.vae_attention_backend,
-            reference_quirks=cfg.reference_quirks)
+        if decode_tile:
+            images = vae_mod.apply_decoder_tiled(
+                params["decoder"], latents, cfg.vae, policy,
+                tile=decode_tile,
+                attention_backend=cfg.vae_attention_backend,
+                reference_quirks=cfg.reference_quirks)
+        else:
+            images = vae_mod.apply_decoder(
+                params["decoder"], latents, cfg.vae, policy,
+                attention_backend=cfg.vae_attention_backend,
+                reference_quirks=cfg.reference_quirks)
         images = rescale(images.astype(jnp.float32), (-1.0, 1.0), (0.0, 255.0),
                          clamp=True)
         return images, latents
@@ -252,6 +260,7 @@ def _run_generate(
     mesh=None,
     progress: bool = False,
     ddim_eta: float = 0.0,
+    decode_tile: Optional[int] = None,
 ):
     """Internal: full-batch generation -> (images (B,H,W,3) uint8, latents).
 
@@ -314,7 +323,7 @@ def _run_generate(
     key = jax.random.PRNGKey(0 if seed is None else seed)
     run = _compiled_txt2img(cfg, n_inference_steps, do_cfg, batch,
                             h_lat, w_lat, img2img, use_fixed, progress,
-                            sampler_name, float(ddim_eta))
+                            sampler_name, float(ddim_eta), decode_tile)
     cond_tokens = jnp.asarray(cond_tokens)
     uncond_tokens = jnp.asarray(uncond_tokens)
     image = jnp.asarray(image)
