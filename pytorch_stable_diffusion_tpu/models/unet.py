@@ -102,20 +102,12 @@ def init_res_block(key, c_in: int, c_out: int, t_dim: int, dtype=jnp.float32):
 
 
 def apply_res_block(p, x, t_emb, groups: int, policy: Policy,
-                    backend: str = "xla", t_projected=None):
-    """diffusion.py:83-209.  t_emb: (B, t_dim) or (1, t_dim) (broadcast).
-
-    ``t_projected``: optional pre-projected (C,) time vector (from
-    :func:`precompute_time_cache`); skips the per-call silu+linear — at
-    batch 1 those are M=1 matmuls repeated every denoise step, a measurable
-    per-step tax the cache amortizes into one M=n_steps matmul."""
+                    backend: str = "xla"):
+    """diffusion.py:83-209.  t_emb: (B, t_dim) or (1, t_dim) (broadcast)."""
     h = norm.group_norm_silu(p["norm1"], x, groups, policy=policy, backend=backend)
     h = conv.apply(p["conv1"], h, padding=1, policy=policy)
-    if t_projected is None:
-        t = linear.apply(p["time_proj"], silu(t_emb), policy)
-        h = h + t[:, None, None, :].astype(h.dtype)
-    else:
-        h = h + t_projected[None, None, None, :].astype(h.dtype)
+    t = linear.apply(p["time_proj"], silu(t_emb), policy)
+    h = h + t[:, None, None, :].astype(h.dtype)
     h = norm.group_norm_silu(p["norm2"], h, groups, policy=policy, backend=backend)
     h = conv.apply(p["conv2"], h, padding=1, policy=policy)
     res = conv.apply(p["shortcut"], x, policy=policy) if "shortcut" in p else x
@@ -216,62 +208,21 @@ def init(key, cfg: UNetConfig, dtype=jnp.float32):
     return params
 
 
-def precompute_time_cache(params, timesteps, cfg: UNetConfig,
-                          policy: Policy = FP32):
-    """All-steps time projections, computed once OUTSIDE the denoise loop.
-
-    ``timesteps``: (S,) int array.  Returns a pytree mirroring the res-block
-    layout whose leaves are (S, C) pre-projected time vectors.  Inside the
-    compiled loop each res block then indexes one row instead of running an
-    M=1 (batch-starved) matmul per step — the embedding MLP and ~22
-    per-block projections become one-off M=S matmuls.  XLA cannot hoist
-    these itself: ``t = timesteps[step_i]`` is loop-variant."""
-    temb = timestep_embedding(timesteps, cfg.model_channels)  # (S, 320)
-    temb = linear.apply(params["time_embed"]["fc1"], temb, policy)
-    temb = linear.apply(params["time_embed"]["fc2"], silu(temb), policy)
-    s = silu(temb)  # (S, t_dim)
-
-    def proj(p):
-        return linear.apply(p["time_proj"], s, policy)  # (S, C)
-
-    return {
-        "encoder": [{"res": proj(st["res"])} if "res" in st else {}
-                    for st in params["encoder"]],
-        "bottleneck": {"res1": proj(params["bottleneck"]["res1"]),
-                       "res2": proj(params["bottleneck"]["res2"])},
-        "decoder": [{"res": proj(st["res"])} for st in params["decoder"]],
-    }
-
-
 def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
           *, attention_backend: str = "xla", reference_quirks: bool = False,
-          t_emb: Optional[jax.Array] = None, time_cache=None,
-          step_index=None):
+          t_emb: Optional[jax.Array] = None):
     """latents: (B, h, w, in_ch); context: (B, S, d_context); t: scalar timestep.
-
-    ``time_cache``/``step_index``: optional precomputed time projections
-    (:func:`precompute_time_cache`) — numerically identical, skips the
-    per-step time matmuls inside compiled loops.
 
     Returns predicted noise (B, h, w, out_ch).
     """
-    if time_cache is None:
-        if t_emb is None:
-            t_emb = timestep_embedding(t, cfg.model_channels)
-        t_emb = linear.apply(params["time_embed"]["fc1"], t_emb, policy)
-        t_emb = linear.apply(params["time_embed"]["fc2"], silu(t_emb), policy)
-    else:
-        t_emb = None
+    if t_emb is None:
+        t_emb = timestep_embedding(t, cfg.model_channels)
+    t_emb = linear.apply(params["time_embed"]["fc1"], t_emb, policy)
+    t_emb = linear.apply(params["time_embed"]["fc2"], silu(t_emb), policy)
 
-    def tp(cache_leaf):
-        if time_cache is None:
-            return None
-        return cache_leaf[step_index]
-
-    def block(stage, x, cache_stage):
+    def block(stage, x):
         x = apply_res_block(stage["res"], x, t_emb, cfg.groups, policy,
-                            backend=attention_backend,
-                            t_projected=tp(cache_stage["res"]) if cache_stage else None)
+                            backend=attention_backend)
         if "attn" in stage:
             x = apply_attn_block(stage["attn"], x, context,
                                  cfg.heads_for(x.shape[-1]), cfg.groups,
@@ -279,36 +230,30 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
                                  reference_quirks=reference_quirks)
         return x
 
-    enc_cache = time_cache["encoder"] if time_cache else [None] * len(params["encoder"])
-    dec_cache = time_cache["decoder"] if time_cache else [None] * len(params["decoder"])
-
     x = conv.apply(params["conv_in"], latents.astype(policy.compute_dtype),
                    padding=1, policy=policy)
     skips = [x]
-    for stage, cst in zip(params["encoder"], enc_cache):
+    for stage in params["encoder"]:
         if "down" in stage:
             # stride-2 symmetric pad=1 (diffusion.py:553 — differs from VAE!)
             x = conv.apply(stage["down"], x, stride=2, padding=1, policy=policy)
         else:
-            x = block(stage, x, cst)
+            x = block(stage, x)
         skips.append(x)
 
     mid = params["bottleneck"]
-    mid_cache = time_cache["bottleneck"] if time_cache else None
     x = apply_res_block(mid["res1"], x, t_emb, cfg.groups, policy,
-                        backend=attention_backend,
-                        t_projected=tp(mid_cache["res1"]) if mid_cache else None)
+                        backend=attention_backend)
     x = apply_attn_block(mid["attn"], x, context,
                          cfg.heads_for(x.shape[-1]), cfg.groups,
                          policy, backend=attention_backend,
                          reference_quirks=reference_quirks)
     x = apply_res_block(mid["res2"], x, t_emb, cfg.groups, policy,
-                        backend=attention_backend,
-                        t_projected=tp(mid_cache["res2"]) if mid_cache else None)
+                        backend=attention_backend)
 
-    for stage, cst in zip(params["decoder"], dec_cache):
+    for stage in params["decoder"]:
         x = jnp.concatenate([x, skips.pop()], axis=-1)
-        x = block(stage, x, cst)
+        x = block(stage, x)
         if "upsample" in stage:
             x = upsample_nearest_2x(x)
             x = conv.apply(stage["upsample"], x, padding=1, policy=policy)

@@ -164,11 +164,6 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
         else:
             latents = init_noise
 
-        # all-steps time projections, hoisted out of the loop (M=n_steps
-        # matmuls once instead of batch-starved M=1 matmuls per step)
-        time_cache = unet_mod.precompute_time_cache(
-            params["diffusion"], timesteps, cfg.unet, policy)
-
         def eps_at(step_i, latents):
             t = timesteps[step_i]
             lat_in = latents.astype(policy.compute_dtype)
@@ -176,8 +171,7 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
             eps = unet_mod.apply(
                 params["diffusion"], model_in, context, t, cfg.unet, policy,
                 attention_backend=cfg.attention_backend,
-                reference_quirks=cfg.reference_quirks,
-                time_cache=time_cache, step_index=step_i)
+                reference_quirks=cfg.reference_quirks)
             if do_cfg:
                 eps_cond, eps_uncond = jnp.split(eps, 2, axis=0)
                 eps = cfg_scale * (eps_cond - eps_uncond) + eps_uncond  # pipeline.py:233
