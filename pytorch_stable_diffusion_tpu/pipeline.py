@@ -45,7 +45,7 @@ from .models import vae as vae_mod
 from .models.config import SDConfig, sd15_config
 from .sampling import ddim, ddpm, dpm, euler
 
-SAMPLERS = ("ddpm", "ddim", "dpm++", "euler", "euler_a")
+SAMPLERS = ("ddpm", "ddim", "dpm++", "euler", "euler_a", "heun")
 
 # --------------------------------------------------------------- tokenizing
 def _encode_tokens(tokenizer, prompts, max_len: int) -> np.ndarray:
@@ -196,6 +196,23 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
             latents, _ = jax.lax.fori_loop(
                 start_step, n_steps, body,
                 (latents.astype(jnp.float32), dpm.init_state(lat_shape)))
+        elif sampler == "heun":
+            # two model evals per step: Euler predict, then trapezoidal
+            # correct with eps at (prediction, next timestep).  The final
+            # step's second eval is computed (fori_loop cannot skip it) but
+            # discarded inside step_heun_correct (sigma_next = 0 rule).
+            def body(step_i, latents):
+                eps, t = eps_at(step_i, latents)
+                lat32 = latents.astype(jnp.float32)
+                pred = euler.step(schedule, t, lat32, eps, None,
+                                  num_inference_steps=n_steps)
+                eps2, _ = eps_at(jnp.minimum(step_i + 1, n_steps - 1), pred)
+                return euler.step_heun_correct(
+                    schedule, t, lat32, eps, eps2,
+                    num_inference_steps=n_steps).astype(jnp.float32)
+
+            latents = jax.lax.fori_loop(start_step, n_steps, body,
+                                        latents.astype(jnp.float32))
         else:
             def body(step_i, latents):
                 eps, t = eps_at(step_i, latents)

@@ -54,6 +54,32 @@ def step(schedule: DDPMSchedule, t, latents, eps, noise, *,
     return (jnp.sqrt(a_next) * x_karras).astype(dt)
 
 
+def step_heun_correct(schedule: DDPMSchedule, t, latents, eps, eps2, *,
+                      num_inference_steps: int):
+    """Second-order (Heun / improved-Euler) correction step.
+
+    ``eps`` is the model's prediction at ``(latents, t)``; ``eps2`` its
+    prediction at the plain Euler result (``step(...)``) and the *next*
+    timestep.  The trapezoidal derivative (eps + eps2)/2 replaces Euler's
+    one-sided eps — k-diffusion's ``sample_heun``.  On the final step
+    (sigma_next = 0) the correction is skipped and the Euler result (the
+    predicted x0, see ``step``) is kept, k-diffusion's final-step rule.
+
+    TPU-native extension; the reference supports only DDPM
+    (``sd/pipeline.py:142-143``).
+    """
+    dt = latents.dtype
+    lat = latents.astype(jnp.float32)
+    prev_t = t - schedule.num_train_timesteps // num_inference_steps
+
+    a_t, a_next, sigma, sigma_next = _sigmas(schedule, t, prev_t)
+    x_karras = lat / jnp.sqrt(a_t)
+    d1 = eps.astype(jnp.float32)
+    d_prime = 0.5 * (d1 + eps2.astype(jnp.float32))
+    d = jnp.where(prev_t < 0, d1, d_prime)
+    return (jnp.sqrt(a_next) * (x_karras + (sigma_next - sigma) * d)).astype(dt)
+
+
 def step_ancestral(schedule: DDPMSchedule, t, latents, eps, noise, *,
                    num_inference_steps: int):
     """One Euler-ancestral step; ``t`` may be traced.  Shapes as ddpm.step."""
