@@ -43,9 +43,9 @@ from .models import clip as clip_mod
 from .models import unet as unet_mod
 from .models import vae as vae_mod
 from .models.config import SDConfig, sd15_config
-from .sampling import ddim, ddpm, dpm, euler
+from .sampling import ddim, ddpm, dpm, euler, unipc
 
-SAMPLERS = ("ddpm", "ddim", "dpm++", "euler", "euler_a", "heun")
+SAMPLERS = ("ddpm", "ddim", "dpm++", "euler", "euler_a", "heun", "unipc")
 
 # --------------------------------------------------------------- tokenizing
 def _encode_tokens(tokenizer, prompts, max_len: int) -> np.ndarray:
@@ -185,17 +185,19 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
 
         # dynamic lower bound: img2img strength skips steps without paying
         # for them (the reference truncates the Python list, ddpm.py:97-99)
-        if sampler == "dpm++":
+        if sampler in ("dpm++", "unipc"):
+            mod = dpm if sampler == "dpm++" else unipc
+
             def body(step_i, carry):
                 lat, st = carry
                 eps, t = eps_at(step_i, lat)
-                new_lat, st = dpm.step(schedule, t, lat, eps, st,
+                new_lat, st = mod.step(schedule, t, lat, eps, st,
                                        num_inference_steps=n_steps)
                 return new_lat.astype(jnp.float32), st
 
             latents, _ = jax.lax.fori_loop(
                 start_step, n_steps, body,
-                (latents.astype(jnp.float32), dpm.init_state(lat_shape)))
+                (latents.astype(jnp.float32), mod.init_state(lat_shape)))
         elif sampler == "heun":
             # two model evals per step: Euler predict, then trapezoidal
             # correct with eps at (prediction, next timestep).  The final
