@@ -34,50 +34,58 @@ BIAS_COL = P(MODEL_AXIS)    # bias of a column-parallel linear
 REPL = P()
 
 
+#: spec per attention leaf ("q/kernel" etc.): column-parallel projections,
+#: row-parallel out; row-parallel bias stays replicated (added after the psum)
+_ATTN_LEAF = {
+    "q/kernel": COL, "k/kernel": COL, "v/kernel": COL,
+    "q/bias": BIAS_COL, "k/bias": BIAS_COL, "v/bias": BIAS_COL,
+    "out/kernel": ROW, "out/bias": REPL,
+}
+
+
 def _attention_rules(prefix: str) -> Dict[str, P]:
-    rules = {}
-    for proj in ("q", "k", "v"):
-        rules[f"{prefix}/{proj}/kernel"] = COL
-        rules[f"{prefix}/{proj}/bias"] = BIAS_COL
-    rules[f"{prefix}/out/kernel"] = ROW
-    # row-parallel bias stays replicated (added after the psum)
-    rules[f"{prefix}/out/bias"] = REPL
-    return rules
+    return {f"{prefix}/{leaf}": spec for leaf, spec in _ATTN_LEAF.items()}
+
+
+def tp_spec(model_name: str, path: str) -> P:
+    """PartitionSpec for ONE flat param path — usable without materializing
+    the pytree (the streamed loader, weights/stream.py, places each tensor
+    as it is read).  The pytree-level ``*_tp_rules`` wrap this."""
+    if model_name == "diffusion":
+        if "/self_attn/" in path or "/cross_attn/" in path:
+            return _ATTN_LEAF.get("/".join(path.rsplit("/", 2)[-2:]), REPL)
+        if path.endswith("geglu_proj/kernel"):
+            return COL
+        if path.endswith("geglu_proj/bias"):
+            return BIAS_COL
+        if path.endswith("geglu_out/kernel"):
+            return ROW
+    elif model_name == "clip":
+        if "/attn/" in path:
+            return _ATTN_LEAF.get("/".join(path.rsplit("/", 2)[-2:]), REPL)
+        if path.endswith("fc1/kernel"):
+            return COL
+        if path.endswith("fc1/bias"):
+            return BIAS_COL
+        if path.endswith("fc2/kernel"):
+            return ROW
+    return REPL
 
 
 def unet_tp_rules(params) -> Dict[str, P]:
     """PartitionSpec per flat param path for the UNet pytree."""
     from ..core.pytree import flatten
 
-    rules: Dict[str, P] = {}
-    for path in flatten(params):
-        if "/self_attn/" in path or "/cross_attn/" in path:
-            head = path.rsplit("/", 2)[0]  # .../{self,cross}_attn
-            rules.update(_attention_rules(head))
-        elif path.endswith("geglu_proj/kernel"):
-            rules[path] = COL
-        elif path.endswith("geglu_proj/bias"):
-            rules[path] = BIAS_COL
-        elif path.endswith("geglu_out/kernel"):
-            rules[path] = ROW
-    return rules
+    return {p: tp_spec("diffusion", p) for p in flatten(params)
+            if tp_spec("diffusion", p) != REPL
+            or p.endswith(("self_attn/out/bias", "cross_attn/out/bias"))}
 
 
 def clip_tp_rules(params) -> Dict[str, P]:
     from ..core.pytree import flatten
 
-    rules: Dict[str, P] = {}
-    for path in flatten(params):
-        if "/attn/" in path:
-            head = path.rsplit("/", 2)[0]
-            rules.update(_attention_rules(head))
-        elif path.endswith("fc1/kernel"):
-            rules[path] = COL
-        elif path.endswith("fc1/bias"):
-            rules[path] = BIAS_COL
-        elif path.endswith("fc2/kernel"):
-            rules[path] = ROW
-    return rules
+    return {p: tp_spec("clip", p) for p in flatten(params)
+            if tp_spec("clip", p) != REPL or p.endswith("attn/out/bias")}
 
 
 def shard_models(models, mesh: Mesh):

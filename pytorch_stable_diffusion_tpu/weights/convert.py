@@ -330,13 +330,23 @@ def _nest(flat: Dict[str, np.ndarray]):
     return listify(root)
 
 
-def convert(state_dict: Dict[str, np.ndarray], cfg: SDConfig, dtype=None):
+def convert(state_dict: Dict[str, np.ndarray], cfg: SDConfig, dtype=None,
+            *, place: Callable = None):
     """CompVis flat state dict -> {'clip','encoder','decoder','diffusion'}.
 
     Raises KeyError on missing source keys and on unconsumed non-ignored
     source keys (exact-coverage, both directions).
+
+    ``state_dict`` may be any Mapping — including a lazy/mmap-backed view
+    (weights/stream.py), in which case tensors are read one at a time.
+    ``place(model_name, dst_path, np_array) -> leaf`` overrides the default
+    leaf construction (``jnp.asarray(x, dtype)``) — the streamed loader uses
+    it to ``device_put`` each tensor with its target sharding as it is read,
+    so the full host-side tree is never materialized.
     """
     dtype = dtype or cfg.policy.param_dtype
+    if place is None:
+        place = lambda name, path, x: jnp.asarray(x, dtype)
     consumed = set()
     out = {}
     for name, rule_fn in _ALL_RULES.items():
@@ -345,7 +355,7 @@ def convert(state_dict: Dict[str, np.ndarray], cfg: SDConfig, dtype=None):
             if src_key not in state_dict:
                 raise KeyError(f"[{name}] missing source key: {src_key}")
             x = np.asarray(state_dict[src_key])
-            flat[dst_path] = jnp.asarray(_fwd_transform(kind, x), dtype)
+            flat[dst_path] = place(name, dst_path, _fwd_transform(kind, x))
             consumed.add(src_key)
         out[name] = _nest(flat)
 
