@@ -74,13 +74,27 @@ def _xla_attention(q, k, v, causal: bool, policy: Policy):
     return out.astype(q.dtype)
 
 
+def _fused_proj(parts, x, policy: Policy):
+    """Apply several same-input linears as ONE matmul (kernels concatenated
+    on the out-dim), then split.  Measured on v5e: fusing self-attention
+    q/k/v cuts the whole SD UNet forward ~5% vs three N=320 matmuls — the
+    MXU tiles the wider N far better (benchmarks/exp_attn_variants.py).
+    The concatenations are loop-invariant (params) and hoisted by XLA."""
+    kern = jnp.concatenate([p["kernel"] for p in parts], axis=1)
+    y = jnp.dot(x.astype(policy.compute_dtype), kern.astype(policy.compute_dtype))
+    if "bias" in parts[0]:
+        y = y + jnp.concatenate([p["bias"] for p in parts]).astype(y.dtype)
+    return jnp.split(y, len(parts), axis=-1)
+
+
 def apply(params, x, context=None, *, n_heads: int, causal: bool = False,
           backend: str = "xla", policy: Policy = FP32):
     """x: (B, S, D); context: (B, S_kv, D_cross) for cross-attention."""
-    kv_src = x if context is None else context
-    q = linear.apply(params["q"], x, policy)
-    k = linear.apply(params["k"], kv_src, policy)
-    v = linear.apply(params["v"], kv_src, policy)
+    if context is None:  # self-attention: one fused qkv matmul
+        q, k, v = _fused_proj((params["q"], params["k"], params["v"]), x, policy)
+    else:  # cross-attention: k/v share the context input
+        q = linear.apply(params["q"], x, policy)
+        k, v = _fused_proj((params["k"], params["v"]), context, policy)
     qh, kh, vh = (_split_heads(t, n_heads) for t in (q, k, v))
     # Flash pays off for long KV (it exists to keep O(S²) scores in VMEM);
     # for short KV (cross-attention over 77 context tokens) the grid's tiny

@@ -37,22 +37,33 @@ from jax.experimental.pallas import tpu as pltpu
 from ...core.dtypes import Policy, FP32
 
 NEG_INF = -1e30
+#: exp(x) == exp2(x * LOG2E); the kernels fold LOG2E into the 1/sqrt(Dh)
+#: logit scale so the (cheaper) hardware exp2 replaces exp with no extra
+#: full-block multiply.
+LOG2E = 1.4426950408889634
 
 
-def _online_update(s, m_prev, l_prev, acc_prev, v, v_dtype):
+def _online_update(s, m_prev, l_prev, acc_prev, v, v_dtype,
+                   masked: bool = True, exp=jnp.exp):
     """One online-softmax step over a (block_q, block_k) score block.
 
     Pure jnp — traced inline by the kernel, unit-testable outside it
     (tests/test_flash_edge.py).  Returns (m_new, l_new, acc_new), fp32.
+
+    ``masked=False`` (statically known: no causal mask, no kv-tail padding)
+    skips the masked-row guard — a full-block compare+select that costs real
+    VPU time at SD's 4096-token blocks.  ``exp`` is jnp.exp2 when the caller
+    pre-scaled the logits by LOG2E.
     """
     m_cur = jnp.max(s, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new)  # (block_q, block_k) f32
-    # Masked-row guard: while m_new is still NEG_INF (nothing unmasked seen
-    # yet), exp(s - m_new) == 1 for masked entries; zero them so a q-row
-    # masked in every block yields 0, not the mean of masked V rows.
-    p = jnp.where(s > NEG_INF * 0.5, p, 0.0)
-    alpha = jnp.exp(m_prev - m_new)  # (block_q, 1)
+    p = exp(s - m_new)  # (block_q, block_k) f32
+    if masked:
+        # Masked-row guard: while m_new is still NEG_INF (nothing unmasked
+        # seen yet), exp(s - m_new) == 1 for masked entries; zero them so a
+        # q-row masked in every block yields 0, not the mean of masked V.
+        p = jnp.where(s > NEG_INF * 0.5, p, 0.0)
+    alpha = exp(m_prev - m_new)  # (block_q, 1)
     l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
     pv = jax.lax.dot_general(
         p.astype(v_dtype), v, (((1,), (0,)), ((), ())),
@@ -77,18 +88,21 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
     k = k_ref[0]  # (block_k, Dh)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (block_q, block_k)
+    ) * (scale * LOG2E)  # (block_q, block_k), log2-space logits
 
-    col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    masked = causal or kv_len % block_k != 0
     if kv_len % block_k != 0:
+        col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < kv_len, s, NEG_INF)
     if causal:
         qi = pl.program_id(1)
+        col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
         s = jnp.where(col <= row, s, NEG_INF)
 
     m_new, l_new, acc_new = _online_update(
-        s, m_ref[:, :1], l_ref[:, :1], acc_ref[:], v_ref[0], v_ref.dtype)
+        s, m_ref[:, :1], l_ref[:, :1], acc_ref[:], v_ref[0], v_ref.dtype,
+        masked=masked, exp=jnp.exp2)
     acc_ref[:] = acc_new
     m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
     l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
@@ -109,7 +123,8 @@ def _onepass_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int,
     k = k_ref[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
+    ) * (scale * LOG2E)  # log2-space logits: exp2 below == exp of s*scale
+    masked = causal or kv_len != s.shape[-1]
     if kv_len != s.shape[-1]:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < kv_len, s, NEG_INF)
@@ -119,10 +134,12 @@ def _onepass_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int,
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col <= row, s, NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    # same masked-row guard as _online_update (a fully-masked q-row would
-    # otherwise output the mean of masked V rows)
-    p = jnp.where(s > NEG_INF * 0.5, p, 0.0)
+    p = jnp.exp2(s - m)
+    if masked:
+        # same masked-row guard as _online_update (a fully-masked q-row would
+        # otherwise output the mean of masked V rows); skipped when masking
+        # is statically impossible — it is a full-block compare+select.
+        p = jnp.where(s > NEG_INF * 0.5, p, 0.0)
     l = jnp.sum(p, axis=-1, keepdims=True)
     pv = jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
