@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--strength", type=float, default=0.9)
     ap.add_argument("--cfg-scale", type=float, default=5.0)   # notebook cell 3
     ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--sampler", default="ddpm",
+                    help="ddpm|ddim|dpm++|euler|euler_a|heun|unipc")
     ap.add_argument("--seed", type=int, default=1337)          # notebook cell 5
     ap.add_argument("--out", default="output.png")
     ap.add_argument("--bf16", action="store_true", default=True)
@@ -69,7 +71,7 @@ def main():
         strength=args.strength,
         do_cfg=True,
         cfg_scale=args.cfg_scale,
-        sampler_name="ddpm",
+        sampler_name=args.sampler,
         n_inference_steps=args.steps,
         models=models,
         seed=args.seed,
