@@ -132,15 +132,31 @@ def init_attn_block(key, channels: int, d_context: int, dtype=jnp.float32):
     }
 
 
+def _proj1x1(p, x, policy: Policy):
+    """A 1x1-conv parameter applied as a matmul over the channel dim of
+    (B, S, C) — identical math to the conv on NHWC."""
+    k = p["kernel"][0, 0].astype(policy.compute_dtype)
+    y = jnp.dot(x.astype(policy.compute_dtype), k)
+    if "bias" in p:
+        y = y + p["bias"].astype(y.dtype)
+    return y
+
+
 def apply_attn_block(p, x, context, n_heads: int, groups: int, policy: Policy,
                      *, backend: str = "xla", reference_quirks: bool = False):
-    """diffusion.py:212-381."""
+    """diffusion.py:212-381.
+
+    The whole block runs in flattened (B, HW, C) form — one reshape at each
+    end, with the 1x1 convs (proj_in/proj_out) as channel matmuls (identical
+    math).  A single layout through the block measured ~5% off the whole
+    UNet forward vs reshaping around NHWC convs, which forced XLA into
+    layout-converting fusions around every residual add
+    (benchmarks/exp_attn_variants2.py)."""
     n, h, w, c = x.shape
-    res_long = x
-    y = norm.group_norm_silu(p["norm"], x, groups, policy=policy,
+    y0 = x.reshape(n, h * w, c)
+    y = norm.group_norm_silu(p["norm"], y0, groups, policy=policy,
                              backend=backend, apply_silu=False)
-    y = conv.apply(p["conv_in"], y, policy=policy)
-    y = y.reshape(n, h * w, c)
+    y = _proj1x1(p["conv_in"], y, policy)
 
     t = norm.layer_norm(p["ln1"], y, policy=policy)
     y = y + attention.apply(p["self_attn"], t, n_heads=n_heads,
@@ -152,8 +168,8 @@ def apply_attn_block(p, x, context, n_heads: int, groups: int, policy: Policy,
     t = geglu(linear.apply(p["geglu_proj"], t, policy), reference_quirks)
     y = y + linear.apply(p["geglu_out"], t, policy)
 
-    y = y.reshape(n, h, w, c)
-    return conv.apply(p["conv_out"], y, policy=policy) + res_long
+    y = _proj1x1(p["conv_out"], y, policy) + y0
+    return y.reshape(n, h, w, c)
 
 
 # ----------------------------------------------------------------- full UNet

@@ -114,36 +114,60 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
 
 
 def _onepass_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int,
-                    causal: bool, block_q: int):
-    """Single KV block covers the whole sequence: plain (still numerically
-    safe) softmax per q block, no cross-step scratch.  This is the common
-    case for SD's spatial attention (Sk <= 4096) and avoids the online
-    rescaling work of the multi-pass kernel."""
+                    causal: bool, block_q: int, chunk: int):
+    """Whole-KV grid cell, processed as INDEPENDENT chunks merged at the end.
+
+    The serial chain QK^T (MXU) -> max/exp/sum (VPU) -> PV (MXU) leaves the
+    MXU idle during the vector work; measured 45 TFLOP/s — exactly the
+    zero-overlap prediction at head_dim 40.  Splitting KV into chunks with
+    per-chunk max/denominator/accumulator and a closed-form merge removes
+    the cross-chunk data dependence, so the scheduler overlaps chunk c+1's
+    matmuls with chunk c's exp: 0.93 -> 0.69 ms on the SD 4096-token shape,
+    62 TFLOP/s = the head_dim-40 MXU ceiling (benchmarks/exp_flash_chunked.py).
+    Merge is the standard flash rescaling, exact up to fp ordering:
+      m = max_c m_c;  l = sum_c l_c 2^(m_c - m);  acc = sum_c pv_c 2^(m_c - m).
+    """
     q = q_ref[0]
-    k = k_ref[0]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * (scale * LOG2E)  # log2-space logits: exp2 below == exp of s*scale
-    masked = causal or kv_len != s.shape[-1]
-    if kv_len != s.shape[-1]:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < kv_len, s, NEG_INF)
-    if causal:
-        qi = pl.program_id(1)
-        row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col <= row, s, NEG_INF)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp2(s - m)
-    if masked:
-        # same masked-row guard as _online_update (a fully-masked q-row would
-        # otherwise output the mean of masked V rows); skipped when masking
-        # is statically impossible — it is a full-block compare+select.
-        p = jnp.where(s > NEG_INF * 0.5, p, 0.0)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    pv = jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    sk_p = k_ref.shape[1]
+    n_chunks = sk_p // chunk
+    ms, ls, pvs = [], [], []
+    for c in range(n_chunks):
+        k = k_ref[0, c * chunk:(c + 1) * chunk]
+        v = v_ref[0, c * chunk:(c + 1) * chunk]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * (scale * LOG2E)  # log2-space logits: exp2 == exp of s*scale
+        masked = causal or (c + 1) * chunk > kv_len
+        if (c + 1) * chunk > kv_len:
+            col = c * chunk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < kv_len, s, NEG_INF)
+        if causal:
+            qi = pl.program_id(1)
+            row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            col = c * chunk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col <= row, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
+        if masked:
+            # masked-row guard as in _online_update (a fully-masked q-row
+            # would otherwise output the mean of masked V rows); skipped
+            # when masking is statically impossible — it is a full-chunk
+            # compare+select.
+            p = jnp.where(s > NEG_INF * 0.5, p, 0.0)
+        ms.append(m)
+        ls.append(jnp.sum(p, axis=-1, keepdims=True))
+        pvs.append(jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    if n_chunks == 1:
+        l, pv = ls[0], pvs[0]
+    else:
+        m_all = functools.reduce(jnp.maximum, ms)
+        # fully-masked rows: every m_c == NEG_INF -> weights 2^0 = 1, but all
+        # l_c/pv_c are 0 (guard above), so the row still outputs 0
+        ws = [jnp.exp2(m - m_all) for m in ms]
+        l = sum(lc * w for lc, w in zip(ls, ws))
+        pv = sum(pvc * w for pvc, w in zip(pvs, ws))
     o_ref[0] = (pv * jnp.reciprocal(jnp.maximum(l, 1e-30))).astype(o_ref.dtype)
 
 
@@ -157,9 +181,34 @@ def _pad_to(x, axis, mult):
     return jnp.pad(x, widths)
 
 
-#: VMEM budget for the one-pass scores block (block_q x Sk_pad x 4B).
-#: 8 MB leaves room for q/k/v/out blocks and double buffering in ~16 MB VMEM.
-ONE_PASS_SCORE_BYTES = 8 * 1024 * 1024
+#: one-pass VMEM budget for a whole grid cell.  The chunks are deliberately
+#: DEPENDENCE-FREE so the scheduler can overlap them — which means in the
+#: worst case EVERY chunk's f32 score block is live at once: the footprint
+#: is block_q * Sk * 4 regardless of chunk size, plus whole-KV residency and
+#: the per-chunk accumulators.  16 MB scoped vmem on v5e; leave headroom.
+_ONEPASS_VMEM_BUDGET = 12 * 1024 * 1024
+_MAX_CHUNKS = 16  # unroll bound (compile time)
+
+
+def _pick_chunk(block_q: int, sk_p: int, dh: int, kv_itemsize: int):
+    """Chunk size for the one-pass kernel at this block_q, or None -> the
+    cell does not fit VMEM (shrink block_q or use the multi-pass grid).
+
+    Prefers 512 (the swept optimum at SD's 4096-token shape), growing by
+    powers of two until the unroll bound holds."""
+    chunk = sk_p
+    c = 512
+    while c <= sk_p:
+        if sk_p % c == 0 and sk_p // c <= _MAX_CHUNKS:
+            chunk = c
+            break
+        c *= 2
+    n = sk_p // chunk
+    total = (block_q * sk_p * 4                    # all chunk scores live
+             + 2 * sk_p * dh * kv_itemsize         # whole K and V
+             + n * block_q * dh * 4                # per-chunk accumulators
+             + block_q * dh * (4 + 2 * kv_itemsize))  # q in, out
+    return chunk if total <= _ONEPASS_VMEM_BUDGET else None
 
 
 @functools.partial(jax.jit, static_argnames=("causal", "policy", "block_q", "block_k"))
@@ -171,20 +220,22 @@ def flash_attention(q, k, v, *, causal: bool = False, policy: Policy = FP32,
     scale = 1.0 / (dh**0.5)
 
     sk_padded = -(-max(sk, 128) // 128) * 128
+    kv_itemsize = jnp.dtype(k.dtype).itemsize
     if block_q is None:
-        # Swept on v5e (benchmarks/flash_tune.py): 256 wins at 4096 tokens;
-        # 512 wins by ~4x at 1024 tokens (fewer, fatter grid cells).  For
-        # very long KV, shrink block_q until one pass fits the VMEM budget
-        # (768² -> Sk 9216 -> block_q 128: 4.7 MB scores, still one pass).
-        block_q = 256 if sq > 2048 else 512
-        while block_q > 128 and block_q * sk_padded * 4 > ONE_PASS_SCORE_BYTES:
+        # Swept on v5e with the chunked kernel (benchmarks/exp_flash_chunked
+        # .py): 512 wins at the SD shapes; for very long KV (768² -> 9216,
+        # 1024² -> 16384 tokens) shrink until the whole cell fits VMEM.
+        block_q = 512
+        while block_q > 128 and _pick_chunk(block_q, sk_padded, dh,
+                                            kv_itemsize) is None:
             block_q //= 2
     block_q = min(block_q, max(8, sq))
     if block_k is None:
-        one_pass_ok = block_q * sk_padded * 4 <= ONE_PASS_SCORE_BYTES
+        one_pass_ok = _pick_chunk(block_q, sk_padded, dh,
+                                  kv_itemsize) is not None
         block_k = sk_padded if one_pass_ok else 2048
     block_k = min(block_k, max(128, sk))
-    if causal and block_q != block_k:
+    if causal and block_k < sk_padded and block_q != block_k:
         block_k = block_q = min(block_q, block_k)
 
     qp = _pad_to(q.reshape(b * h, sq, dh), 1, block_q)
@@ -200,11 +251,14 @@ def flash_attention(q, k, v, *, causal: bool = False, policy: Policy = FP32,
     out_shape = jax.ShapeDtypeStruct((b * h, sq_p, dh), q.dtype)
 
     if nk == 1:
+        chunk = _pick_chunk(block_q, sk_p, dh, jnp.dtype(k.dtype).itemsize)
+        if chunk is None:  # caller forced one-pass past the budget
+            chunk = sk_p
         kv_spec = pl.BlockSpec((1, sk_p, dh), lambda bh, qi: (bh, 0, 0),
                                memory_space=pltpu.VMEM)
         out = pl.pallas_call(
             functools.partial(_onepass_kernel, scale=scale, kv_len=sk,
-                              causal=causal, block_q=block_q),
+                              causal=causal, block_q=block_q, chunk=chunk),
             grid=(b * h, nq),
             in_specs=[q_spec, kv_spec, kv_spec],
             out_specs=q_spec,

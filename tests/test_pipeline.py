@@ -124,7 +124,7 @@ def test_input_validation(tiny_cfg, tiny_models, tiny_tokenizer):
     with pytest.raises(ValueError, match="strength"):
         sdt.generate("x", strength=0.0, **kw)
     with pytest.raises(ValueError, match="sampler"):
-        sdt.generate("x", sampler_name="heun", **kw)
+        sdt.generate("x", sampler_name="plms", **kw)
     with pytest.raises(ValueError, match="models"):
         sdt.generate("x", tokenizer=tiny_tokenizer)
 
