@@ -4,7 +4,6 @@ op-level time breakdown (top-k self-time)."""
 from __future__ import annotations
 
 import glob
-import json
 import sys
 from pathlib import Path
 
@@ -24,17 +23,20 @@ def main():
     cfg = sd15_config(policy=BF16)
     key = jax.random.PRNGKey(0)
     size = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    b = int(sys.argv[2]) if len(sys.argv) > 2 else 2  # CFG batch (2x images)
     hl = size // 8
     up = unet.init(jax.random.fold_in(key, 3), cfg.unet, dtype=jnp.bfloat16)
-    lat = jax.random.normal(key, (2, hl, hl, 4), jnp.bfloat16)
-    ctx = jax.random.normal(key, (2, 77, 768), jnp.bfloat16)
+    lat = jax.random.normal(key, (b, hl, hl, 4), jnp.bfloat16)
+    ctx = jax.random.normal(key, (b, 77, 768), jnp.bfloat16)
+
+    R_ITERS = 5
 
     @jax.jit
     def chained(p, l, c):
         def body(i, x):
             return unet.apply(p, x, c, 981, cfg.unet, cfg.policy,
                               attention_backend="pallas").astype(x.dtype)
-        return jax.lax.fori_loop(0, 5, body, l)
+        return jax.lax.fori_loop(0, R_ITERS, body, l)
 
     float(jnp.ravel(chained(up, lat, ctx))[0])  # compile+warm
 
@@ -47,27 +49,39 @@ def main():
     if not xplanes:
         return
 
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rttd
+    # parse the xplane proto directly (the tensorboard_plugin_profile tool
+    # chain in this image has a protobuf version mismatch); XLA-op events on
+    # the device plane's "XLA Ops" line are non-overlapping, so duration is
+    # self-time.  Requires PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python.
+    import os
+    os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+    import re
+    from collections import defaultdict
 
-    data, _ = rttd.xspace_to_tool_data([xplanes[-1]], "framework_op_stats^",
-                                       {"tqx": "out:json"})
-    try:
-        table = json.loads(data) if isinstance(data, (str, bytes)) else data
-        rows = table["table"]["rows"]
-        cols = [c["label"] for c in table["table"]["cols"]]
-        i_name = cols.index("Operation") if "Operation" in cols else 1
-        i_self = next(i for i, c in enumerate(cols) if "self" in c.lower()
-                      and "time" in c.lower())
-        items = [(r["c"][i_self]["v"], r["c"][i_name]["v"]) for r in rows]
-        items.sort(reverse=True)
-        print(f"{'self-time':>12}  op")
-        for t, name in items[:25]:
-            print(f"{t:>12}  {name[:90]}")
-    except Exception as e:
-        print("parse failed:", repr(e)[:200])
-        out = Path("/tmp/sdt_trace_op_stats.json")
-        out.write_bytes(data if isinstance(data, bytes) else str(data).encode())
-        print("raw tool data saved to", out)
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    xp = xplane_pb2.XSpace()
+    xp.ParseFromString(Path(xplanes[-1]).read_bytes())
+    plane = next(p for p in xp.planes if p.name == "/device:TPU:0")
+    meta = plane.event_metadata
+    line = next(ln for ln in plane.lines if ln.name == "XLA Ops")
+    agg = defaultdict(float)
+    cnt = defaultdict(int)
+    total = 0.0
+    for ev in line.events:
+        name = meta[ev.metadata_id].name
+        if name.startswith("%while"):  # the fori_loop wrapper double-counts
+            continue
+        d = ev.duration_ps / 1e9
+        total += d
+        key = re.sub(r"[.\d]+$", "", name.split(" = ")[0])
+        agg[key] += d
+        cnt[key] += 1
+    print(f"total {total:.2f} ms over {R_ITERS} chained fwds "
+          f"-> {total / R_ITERS:.3f} ms/fwd; top op groups:")
+    for name, t in sorted(agg.items(), key=lambda kv: -kv[1])[:25]:
+        print(f"{t / R_ITERS:8.3f} ms/fwd {100 * t / total:5.1f}% "
+              f"x{cnt[name] // R_ITERS:<4} {name[:80]}")
 
 
 if __name__ == "__main__":
