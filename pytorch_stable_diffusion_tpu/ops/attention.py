@@ -92,6 +92,17 @@ def apply(params, x, context=None, *, n_heads: int, causal: bool = False,
     """x: (B, S, D); context: (B, S_kv, D_cross) for cross-attention."""
     if context is None:  # self-attention: one fused qkv matmul
         q, k, v = _fused_proj((params["q"], params["k"], params["v"]), x, policy)
+        # BSC kernel: heads stay packed in lanes, no (B,S,H,D)<->(B,H,S,D)
+        # transposes around the custom call (-3.3% whole-UNet at CFG batch 8;
+        # benchmarks/exp_bsc_insitu.py).  Falls through when the whole-C KV
+        # exceeds the kernel's VMEM model (e.g. 9216 tokens at 768²).
+        if backend == "pallas" and not causal:
+            from .pallas.flash_attention import bsc_fits, flash_attention_bsc
+
+            if bsc_fits(q.shape[1], k.shape[1], k.shape[2],
+                        jnp.dtype(k.dtype).itemsize):
+                out = flash_attention_bsc(q, k, v, n_heads=n_heads)
+                return linear.apply(params["out"], out, policy)
     else:  # cross-attention: k/v share the context input
         q = linear.apply(params["q"], x, policy)
         k, v = _fused_proj((params["k"], params["v"]), context, policy)

@@ -181,6 +181,119 @@ def _pad_to(x, axis, mult):
     return jnp.pad(x, widths)
 
 
+# --------------------------------------------------------- BSC (no-transpose)
+def _bsc_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_heads: int,
+                chunk: int, kv_len: int):
+    """Heads stay packed in the lane dimension: blocks are contiguous
+    (block_q, H*D) slices of the (B, S, C) tensors, so the caller needs NO
+    (B,S,H,D)<->(B,H,S,D) transposes — which in-situ lower to layout-
+    converting fusions around every attention block (~3.5 ms/fwd at CFG
+    batch 8, benchmarks/exp_bsc_insitu.py: -3.3% whole-UNet).
+
+    Per head: the same dependence-free chunking as _onepass_kernel.  Heads
+    are chained through a zero-valued marker (a false data dependency) so
+    only ONE head's chunk score blocks are live at a time — without it the
+    scheduler may interleave all heads and overflow VMEM."""
+    sk_p = k_ref.shape[1]
+    dh = q_ref.shape[2] // n_heads
+    n_chunks = sk_p // chunk
+    q_all = q_ref[0]  # (block_q, H*D)
+    marker = jnp.float32(0.0)
+    for h in range(n_heads):
+        q = q_all[:, h * dh:(h + 1) * dh]
+        q = q + marker.astype(q.dtype)  # serialize heads (VMEM bound)
+        ms, ls, pvs = [], [], []
+        for c in range(n_chunks):
+            k = k_ref[0, c * chunk:(c + 1) * chunk, h * dh:(h + 1) * dh]
+            v = v_ref[0, c * chunk:(c + 1) * chunk, h * dh:(h + 1) * dh]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * (scale * LOG2E)
+            masked = (c + 1) * chunk > kv_len
+            if masked:
+                col = c * chunk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                s = jnp.where(col < kv_len, s, NEG_INF)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp2(s - m)
+            if masked:
+                p = jnp.where(s > NEG_INF * 0.5, p, 0.0)
+            ms.append(m)
+            ls.append(jnp.sum(p, axis=-1, keepdims=True))
+            pvs.append(jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        if n_chunks == 1:
+            l, pv = ls[0], pvs[0]
+        else:
+            m_all = functools.reduce(jnp.maximum, ms)
+            ws = [jnp.exp2(m - m_all) for m in ms]
+            l = sum(lc * w for lc, w in zip(ls, ws))
+            pv = sum(pvc * w for pvc, w in zip(pvs, ws))
+        out = pv * jnp.reciprocal(jnp.maximum(l, 1e-30))
+        o_ref[0, :, h * dh:(h + 1) * dh] = out.astype(o_ref.dtype)
+        marker = jnp.sum(l) * 0.0
+
+
+#: worst-case VMEM for one BSC grid cell: one head's live chunk scores
+#: (block_q * Sk * 4, chunks of one head may all be in flight) + whole K and
+#: V at full channel width + q/out blocks.
+def _bsc_fits(block_q: int, sk_p: int, c: int, kv_itemsize: int) -> bool:
+    total = (block_q * sk_p * 4
+             + 2 * sk_p * c * kv_itemsize
+             + block_q * c * (4 + 2 * kv_itemsize))
+    return total <= _ONEPASS_VMEM_BUDGET
+
+
+def bsc_fits(sq: int, sk: int, c: int, kv_itemsize: int = 2,
+             block_q: int = 256) -> bool:
+    """Public dispatch predicate for ops.attention (non-causal self-attn)."""
+    sk_p = -(-max(sk, 128) // 128) * 128
+    return sk >= 256 and _bsc_fits(block_q, sk_p, c, kv_itemsize)
+
+
+@functools.partial(jax.jit, static_argnames=("n_heads", "block_q", "chunk"))
+def flash_attention_bsc(q, k, v, *, n_heads: int, block_q: int = 256,
+                        chunk: int = None):
+    """Flash attention on (B, S, H*D) tensors — heads packed in lanes.
+
+    Non-causal self-attention only (the UNet/VAE spatial case).  Equivalent
+    numerics to ``flash_attention`` on the head-split layout, without the
+    surrounding transposes."""
+    b, sq, c = q.shape
+    sk = k.shape[1]
+    dh = c // n_heads
+    scale = 1.0 / (dh**0.5)
+    sk_p = -(-max(sk, 128) // 128) * 128
+    if chunk is None:
+        chunk = sk_p
+        cc = 1024
+        while cc <= sk_p:
+            if sk_p % cc == 0 and sk_p // cc <= _MAX_CHUNKS:
+                chunk = cc
+                break
+            cc *= 2
+    qp = _pad_to(q, 1, block_q)
+    kp = _pad_to(k, 1, chunk)
+    vp = _pad_to(v, 1, chunk)
+    sq_p = qp.shape[1]
+    q_spec = pl.BlockSpec((1, block_q, c), lambda bi, qi: (bi, qi, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, kp.shape[1], c), lambda bi, qi: (bi, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_bsc_kernel, scale=scale, n_heads=n_heads,
+                          chunk=chunk, kv_len=sk),
+        grid=(b, sq_p // block_q),
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((b, sq_p, c), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=jax.default_backend() != "tpu",
+    )(qp, kp, vp)
+    return out[:, :sq]
+
+
 #: one-pass VMEM budget for a whole grid cell.  The chunks are deliberately
 #: DEPENDENCE-FREE so the scheduler can overlap them — which means in the
 #: worst case EVERY chunk's f32 score block is live at once: the footprint

@@ -37,6 +37,38 @@ def test_chunk_selection_model():
     assert fa._pick_chunk(128, 4096, 512, 2) is None
 
 
+@pytest.mark.parametrize("s,heads,dh", [
+    (512, 4, 16),    # multi-head lane slicing
+    (576, 2, 16),    # S not a multiple of 128 (the 768² 24² level shape class)
+    (300, 1, 32),    # padded KV + single head
+])
+def test_bsc_matches_headsplit(s, heads, dh):
+    """The (B,S,H*D) kernel == head-split reference on every layout case."""
+    key = jax.random.PRNGKey(7)
+    c = heads * dh
+    q = jax.random.normal(jax.random.fold_in(key, 1), (2, s, c), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 2), (2, s, c), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 3), (2, s, c), jnp.float32)
+
+    def split(x):
+        return x.reshape(2, s, heads, dh).transpose(0, 2, 1, 3)
+
+    got = np.asarray(fa.flash_attention_bsc(q, k, v, n_heads=heads,
+                                            block_q=128))
+    ref = np.asarray(_xla_attention(split(q), split(k), split(v), False, FP32)
+                     .transpose(0, 2, 1, 3).reshape(2, s, c))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_bsc_dispatch_model():
+    # 512² UNet levels fit; 9216-token KV at C=320 does not (falls back)
+    assert fa.bsc_fits(4096, 4096, 320)
+    assert fa.bsc_fits(1024, 1024, 640)
+    assert fa.bsc_fits(256, 256, 1280)
+    assert not fa.bsc_fits(9216, 9216, 320)
+    assert not fa.bsc_fits(64, 64, 1280)  # short seq -> XLA path anyway
+
+
 @pytest.mark.parametrize("sq,sk,dh,causal", [
     (1152, 1152, 16, False),   # 9 chunks of 128 (odd count), exact KV
     (1024, 1019, 16, False),   # masked tail inside the last chunk
