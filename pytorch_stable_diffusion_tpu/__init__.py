@@ -21,7 +21,8 @@ from .api import StableDiffusion
 from .models.config import (CLIPConfig, SDConfig, UNetConfig, VAEConfig,
                             sd15_config, tiny_sd_config)
 from .core.dtypes import BF16, FP32, MIXED, Policy
-from .pipeline import generate, generate_images, get_time_embedding, rescale
+from .pipeline import (generate, generate_images, generate_many,
+                       get_time_embedding, rescale)
 from .weights.convert import load_sd_checkpoint as load_models
 from .weights.diffusers import load_diffusers_pipeline as load_diffusers_models
 from .weights.stream import load_sd_checkpoint_streamed as load_models_streamed
@@ -31,8 +32,8 @@ __version__ = "0.1.0"
 
 __all__ = [
     "StableDiffusion",
-    "generate", "generate_images", "load_models", "load_diffusers_models",
-    "load_models_streamed", "CLIPTokenizer",
+    "generate", "generate_images", "generate_many", "load_models",
+    "load_diffusers_models", "load_models_streamed", "CLIPTokenizer",
     "SDConfig", "CLIPConfig", "UNetConfig", "VAEConfig",
     "sd15_config", "tiny_sd_config", "Policy", "FP32", "BF16", "MIXED",
     "get_time_embedding", "rescale",

@@ -75,3 +75,11 @@ class StableDiffusion:
                        **kwargs) -> np.ndarray:
         return pipeline_mod.generate_images(list(prompts), uncond_prompts,
                                             **self._kw(kwargs))
+
+    def generate_many(self, prompts: Sequence[str], uncond_prompts="",
+                      batch_size: int = 4, **kwargs) -> np.ndarray:
+        """Serving path: any number of prompts, pipelined in fixed-size
+        compiled batches (async dispatch; see pipeline.generate_many)."""
+        return pipeline_mod.generate_many(list(prompts), uncond_prompts,
+                                          batch_size=batch_size,
+                                          **self._kw(kwargs))

@@ -280,6 +280,7 @@ def _run_generate(
     progress: bool = False,
     ddim_eta: float = 0.0,
     decode_tile: Optional[int] = None,
+    _device_output: bool = False,
 ):
     """Internal: full-batch generation -> (images (B,H,W,3) uint8, latents).
 
@@ -355,6 +356,10 @@ def _run_generate(
     images, latents = run(models, cond_tokens, uncond_tokens, key,
                           jnp.float32(cfg_scale), jnp.int32(start_step),
                           image, noises)
+    if _device_output:
+        # async-dispatch path (generate_many): the caller collects device
+        # arrays later, overlapping further dispatches with device compute
+        return images, latents
     return np.asarray(images).astype(np.uint8), np.asarray(latents)
 
 
@@ -383,3 +388,40 @@ def generate_images(prompts, uncond_prompts="", **kwargs) -> np.ndarray:
     """
     images, _ = _run_generate(list(prompts), uncond_prompts, **kwargs)
     return images
+
+
+def generate_many(prompts, uncond_prompts="", *, batch_size: int = 4,
+                  seed: Optional[int] = None, **kwargs) -> np.ndarray:
+    """Serving-throughput path: any number of prompts -> (N, H, W, 3) uint8.
+
+    Splits the prompt list into ``batch_size`` chunks and dispatches every
+    compiled call back-to-back WITHOUT fetching between them — JAX's async
+    dispatch queues the work, so host-side tokenization and the per-call
+    device-fetch round-trip (~30 ms through the axon relay) overlap with
+    device compute instead of serializing after it.  Sustained throughput
+    approaches pure device time per batch.
+
+    Chunk ``i`` derives its noise from ``seed + i`` (each chunk must differ,
+    and the per-sample PRNG fold-in is position-within-batch based); the
+    final partial chunk is padded by repeating its last prompt and sliced
+    off afterwards, so every call reuses the one compiled program.
+    """
+    prompts = list(prompts)
+    uncond = ([uncond_prompts] * len(prompts)
+              if isinstance(uncond_prompts, str) else list(uncond_prompts))
+    if len(uncond) != len(prompts):
+        raise ValueError("uncond_prompts length must match prompts")
+    n = len(prompts)
+    base_seed = 0 if seed is None else seed
+    device_outs = []
+    for i in range(0, n, batch_size):
+        chunk = prompts[i:i + batch_size]
+        cu = uncond[i:i + batch_size]
+        while len(chunk) < batch_size:  # pad to keep one compiled shape
+            chunk.append(chunk[-1])
+            cu.append(cu[-1])
+        images, _ = _run_generate(chunk, cu, seed=base_seed + i // batch_size,
+                                  _device_output=True, **kwargs)
+        device_outs.append(images)
+    out = np.concatenate([np.asarray(o) for o in device_outs], axis=0)
+    return out[:n].astype(np.uint8)
