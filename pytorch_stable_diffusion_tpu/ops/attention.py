@@ -100,7 +100,7 @@ def apply(params, x, context=None, *, n_heads: int, causal: bool = False,
             from .pallas.flash_attention import bsc_fits, flash_attention_bsc
 
             if bsc_fits(q.shape[1], k.shape[1], k.shape[2],
-                        jnp.dtype(k.dtype).itemsize):
+                        jnp.dtype(k.dtype).itemsize, batch=q.shape[0]):
                 out = flash_attention_bsc(q, k, v, n_heads=n_heads)
                 return linear.apply(params["out"], out, policy)
     else:  # cross-attention: k/v share the context input

@@ -245,10 +245,16 @@ def _bsc_fits(block_q: int, sk_p: int, c: int, kv_itemsize: int) -> bool:
 
 
 def bsc_fits(sq: int, sk: int, c: int, kv_itemsize: int = 2,
-             block_q: int = 256) -> bool:
-    """Public dispatch predicate for ops.attention (non-causal self-attn)."""
+             block_q: int = 256, batch: int = 1) -> bool:
+    """Public dispatch predicate for ops.attention (non-causal self-attn).
+
+    ``batch`` guard (empirical): the kernel's scoped-vmem stack allocation
+    sits ~100 KB under the 16 MB limit at the 4096-token/C=320 shape; at
+    CFG batch 16 Mosaic's allocation crosses it (16.13M observed) even
+    though per-cell shapes are identical.  Rather than ride the cliff,
+    batches past 8 use the head-split kernel (status quo for them)."""
     sk_p = -(-max(sk, 128) // 128) * 128
-    return sk >= 256 and _bsc_fits(block_q, sk_p, c, kv_itemsize)
+    return sk >= 256 and batch <= 8 and _bsc_fits(block_q, sk_p, c, kv_itemsize)
 
 
 @functools.partial(jax.jit, static_argnames=("n_heads", "block_q", "chunk"))
