@@ -314,7 +314,16 @@ def _pick_chunk(block_q: int, sk_p: int, dh: int, kv_itemsize: int):
     cell does not fit VMEM (shrink block_q or use the multi-pass grid).
 
     Prefers 512 (the swept optimum at SD's 4096-token shape), growing by
-    powers of two until the unroll bound holds."""
+    powers of two until the unroll bound holds.
+
+    The additive model below under-counts Mosaic's real stack allocation
+    (double-buffered blocks, bf16 score casts): 16384 tokens at block_q 128
+    models ~11.4 MB but allocates 16.06 MB (64 KB over the limit, measured).
+    9216 tokens (768²) is the largest shape verified to compile AND win over
+    multi-pass on hardware, so cap the one-pass path there; longer KV takes
+    the multi-pass grid, whose VMEM is O(block_q x block_k) by construction."""
+    if sk_p > 9216:
+        return None
     chunk = sk_p
     c = 512
     while c <= sk_p:

@@ -31,8 +31,10 @@ def test_chunk_selection_model():
     assert pick(256, 160) == (512, 256)     # 16² level, single chunk
     bq, chunk = pick(9216, 40)              # 768² level
     assert (bq, chunk) == (256, 1024)       # shrunk block_q, 9 chunks
-    bq, chunk = pick(16384, 40)             # 1024² level
-    assert (bq, chunk) == (128, 1024)
+    # 1024² level (16384 tokens): past the verified one-pass envelope —
+    # Mosaic's real allocation (16.06M measured) exceeds the additive model;
+    # the multi-pass grid takes over
+    assert fa._pick_chunk(128, 16384, 40, 2) is None
     # VAE head_dim 512 at 4096 tokens does not fit one-pass -> multipass
     assert fa._pick_chunk(128, 4096, 512, 2) is None
 
