@@ -281,6 +281,7 @@ def _run_generate(
     ddim_eta: float = 0.0,
     decode_tile: Optional[int] = None,
     _device_output: bool = False,
+    _key: Optional[jax.Array] = None,
 ):
     """Internal: full-batch generation -> (images (B,H,W,3) uint8, latents).
 
@@ -340,7 +341,8 @@ def _run_generate(
     else:
         noises = {"latent_init": jnp.zeros((1,), jnp.float32)}  # unused dummy
 
-    key = jax.random.PRNGKey(0 if seed is None else seed)
+    key = jax.random.PRNGKey(0 if seed is None else seed) if _key is None \
+        else _key
     run = _compiled_txt2img(cfg, n_inference_steps, do_cfg, batch,
                             h_lat, w_lat, img2img, use_fixed, progress,
                             sampler_name, float(ddim_eta), decode_tile)
@@ -401,10 +403,14 @@ def generate_many(prompts, uncond_prompts="", *, batch_size: int = 4,
     device compute instead of serializing after it.  Sustained throughput
     approaches pure device time per batch.
 
-    Chunk ``i`` derives its noise from ``seed + i`` (each chunk must differ,
-    and the per-sample PRNG fold-in is position-within-batch based); the
-    final partial chunk is padded by repeating its last prompt and sliced
-    off afterwards, so every call reuses the one compiled program.
+    Chunk seeding: chunk 0 uses the root key ``PRNGKey(seed)`` (so a call
+    that fits in one batch bit-matches ``generate_images`` at the same
+    seed), and chunk ``k > 0`` folds ``k`` into a dedicated 'chunk' stream
+    of the root key (``core/rng.py``).  Distinct seeds therefore never
+    reproduce each other's chunks — the naive ``seed + k`` scheme would
+    make call(seed=0) chunk 1 identical to call(seed=1) chunk 0.  The final
+    partial chunk is padded by repeating its last prompt and sliced off
+    afterwards, so every call reuses the one compiled program.
     """
     prompts = list(prompts)
     uncond = ([uncond_prompts] * len(prompts)
@@ -412,7 +418,10 @@ def generate_many(prompts, uncond_prompts="", *, batch_size: int = 4,
     if len(uncond) != len(prompts):
         raise ValueError("uncond_prompts length must match prompts")
     n = len(prompts)
-    base_seed = 0 if seed is None else seed
+    if n == 0:
+        return np.zeros((0, kwargs.get("height", 512),
+                         kwargs.get("width", 512), 3), np.uint8)
+    root = jax.random.PRNGKey(0 if seed is None else seed)
     device_outs = []
     for i in range(0, n, batch_size):
         chunk = prompts[i:i + batch_size]
@@ -420,7 +429,10 @@ def generate_many(prompts, uncond_prompts="", *, batch_size: int = 4,
         while len(chunk) < batch_size:  # pad to keep one compiled shape
             chunk.append(chunk[-1])
             cu.append(cu[-1])
-        images, _ = _run_generate(chunk, cu, seed=base_seed + i // batch_size,
+        k = i // batch_size
+        chunk_key = root if k == 0 \
+            else jax.random.fold_in(rng_mod.stream(root, "chunk"), k)
+        images, _ = _run_generate(chunk, cu, _key=chunk_key,
                                   _device_output=True, **kwargs)
         device_outs.append(images)
     out = np.concatenate([np.asarray(o) for o in device_outs], axis=0)
