@@ -72,9 +72,76 @@ def _online_update(s, m_prev, l_prev, acc_prev, v, v_dtype,
     return m_new, l_new, acc_prev * alpha + pv
 
 
+def _chunk_softmax_stats(q, k_ref, v_ref, *, scale: float, kv_len: int,
+                         base: int, last_base: int, chunk: int, n_chunks: int,
+                         causal: bool, block_q: int, row_block):
+    """Per-chunk (m, l, pv) over ``n_chunks`` INDEPENDENT KV chunks starting
+    at ref offset 0 / absolute KV position ``base``, merged closed-form.
+
+    Shared by the one-pass and multi-pass kernels: the chunks carry no
+    cross-chunk data dependence, so the Mosaic scheduler overlaps chunk
+    c+1's MXU matmuls with chunk c's VPU exp — the serial QK -> exp -> PV
+    chain measured 45 vs 62 TFLOP/s at the SD 4096-token shape
+    (benchmarks/exp_flash_chunked.py).  Returns fp32 (m, l, pv) for the
+    whole (block_q, n_chunks*chunk) span.  ``base`` may be traced
+    (multi-pass grid step); ``last_base`` is the STATIC base of the final
+    grid step (0 for one-pass), bounding which chunks can ever cross the
+    kv tail; ``row_block`` is the q-row block index for causal masking.
+    """
+    ms, ls, pvs = [], [], []
+    for c in range(n_chunks):
+        k = k_ref[0, c * chunk:(c + 1) * chunk]
+        v = v_ref[0, c * chunk:(c + 1) * chunk]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * (scale * LOG2E)  # log2-space logits: exp2 == exp of s*scale
+        # tail masking: statically skipped for chunks that cannot cross
+        # kv_len even in the final grid step (earlier steps' col < kv_len
+        # comparisons would be vacuously true anyway)
+        tail_possible = last_base + (c + 1) * chunk > kv_len
+        masked = causal or tail_possible
+        if tail_possible:
+            col = base + c * chunk + jax.lax.broadcasted_iota(
+                jnp.int32, s.shape, 1)
+            s = jnp.where(col < kv_len, s, NEG_INF)
+        if causal:
+            row = row_block * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, s.shape, 0)
+            col = base + c * chunk + jax.lax.broadcasted_iota(
+                jnp.int32, s.shape, 1)
+            s = jnp.where(col <= row, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
+        if masked:
+            # masked-row guard (see module docstring): a fully-masked q-row
+            # must yield l=0/pv=0, not the mean of masked V rows.  Skipped
+            # when masking is statically impossible — it is a full-chunk
+            # compare+select.
+            p = jnp.where(s > NEG_INF * 0.5, p, 0.0)
+        ms.append(m)
+        ls.append(jnp.sum(p, axis=-1, keepdims=True))
+        pvs.append(jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    if n_chunks == 1:
+        return ms[0], ls[0], pvs[0]
+    m_all = functools.reduce(jnp.maximum, ms)
+    # fully-masked rows: every m_c == NEG_INF -> weights 2^0 = 1, but all
+    # l_c/pv_c are 0 (guard above), so the row still outputs 0
+    ws = [jnp.exp2(m - m_all) for m in ms]
+    l = sum(lc * w for lc, w in zip(ls, ws))
+    pv = sum(pvc * w for pvc, w in zip(pvs, ws))
+    return m_all, l, pv
+
+
 def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
             *, scale: float, kv_len: int, block_k: int, causal: bool,
-            block_q: int):
+            block_q: int, chunk: int, n_kv_steps: int):
+    """Multi-pass grid cell: running (m, l, acc) scratch across sequential
+    kv steps, each step's block_k processed as independent chunks (round 3:
+    the serial QK->exp->PV chain previously left the MXU idle here — the
+    exact penalty the one-pass chunked kernel was built to remove; long-KV
+    shapes like 1024² = 16384 tokens only have this path)."""
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -85,25 +152,21 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     q = q_ref[0]  # (block_q, Dh)
-    k = k_ref[0]  # (block_k, Dh)
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * (scale * LOG2E)  # (block_q, block_k), log2-space logits
+    m_blk, l_blk, pv_blk = _chunk_softmax_stats(
+        q, k_ref, v_ref, scale=scale, kv_len=kv_len, base=ki * block_k,
+        last_base=(n_kv_steps - 1) * block_k, chunk=chunk,
+        n_chunks=block_k // chunk, causal=causal,
+        block_q=block_q, row_block=pl.program_id(1))
 
-    masked = causal or kv_len % block_k != 0
-    if kv_len % block_k != 0:
-        col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < kv_len, s, NEG_INF)
-    if causal:
-        qi = pl.program_id(1)
-        col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-        s = jnp.where(col <= row, s, NEG_INF)
-
-    m_new, l_new, acc_new = _online_update(
-        s, m_ref[:, :1], l_ref[:, :1], acc_ref[:], v_ref[0], v_ref.dtype,
-        masked=masked, exp=jnp.exp2)
-    acc_ref[:] = acc_new
+    # merge the block's stats into the running scratch (standard flash
+    # rescaling, operating on pre-reduced (m, l, pv) instead of raw scores)
+    m_prev = m_ref[:, :1]
+    l_prev = l_ref[:, :1]
+    m_new = jnp.maximum(m_prev, m_blk)
+    alpha = jnp.exp2(m_prev - m_new)
+    beta = jnp.exp2(m_blk - m_new)
+    l_new = alpha * l_prev + beta * l_blk
+    acc_ref[:] = acc_ref[:] * alpha + pv_blk * beta
     m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
     l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
 
@@ -129,45 +192,10 @@ def _onepass_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int,
     """
     q = q_ref[0]
     sk_p = k_ref.shape[1]
-    n_chunks = sk_p // chunk
-    ms, ls, pvs = [], [], []
-    for c in range(n_chunks):
-        k = k_ref[0, c * chunk:(c + 1) * chunk]
-        v = v_ref[0, c * chunk:(c + 1) * chunk]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * (scale * LOG2E)  # log2-space logits: exp2 == exp of s*scale
-        masked = causal or (c + 1) * chunk > kv_len
-        if (c + 1) * chunk > kv_len:
-            col = c * chunk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(col < kv_len, s, NEG_INF)
-        if causal:
-            qi = pl.program_id(1)
-            row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-            col = c * chunk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(col <= row, s, NEG_INF)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp2(s - m)
-        if masked:
-            # masked-row guard as in _online_update (a fully-masked q-row
-            # would otherwise output the mean of masked V rows); skipped
-            # when masking is statically impossible — it is a full-chunk
-            # compare+select.
-            p = jnp.where(s > NEG_INF * 0.5, p, 0.0)
-        ms.append(m)
-        ls.append(jnp.sum(p, axis=-1, keepdims=True))
-        pvs.append(jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32))
-    if n_chunks == 1:
-        l, pv = ls[0], pvs[0]
-    else:
-        m_all = functools.reduce(jnp.maximum, ms)
-        # fully-masked rows: every m_c == NEG_INF -> weights 2^0 = 1, but all
-        # l_c/pv_c are 0 (guard above), so the row still outputs 0
-        ws = [jnp.exp2(m - m_all) for m in ms]
-        l = sum(lc * w for lc, w in zip(ls, ws))
-        pv = sum(pvc * w for pvc, w in zip(pvs, ws))
+    _, l, pv = _chunk_softmax_stats(
+        q, k_ref, v_ref, scale=scale, kv_len=kv_len, base=0, last_base=0,
+        chunk=chunk, n_chunks=sk_p // chunk, causal=causal, block_q=block_q,
+        row_block=pl.program_id(1))
     o_ref[0] = (pv * jnp.reciprocal(jnp.maximum(l, 1e-30))).astype(o_ref.dtype)
 
 
@@ -191,17 +219,21 @@ def _bsc_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_heads: int,
     batch 8, benchmarks/exp_bsc_insitu.py: -3.3% whole-UNet).
 
     Per head: the same dependence-free chunking as _onepass_kernel.  Heads
-    are chained through a zero-valued marker (a false data dependency) so
-    only ONE head's chunk score blocks are live at a time — without it the
-    scheduler may interleave all heads and overflow VMEM."""
+    are chained through ``lax.optimization_barrier`` (head h's q is tied to
+    head h-1's denominator) so only ONE head's chunk score blocks are live
+    at a time — without it the scheduler may interleave all heads and
+    overflow VMEM.  A barrier is used rather than an arithmetic marker
+    (``+ l*0.0``) because a compiler pass may legally constant-fold x*0.0
+    and silently re-parallelize the heads (ADVICE r2)."""
     sk_p = k_ref.shape[1]
     dh = q_ref.shape[2] // n_heads
     n_chunks = sk_p // chunk
     q_all = q_ref[0]  # (block_q, H*D)
-    marker = jnp.float32(0.0)
+    marker = None
     for h in range(n_heads):
         q = q_all[:, h * dh:(h + 1) * dh]
-        q = q + marker.astype(q.dtype)  # serialize heads (VMEM bound)
+        if marker is not None:  # serialize heads (VMEM bound)
+            q, _ = jax.lax.optimization_barrier((q, marker))
         ms, ls, pvs = [], [], []
         for c in range(n_chunks):
             k = k_ref[0, c * chunk:(c + 1) * chunk, h * dh:(h + 1) * dh]
@@ -231,7 +263,7 @@ def _bsc_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_heads: int,
             pv = sum(pvc * w for pvc, w in zip(pvs, ws))
         out = pv * jnp.reciprocal(jnp.maximum(l, 1e-30))
         o_ref[0, :, h * dh:(h + 1) * dh] = out.astype(o_ref.dtype)
-        marker = jnp.sum(l) * 0.0
+        marker = l
 
 
 #: worst-case VMEM for one BSC grid cell: one head's live chunk scores
@@ -339,10 +371,16 @@ def _pick_chunk(block_q: int, sk_p: int, dh: int, kv_itemsize: int):
     return chunk if total <= _ONEPASS_VMEM_BUDGET else None
 
 
-@functools.partial(jax.jit, static_argnames=("causal", "policy", "block_q", "block_k"))
+@functools.partial(jax.jit, static_argnames=("causal", "policy", "block_q",
+                                             "block_k", "block_chunk"))
 def flash_attention(q, k, v, *, causal: bool = False, policy: Policy = FP32,
-                    block_q: int = None, block_k: int = None):
-    """q: (B, H, Sq, Dh); k,v: (B, H, Sk, Dh) -> (B, H, Sq, Dh)."""
+                    block_q: int = None, block_k: int = None,
+                    block_chunk: int = None):
+    """q: (B, H, Sq, Dh); k,v: (B, H, Sk, Dh) -> (B, H, Sq, Dh).
+
+    ``block_chunk`` overrides the multi-pass kernel's intra-step chunk size
+    (benchmarks only; pass block_chunk == block_k to force the serial
+    QK->exp->PV form)."""
     b, h, sq, dh = q.shape
     sk = k.shape[2]
     scale = 1.0 / (dh**0.5)
@@ -357,6 +395,12 @@ def flash_attention(q, k, v, *, causal: bool = False, policy: Policy = FP32,
         while block_q > 128 and _pick_chunk(block_q, sk_padded, dh,
                                             kv_itemsize) is None:
             block_q //= 2
+        if _pick_chunk(block_q, sk_padded, dh, kv_itemsize) is None \
+                and sk_padded > 9216 and dh <= 128:
+            # long-KV multi-pass: VMEM is O(block_q * block_k) by
+            # construction, so keep MXU-wide q blocks (swept: 512 at 16384
+            # tokens, benchmarks/exp_flash_long.py)
+            block_q = 512
     block_q = min(block_q, max(8, sq))
     if block_k is None:
         one_pass_ok = _pick_chunk(block_q, sk_padded, dh,
@@ -398,12 +442,22 @@ def flash_attention(q, k, v, *, causal: bool = False, policy: Policy = FP32,
         )(qp, kp, vp)
         return out[:, :sq].reshape(b, h, sq, dh)
 
+    # chunk the block_k span for MXU/VPU overlap within each kv step (512 =
+    # the swept optimum; fall back to whole-block when it does not divide)
+    blk_chunk = block_chunk
+    if blk_chunk is None:
+        blk_chunk = block_k
+        for c in (512, 1024):
+            if block_k % c == 0 and block_k // c <= _MAX_CHUNKS:
+                blk_chunk = c
+                break
     kv_spec = pl.BlockSpec((1, block_k, dh), lambda bh, qi, ki: (bh, ki, 0),
                            memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(
             _kernel, scale=scale, kv_len=sk, block_k=block_k,
-            causal=causal, block_q=block_q,
+            causal=causal, block_q=block_q, chunk=blk_chunk,
+            n_kv_steps=nk,
         ),
         grid=(b * h, nq, nk),
         in_specs=[q_spec, kv_spec, kv_spec],

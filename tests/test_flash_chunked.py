@@ -43,6 +43,7 @@ def test_chunk_selection_model():
     (512, 4, 16),    # multi-head lane slicing
     (576, 2, 16),    # S not a multiple of 128 (the 768² 24² level shape class)
     (300, 1, 32),    # padded KV + single head
+    (2048, 2, 16),   # ≥2 chunks of 1024: the multi-chunk merge actually runs
 ])
 def test_bsc_matches_headsplit(s, heads, dh):
     """The (B,S,H*D) kernel == head-split reference on every layout case."""
@@ -74,7 +75,10 @@ def test_bsc_dispatch_model():
 @pytest.mark.parametrize("sq,sk,dh,causal", [
     (1152, 1152, 16, False),   # 9 chunks of 128 (odd count), exact KV
     (1024, 1019, 16, False),   # masked tail inside the last chunk
-    (640, 640, 16, True),      # causal across chunk boundaries
+    (640, 640, 16, True),      # causal, single 640-token chunk
+    (1024, 1024, 16, True),    # causal ACROSS chunk boundaries (2 x 512:
+                               # rows of chunk 0 mask all of chunk 1, so the
+                               # fully-masked-chunk merge path runs too)
     (512, 300, 16, False),     # padded KV, partial final chunk
 ])
 def test_chunked_matches_xla(sq, sk, dh, causal):
@@ -85,5 +89,25 @@ def test_chunked_matches_xla(sq, sk, dh, causal):
     # force multi-chunk one-pass: block_k == padded sk selects the one-pass
     # kernel; _pick_chunk then splits it internally
     got = np.asarray(fa.flash_attention(q, k, v, causal=causal, block_q=128))
+    ref = np.asarray(_xla_attention(q, k, v, causal, FP32))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("sq,sk,dh,causal,bq,bk", [
+    # multi-pass grid (nk > 1) with chunked kv steps (round 3): 4 chunks of
+    # 512 inside each 2048-token step, running m/l/acc merge across steps
+    (512, 4096, 16, False, 128, 2048),
+    # kv tail inside the LAST grid step's last chunk (last_base static bound)
+    (512, 4000, 16, False, 128, 2048),
+    # causal multi-pass with chunks (block_q == block_k rule)
+    (2048, 2048, 16, True, 1024, 1024),
+])
+def test_multipass_chunked_matches_xla(sq, sk, dh, causal, bq, bk):
+    key = jax.random.PRNGKey(5)
+    q = jax.random.normal(jax.random.fold_in(key, 1), (1, 1, sq, dh), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 2), (1, 1, sk, dh), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 3), (1, 1, sk, dh), jnp.float32)
+    got = np.asarray(fa.flash_attention(q, k, v, causal=causal,
+                                        block_q=bq, block_k=bk))
     ref = np.asarray(_xla_attention(q, k, v, causal, FP32))
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
