@@ -34,6 +34,59 @@ def test_export_roundtrip(tiny_cfg, tiny_models, tiny_tokenizer):
     np.testing.assert_array_equal(images[0], live)
 
 
+def test_export_img2img_roundtrip(tiny_cfg, tiny_models, tiny_tokenizer):
+    """Round 3: the serving artifact covers img2img (VAE encode +
+    traced start_step strength), matching the live pipeline bit-for-bit."""
+    blob = aot.export_pipeline(tiny_cfg, tiny_models, n_steps=N_STEPS,
+                               batch=1, height=H, width=W, img2img=True)
+    loaded = aot.load_pipeline(blob)
+    assert loaded.image_shape == (1, H, W, 3)
+
+    rng = np.random.RandomState(3)
+    img_u8 = rng.randint(0, 256, size=(H, W, 3)).astype(np.uint8)
+
+    import pytorch_stable_diffusion_tpu as sdt
+    from pytorch_stable_diffusion_tpu.sampling import ddpm as ddpm_mod
+
+    strength = 0.8
+    live = sdt.generate("a cat", "", models=tiny_models,
+                        tokenizer=tiny_tokenizer, seed=5,
+                        n_inference_steps=N_STEPS, config=tiny_cfg,
+                        height=H, width=W, input_image=img_u8,
+                        strength=strength)
+
+    toks = np.asarray([tiny_tokenizer.encode("a cat")], np.int32)
+    un = np.asarray([tiny_tokenizer.encode("")], np.int32)
+    start = ddpm_mod.start_step_for_strength(N_STEPS, strength)
+    image_f = (img_u8.astype(np.float32) / 255.0) * 2.0 - 1.0
+    images, _ = loaded(tiny_models, toks, un, jax.random.PRNGKey(5), 7.5,
+                       start_step=start, input_image=image_f[None])
+    np.testing.assert_array_equal(images[0], live)
+
+
+def test_export_sampler_and_tile_variants(tiny_cfg, tiny_models,
+                                          tiny_tokenizer):
+    """Every BASELINE config knob exports: alternative samplers, eta,
+    tiled decode."""
+    toks = np.asarray([tiny_tokenizer.encode("a cat")], np.int32)
+    un = np.asarray([tiny_tokenizer.encode("")], np.int32)
+    key = jax.random.PRNGKey(1)
+
+    blob = aot.export_pipeline(tiny_cfg, tiny_models, n_steps=N_STEPS,
+                               height=H, width=W, sampler="ddim",
+                               ddim_eta=0.5)
+    images, _ = aot.load_pipeline(blob)(tiny_models, toks, un, key, 7.5)
+    assert images.dtype == np.uint8
+
+    blob = aot.export_pipeline(tiny_cfg, tiny_models, n_steps=N_STEPS,
+                               height=H, width=W, decode_tile=4)
+    img_tiled, _ = aot.load_pipeline(blob)(tiny_models, toks, un, key, 7.5)
+    assert img_tiled.shape == (1, H, W, 3)
+
+
 def test_export_validates_size(tiny_cfg, tiny_models):
     with pytest.raises(ValueError, match="multiples"):
         aot.export_pipeline(tiny_cfg, tiny_models, height=17, width=16)
+    with pytest.raises(ValueError, match="sampler"):
+        aot.export_pipeline(tiny_cfg, tiny_models, height=16, width=16,
+                            sampler="nope")
