@@ -44,12 +44,14 @@ def init(key, cfg: CLIPConfig, dtype=jnp.float32):
     return params
 
 
-def apply(params, tokens, cfg: CLIPConfig, policy: Policy = FP32):
+def apply(params, tokens, cfg: CLIPConfig, policy: Policy = FP32,
+          *, fuse_qkv: bool = True):
     """tokens: (B, max_len) int32 -> (B, max_len, d_model).
 
     cfg.stop_at_layer truncates the stack (SD-2.x penultimate-layer
     conditioning); cfg.hidden_act selects QuickGELU (SD-1.x) vs GELU
-    (OpenCLIP).
+    (OpenCLIP).  ``fuse_qkv=False`` under tensor parallelism (see
+    ops/attention.apply).
     """
     import jax.nn
 
@@ -60,7 +62,7 @@ def apply(params, tokens, cfg: CLIPConfig, policy: Policy = FP32):
     for lp in params["layers"][:n_run]:
         h = norm.layer_norm(lp["ln1"], x, policy=policy)
         h = attention.apply(lp["attn"], h, n_heads=cfg.n_heads, causal=True,
-                            backend="xla", policy=policy)
+                            backend="xla", policy=policy, fuse=fuse_qkv)
         x = x + h
         h = norm.layer_norm(lp["ln2"], x, policy=policy)
         h = linear.apply(lp["fc1"], h, policy)

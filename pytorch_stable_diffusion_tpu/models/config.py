@@ -117,6 +117,17 @@ class SDConfig:
     reference_quirks: bool = False
     #: "epsilon" (SD-1.x / SD-2-base) or "v" (SD-2.x 768-v checkpoints).
     prediction_type: str = "epsilon"
+    #: Fuse same-input q/k/v projections into one wide matmul (measured ~5%
+    #: whole-UNet win on a single chip).  The pipeline forces this False on
+    #: a tensor-parallel mesh: the fused concatenation runs along the
+    #: Megatron column-sharded kernel axis, making GSPMD gather the
+    #: deliberately-sharded weights (ADVICE r2).
+    fuse_qkv: bool = True
+    #: UNet dynamic w8a8 int8 for wide contractions (ops/quant.py):
+    #: "none" (exact bf16/fp32), "wide" (K >= 1280 matmuls/1x1s only — the
+    #: 16²/8² levels), "conv" (additionally every 3x3 conv).  Perf tier; the
+    #: in-situ hardware A/B decides the shipping default.
+    quant: str = "none"
 
 
 def tiny_sd_config(policy: Policy = FP32, **kw) -> SDConfig:

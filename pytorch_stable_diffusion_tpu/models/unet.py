@@ -102,15 +102,16 @@ def init_res_block(key, c_in: int, c_out: int, t_dim: int, dtype=jnp.float32):
 
 
 def apply_res_block(p, x, t_emb, groups: int, policy: Policy,
-                    backend: str = "xla"):
+                    backend: str = "xla", quant: str = "none"):
     """diffusion.py:83-209.  t_emb: (B, t_dim) or (1, t_dim) (broadcast)."""
     h = norm.group_norm_silu(p["norm1"], x, groups, policy=policy, backend=backend)
-    h = conv.apply(p["conv1"], h, padding=1, policy=policy)
+    h = conv.apply(p["conv1"], h, padding=1, policy=policy, quant=quant)
     t = linear.apply(p["time_proj"], silu(t_emb), policy)
     h = h + t[:, None, None, :].astype(h.dtype)
     h = norm.group_norm_silu(p["norm2"], h, groups, policy=policy, backend=backend)
-    h = conv.apply(p["conv2"], h, padding=1, policy=policy)
-    res = conv.apply(p["shortcut"], x, policy=policy) if "shortcut" in p else x
+    h = conv.apply(p["conv2"], h, padding=1, policy=policy, quant=quant)
+    res = conv.apply(p["shortcut"], x, policy=policy, quant=quant) \
+        if "shortcut" in p else x
     return h + res
 
 
@@ -132,9 +133,16 @@ def init_attn_block(key, channels: int, d_context: int, dtype=jnp.float32):
     }
 
 
-def _proj1x1(p, x, policy: Policy):
+def _proj1x1(p, x, policy: Policy, quant: str = "none"):
     """A 1x1-conv parameter applied as a matmul over the channel dim of
     (B, S, C) — identical math to the conv on NHWC."""
+    if quant != "none":
+        from ..ops import quant as quant_mod
+
+        if quant_mod.matmul_wants_int8(quant, p["kernel"].shape[2]):
+            return quant_mod.int8_linear(x, p["kernel"][0, 0],
+                                         p.get("bias")).astype(
+                policy.compute_dtype)
     k = p["kernel"][0, 0].astype(policy.compute_dtype)
     y = jnp.dot(x.astype(policy.compute_dtype), k)
     if "bias" in p:
@@ -143,7 +151,8 @@ def _proj1x1(p, x, policy: Policy):
 
 
 def apply_attn_block(p, x, context, n_heads: int, groups: int, policy: Policy,
-                     *, backend: str = "xla", reference_quirks: bool = False):
+                     *, backend: str = "xla", reference_quirks: bool = False,
+                     fuse_qkv: bool = True, quant: str = "none"):
     """diffusion.py:212-381.
 
     The whole block runs in flattened (B, HW, C) form — one reshape at each
@@ -156,19 +165,21 @@ def apply_attn_block(p, x, context, n_heads: int, groups: int, policy: Policy,
     y0 = x.reshape(n, h * w, c)
     y = norm.group_norm_silu(p["norm"], y0, groups, policy=policy,
                              backend=backend, apply_silu=False)
-    y = _proj1x1(p["conv_in"], y, policy)
+    y = _proj1x1(p["conv_in"], y, policy, quant)
 
     t = norm.layer_norm(p["ln1"], y, policy=policy)
     y = y + attention.apply(p["self_attn"], t, n_heads=n_heads,
-                            backend=backend, policy=policy)
+                            backend=backend, policy=policy, fuse=fuse_qkv,
+                            quant=quant)
     t = norm.layer_norm(p["ln2"], y, policy=policy)
     y = y + attention.apply(p["cross_attn"], t, context, n_heads=n_heads,
-                            backend=backend, policy=policy)
+                            backend=backend, policy=policy, fuse=fuse_qkv,
+                            quant=quant)
     t = norm.layer_norm(p["ln3"], y, policy=policy)
-    t = geglu(linear.apply(p["geglu_proj"], t, policy), reference_quirks)
-    y = y + linear.apply(p["geglu_out"], t, policy)
+    t = geglu(linear.apply(p["geglu_proj"], t, policy, quant), reference_quirks)
+    y = y + linear.apply(p["geglu_out"], t, policy, quant)
 
-    y = _proj1x1(p["conv_out"], y, policy) + y0
+    y = _proj1x1(p["conv_out"], y, policy, quant) + y0
     return y.reshape(n, h, w, c)
 
 
@@ -226,10 +237,15 @@ def init(key, cfg: UNetConfig, dtype=jnp.float32):
 
 def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
           *, attention_backend: str = "xla", reference_quirks: bool = False,
-          t_emb: Optional[jax.Array] = None):
+          t_emb: Optional[jax.Array] = None, fuse_qkv: bool = True,
+          quant: str = "none"):
     """latents: (B, h, w, in_ch); context: (B, S, d_context); t: scalar timestep.
 
     Returns predicted noise (B, h, w, out_ch).
+
+    ``quant``: dynamic w8a8 int8 for wide contractions ("wide": only
+    K >= 1280 matmuls/1x1s; "conv": additionally every 3x3 conv, whose
+    effective K = 9·C >= 2880 at all levels).  See ops/quant.py.
     """
     if t_emb is None:
         t_emb = timestep_embedding(t, cfg.model_channels)
@@ -238,12 +254,13 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
 
     def block(stage, x):
         x = apply_res_block(stage["res"], x, t_emb, cfg.groups, policy,
-                            backend=attention_backend)
+                            backend=attention_backend, quant=quant)
         if "attn" in stage:
             x = apply_attn_block(stage["attn"], x, context,
                                  cfg.heads_for(x.shape[-1]), cfg.groups,
                                  policy, backend=attention_backend,
-                                 reference_quirks=reference_quirks)
+                                 reference_quirks=reference_quirks,
+                                 fuse_qkv=fuse_qkv, quant=quant)
         return x
 
     x = conv.apply(params["conv_in"], latents.astype(policy.compute_dtype),
@@ -252,27 +269,30 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
     for stage in params["encoder"]:
         if "down" in stage:
             # stride-2 symmetric pad=1 (diffusion.py:553 — differs from VAE!)
-            x = conv.apply(stage["down"], x, stride=2, padding=1, policy=policy)
+            x = conv.apply(stage["down"], x, stride=2, padding=1,
+                           policy=policy, quant=quant)
         else:
             x = block(stage, x)
         skips.append(x)
 
     mid = params["bottleneck"]
     x = apply_res_block(mid["res1"], x, t_emb, cfg.groups, policy,
-                        backend=attention_backend)
+                        backend=attention_backend, quant=quant)
     x = apply_attn_block(mid["attn"], x, context,
                          cfg.heads_for(x.shape[-1]), cfg.groups,
                          policy, backend=attention_backend,
-                         reference_quirks=reference_quirks)
+                         reference_quirks=reference_quirks,
+                         fuse_qkv=fuse_qkv, quant=quant)
     x = apply_res_block(mid["res2"], x, t_emb, cfg.groups, policy,
-                        backend=attention_backend)
+                        backend=attention_backend, quant=quant)
 
     for stage in params["decoder"]:
         x = jnp.concatenate([x, skips.pop()], axis=-1)
         x = block(stage, x)
         if "upsample" in stage:
             x = upsample_nearest_2x(x)
-            x = conv.apply(stage["upsample"], x, padding=1, policy=policy)
+            x = conv.apply(stage["upsample"], x, padding=1, policy=policy,
+                           quant=quant)
 
     x = norm.group_norm_silu(params["norm_out"], x, cfg.groups, policy=policy,
                              backend=attention_backend)

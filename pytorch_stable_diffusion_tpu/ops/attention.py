@@ -74,24 +74,47 @@ def _xla_attention(q, k, v, causal: bool, policy: Policy):
     return out.astype(q.dtype)
 
 
-def _fused_proj(parts, x, policy: Policy):
+def _fused_proj(parts, x, policy: Policy, quant: str = "none"):
     """Apply several same-input linears as ONE matmul (kernels concatenated
     on the out-dim), then split.  Measured on v5e: fusing self-attention
     q/k/v cuts the whole SD UNet forward ~5% vs three N=320 matmuls — the
     MXU tiles the wider N far better (benchmarks/exp_attn_variants.py).
-    The concatenations are loop-invariant (params) and hoisted by XLA."""
+    The concatenations are loop-invariant (params) and hoisted by XLA —
+    as is the int8 weight quantization on the quant path."""
     kern = jnp.concatenate([p["kernel"] for p in parts], axis=1)
+    bias = (jnp.concatenate([p["bias"] for p in parts])
+            if "bias" in parts[0] else None)
+    if quant != "none":
+        from . import quant as quant_mod
+
+        if quant_mod.matmul_wants_int8(quant, kern.shape[0]):
+            y = quant_mod.int8_linear(x, kern, bias).astype(policy.compute_dtype)
+            return jnp.split(y, len(parts), axis=-1)
     y = jnp.dot(x.astype(policy.compute_dtype), kern.astype(policy.compute_dtype))
-    if "bias" in parts[0]:
-        y = y + jnp.concatenate([p["bias"] for p in parts]).astype(y.dtype)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
     return jnp.split(y, len(parts), axis=-1)
 
 
 def apply(params, x, context=None, *, n_heads: int, causal: bool = False,
-          backend: str = "xla", policy: Policy = FP32):
-    """x: (B, S, D); context: (B, S_kv, D_cross) for cross-attention."""
+          backend: str = "xla", policy: Policy = FP32, fuse: bool = True,
+          quant: str = "none"):
+    """x: (B, S, D); context: (B, S_kv, D_cross) for cross-attention.
+
+    ``fuse=False`` applies q/k/v as separate linears instead of the fused
+    wide matmul.  Use under tensor parallelism: the fused concatenation runs
+    along the Megatron column-sharded kernel axis, forcing GSPMD to gather
+    the deliberately-sharded weights and un-split the projection compute
+    (ADVICE r2); the pipeline sets this automatically from the mesh.
+    """
     if context is None:  # self-attention: one fused qkv matmul
-        q, k, v = _fused_proj((params["q"], params["k"], params["v"]), x, policy)
+        if fuse:
+            q, k, v = _fused_proj((params["q"], params["k"], params["v"]), x,
+                                  policy, quant)
+        else:
+            q = linear.apply(params["q"], x, policy, quant)
+            k = linear.apply(params["k"], x, policy, quant)
+            v = linear.apply(params["v"], x, policy, quant)
         # BSC kernel: heads stay packed in lanes, no (B,S,H,D)<->(B,H,S,D)
         # transposes around the custom call (-3.3% whole-UNet at CFG batch 8;
         # benchmarks/exp_bsc_insitu.py).  Falls through when the whole-C KV
@@ -102,10 +125,15 @@ def apply(params, x, context=None, *, n_heads: int, causal: bool = False,
             if bsc_fits(q.shape[1], k.shape[1], k.shape[2],
                         jnp.dtype(k.dtype).itemsize, batch=q.shape[0]):
                 out = flash_attention_bsc(q, k, v, n_heads=n_heads)
-                return linear.apply(params["out"], out, policy)
+                return linear.apply(params["out"], out, policy, quant)
     else:  # cross-attention: k/v share the context input
-        q = linear.apply(params["q"], x, policy)
-        k, v = _fused_proj((params["k"], params["v"]), context, policy)
+        q = linear.apply(params["q"], x, policy, quant)
+        if fuse:
+            k, v = _fused_proj((params["k"], params["v"]), context, policy,
+                               quant)
+        else:
+            k = linear.apply(params["k"], context, policy, quant)
+            v = linear.apply(params["v"], context, policy, quant)
     qh, kh, vh = (_split_heads(t, n_heads) for t in (q, k, v))
     # Flash pays off for long KV (it exists to keep O(S²) scores in VMEM);
     # for short KV (cross-attention over 77 context tokens) the grid's tiny
@@ -116,4 +144,4 @@ def apply(params, x, context=None, *, n_heads: int, causal: bool = False,
         out = flash_attention(qh, kh, vh, causal=causal, policy=policy)
     else:
         out = _xla_attention(qh, kh, vh, causal, policy)
-    return linear.apply(params["out"], _merge_heads(out), policy)
+    return linear.apply(params["out"], _merge_heads(out), policy, quant)

@@ -106,12 +106,17 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                       h_lat: int, w_lat: int, img2img: bool,
                       fixed_noise: bool = False, progress: bool = False,
                       sampler: str = "ddpm", eta: float = 0.0,
-                      decode_tile: Optional[int] = None):
+                      decode_tile: Optional[int] = None, sp_mesh=None):
     """Build + jit the full generate computation for one static shape.
 
     ``fixed_noise=True`` compiles a variant whose latent-init / encoder /
     per-step sampler noise are caller-supplied arrays instead of PRNG draws
     — used by parity tests to compare against recorded reference noise.
+
+    ``sp_mesh``: sequence-parallel latency mode (parallel/sp.py) — the UNet
+    input is sharding-constrained on the latent-H axis over the mesh's
+    'model' axis, so GSPMD spatially partitions the denoise loop: halo
+    exchanges for the 3x3 convs, q-sharded attention with gathered K/V.
     """
     timesteps = jnp.asarray(ddpm.inference_timesteps(n_steps))
     # third reference quirk: the reference's beta_start is a typo (0.000085
@@ -124,9 +129,12 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
 
     def run(params: Dict[str, Any], cond_tokens, uncond_tokens, key,
             cfg_scale, start_step, init_image, noises):
-        context = clip_mod.apply(params["clip"], cond_tokens, cfg.clip, policy)
+        context = clip_mod.apply(params["clip"], cond_tokens, cfg.clip, policy,
+                                 fuse_qkv=cfg.fuse_qkv)
         if do_cfg:
-            uncond_ctx = clip_mod.apply(params["clip"], uncond_tokens, cfg.clip, policy)
+            uncond_ctx = clip_mod.apply(params["clip"], uncond_tokens,
+                                        cfg.clip, policy,
+                                        fuse_qkv=cfg.fuse_qkv)
             context = jnp.concatenate([context, uncond_ctx], axis=0)
 
         lat_shape = (batch, h_lat, w_lat, lc)
@@ -164,14 +172,22 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
         else:
             latents = init_noise
 
+        if sp_mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as _P
+
+            _sp = NamedSharding(sp_mesh, _P(None, "model", None, None))
+
         def eps_at(step_i, latents):
             t = timesteps[step_i]
             lat_in = latents.astype(policy.compute_dtype)
             model_in = jnp.concatenate([lat_in, lat_in], axis=0) if do_cfg else lat_in
+            if sp_mesh is not None:
+                model_in = jax.lax.with_sharding_constraint(model_in, _sp)
             eps = unet_mod.apply(
                 params["diffusion"], model_in, context, t, cfg.unet, policy,
                 attention_backend=cfg.attention_backend,
-                reference_quirks=cfg.reference_quirks)
+                reference_quirks=cfg.reference_quirks,
+                fuse_qkv=cfg.fuse_qkv, quant=cfg.quant)
             if do_cfg:
                 eps_cond, eps_uncond = jnp.split(eps, 2, axis=0)
                 eps = cfg_scale * (eps_cond - eps_uncond) + eps_uncond  # pipeline.py:233
@@ -280,6 +296,7 @@ def _run_generate(
     progress: bool = False,
     ddim_eta: float = 0.0,
     decode_tile: Optional[int] = None,
+    sequence_parallel: bool = False,
     _device_output: bool = False,
     _key: Optional[jax.Array] = None,
 ):
@@ -297,6 +314,16 @@ def _run_generate(
     if models is None or tokenizer is None:
         raise ValueError("models dict and tokenizer are required")
     cfg = config or sd15_config()
+    if (mesh is not None and cfg.fuse_qkv and not sequence_parallel
+            and mesh.shape.get("model", 1) > 1):
+        # TP: the fused qkv concat runs along the Megatron-sharded kernel
+        # axis — GSPMD would gather the sharded weights (ADVICE r2); use
+        # per-projection linears so the column-split compute stays split.
+        # (sequence_parallel uses the model axis for SPATIAL sharding with
+        # replicated params — fusion stays on there.)
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, fuse_qkv=False)
 
     prompts = [prompt] if isinstance(prompt, str) else list(prompt)
     uncond = [uncond_prompt] if isinstance(uncond_prompt, str) else list(uncond_prompt)
@@ -317,6 +344,24 @@ def _run_generate(
         raise ValueError(f"height/width must be multiples of {factor}, "
                          f"got {height}x{width}")
     h_lat, w_lat = height // factor, width // factor
+    sp_mesh = None
+    if sequence_parallel:
+        # latency mode (parallel/sp.py): spatially shard the denoise loop
+        n_model = 0 if mesh is None else mesh.shape.get("model", 1)
+        if n_model < 2:
+            raise ValueError("sequence_parallel needs a mesh with a model "
+                             f"axis > 1 (got {n_model})")
+        if h_lat % n_model:
+            raise ValueError(f"latent height {h_lat} not divisible by model "
+                             f"axis {n_model}")
+        if cfg.attention_backend == "pallas":
+            # the flash kernel is a per-chip custom call GSPMD cannot
+            # partition; the XLA attention einsums partition cleanly
+            # (q-sharded scores, gathered K/V)
+            import dataclasses as _dc
+
+            cfg = _dc.replace(cfg, attention_backend="xla")
+        sp_mesh = mesh
     img2img = input_image is not None
     if img2img:
         image = np.broadcast_to(_prepare_image(input_image, width, height),
@@ -345,7 +390,8 @@ def _run_generate(
         else _key
     run = _compiled_txt2img(cfg, n_inference_steps, do_cfg, batch,
                             h_lat, w_lat, img2img, use_fixed, progress,
-                            sampler_name, float(ddim_eta), decode_tile)
+                            sampler_name, float(ddim_eta), decode_tile,
+                            sp_mesh)
     cond_tokens = jnp.asarray(cond_tokens)
     uncond_tokens = jnp.asarray(uncond_tokens)
     image = jnp.asarray(image)

@@ -44,3 +44,18 @@ def test_tp_matches_replicated(tiny_cfg, tiny_models, tiny_tokenizer):
     tp_imgs = tp.generate_images_tp(prompts, mesh=mesh, models=tiny_models, **kw)
     assert tp_imgs.shape == single.shape
     assert np.abs(tp_imgs.astype(int) - single.astype(int)).max() <= 1
+
+
+def test_unfused_qkv_matches_fused(tiny_cfg, tiny_models, tiny_tokenizer):
+    """fuse_qkv=False (the auto-selected TP form, ADVICE r2) is numerically
+    the same program: fused concat-matmul-split == three separate linears
+    up to fp summation order."""
+    import dataclasses
+
+    kw = dict(models=tiny_models, tokenizer=tiny_tokenizer, seed=11,
+              n_inference_steps=N_STEPS, height=H, width=W)
+    fused = sdt.generate("a cat", "", config=tiny_cfg, **kw)
+    unfused = sdt.generate(
+        "a cat", "", config=dataclasses.replace(tiny_cfg, fuse_qkv=False),
+        **kw)
+    assert np.abs(fused.astype(int) - unfused.astype(int)).max() <= 1
