@@ -8,7 +8,8 @@ sweeps formulations to find what XLA lowers well:
   two_stage    — per-channel spatial sums (clean axis-1 reduce) then a tiny
                  (N,C)->(N,G) group fold; E[x^2]-E[x]^2 variance
   transpose_free_f32 — current but keeping stats/normalize all in one dtype
-  pallas_gn    — the round-1 kernel (known loser; grid per sample)
+  (the round-1 pallas_gn kernel was measured here too before its round-3
+  deletion — known loser; grid per sample)
 """
 
 from __future__ import annotations

@@ -42,21 +42,18 @@ def group_norm(params, x, num_groups: int = 32, eps: float = EPS, policy: Policy
 def group_norm_silu(params, x, num_groups: int = 32, eps: float = EPS,
                     policy: Policy = FP32, *, backend: str = "xla",
                     apply_silu: bool = True):
-    """GroupNorm optionally fused with SiLU.
+    """GroupNorm optionally fused with SiLU — always the XLA lowering.
 
-    backend="pallas_gn" (opt-in, experimental) uses the single-pass VMEM
-    kernel (ops/pallas/group_norm.py).  Measured on v5e it LOSES to XLA's
-    lowering (UNet fwd 26.7ms vs 20.4ms — the per-sample grid serializes
-    and breaks XLA's surrounding elementwise fusions; benchmarks/RESULTS.md),
-    so the default "pallas" compute backend intentionally does NOT select it.
+    ``backend`` is accepted (models thread their attention backend through)
+    but no Pallas GN kernel exists anymore: the round-1 single-pass VMEM
+    kernel measured a whole-UNet REGRESSION (20.4 -> 26.7 ms) and was
+    deleted in round 3 after a bandwidth analysis showed no winnable
+    variant — a tiled two-pass grid reads x twice + writes once, exactly
+    XLA's traffic, while losing XLA's surrounding elementwise fusions, and
+    a channel-split single-pass grid is lane-infeasible at SD's 10
+    channels/group.  Full rationale: benchmarks/RESULTS.md "Negative
+    results".
     """
-    if backend == "pallas_gn":
-        from .pallas import group_norm as pgn
-
-        if pgn.supported(x, num_groups):
-            return pgn.group_norm_silu(x, params["scale"], params["bias"],
-                                       num_groups=num_groups, eps=eps,
-                                       apply_silu=apply_silu)
     y = group_norm(params, x, num_groups, eps, policy)
     if apply_silu:
         from .act import silu

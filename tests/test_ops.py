@@ -255,27 +255,4 @@ def test_flash_attention_default_blocks_one_pass_9216():
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
 
 
-def test_fused_group_norm_silu_matches_unfused():
-    """Pallas fused GN+SiLU (interpret on CPU) vs the XLA composition."""
-    from pytorch_stable_diffusion_tpu.ops.norm import group_norm, group_norm_silu
-    from pytorch_stable_diffusion_tpu.ops.act import silu as act_silu
-    from pytorch_stable_diffusion_tpu.ops.pallas import group_norm as pgn
 
-    p = {"scale": jnp.asarray(_rand(8, seed=30)), "bias": jnp.asarray(_rand(8, seed=31))}
-    x = jnp.asarray(_rand(2, 4, 4, 8, seed=32))
-    assert pgn.supported(x, 4)
-    fused = np.asarray(group_norm_silu(p, x, num_groups=4, backend="pallas_gn"))
-    ref = np.asarray(act_silu(group_norm(p, x, num_groups=4)))
-    np.testing.assert_allclose(fused, ref, rtol=1e-5, atol=1e-6)
-    # no-silu variant (transformer-block entry GN)
-    fused2 = np.asarray(group_norm_silu(p, x, num_groups=4, backend="pallas_gn",
-                                        apply_silu=False))
-    ref2 = np.asarray(group_norm(p, x, num_groups=4))
-    np.testing.assert_allclose(fused2, ref2, rtol=1e-5, atol=1e-6)
-
-
-def test_fused_group_norm_size_gate():
-    from pytorch_stable_diffusion_tpu.ops.pallas import group_norm as pgn
-
-    big = jnp.zeros((1, 512, 512, 128), jnp.float32)  # 128MB slab -> fallback
-    assert not pgn.supported(big, 32)
