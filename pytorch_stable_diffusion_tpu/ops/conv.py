@@ -40,12 +40,26 @@ def init(key, c_in: int, c_out: int, ksize: int = 3, bias: bool = True, dtype=jn
     return p
 
 
-def apply(params, x, stride: int = 1, padding: PadT = 0, policy: Policy = FP32):
-    """x: (N, H, W, C_in) -> (N, H', W', C_out)."""
+def apply(params, x, stride: int = 1, padding: PadT = 0, policy: Policy = FP32,
+          quant: str = "none"):
+    """x: (N, H, W, C_in) -> (N, H', W', C_out).
+
+    ``quant`` ("none" | "wide" | "conv"): dynamic w8a8 int8 path for wide
+    contractions (ops/quant.py) — dispatch decided here from the kernel's
+    effective K = kh·kw·C_in.
+    """
     if isinstance(padding, int):
         pad = ((padding, padding), (padding, padding))
     else:
         pad = padding
+    if quant != "none":
+        from . import quant as quant_mod
+
+        kh, _, c_in, _ = params["kernel"].shape
+        if quant_mod.conv_wants_int8(quant, c_in, kh):
+            y = quant_mod.int8_conv(x, params["kernel"], stride=stride,
+                                    padding=pad, bias=params.get("bias"))
+            return y.astype(policy.compute_dtype)
     k = params["kernel"].astype(policy.compute_dtype)
     y = lax.conv_general_dilated(
         x.astype(policy.compute_dtype),

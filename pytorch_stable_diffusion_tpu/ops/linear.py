@@ -22,7 +22,16 @@ def init(key, d_in: int, d_out: int, bias: bool = True, dtype=jnp.float32):
     return p
 
 
-def apply(params, x, policy: Policy = FP32):
+def apply(params, x, policy: Policy = FP32, quant: str = "none"):
+    """``quant``: dynamic w8a8 path when the contraction K is wide enough
+    (ops/quant.py dispatch; "none" is the bf16/fp32 MXU path)."""
+    if quant != "none":
+        from . import quant as quant_mod
+
+        if quant_mod.matmul_wants_int8(quant, params["kernel"].shape[0]):
+            y = quant_mod.int8_linear(x, params["kernel"],
+                                      params.get("bias"))
+            return y.astype(policy.compute_dtype)
     k = params["kernel"].astype(policy.compute_dtype)
     y = jnp.dot(x.astype(policy.compute_dtype), k)
     if "bias" in params:
