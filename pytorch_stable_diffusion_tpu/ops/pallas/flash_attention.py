@@ -219,21 +219,25 @@ def _bsc_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_heads: int,
     batch 8, benchmarks/exp_bsc_insitu.py: -3.3% whole-UNet).
 
     Per head: the same dependence-free chunking as _onepass_kernel.  Heads
-    are chained through ``lax.optimization_barrier`` (head h's q is tied to
-    head h-1's denominator) so only ONE head's chunk score blocks are live
-    at a time — without it the scheduler may interleave all heads and
-    overflow VMEM.  A barrier is used rather than an arithmetic marker
-    (``+ l*0.0``) because a compiler pass may legally constant-fold x*0.0
-    and silently re-parallelize the heads (ADVICE r2)."""
+    are chained through a zero-valued marker (head h's q is tied to head
+    h-1's denominator) so only ONE head's chunk score blocks are live at a
+    time — without it the scheduler may interleave all heads and overflow
+    scoped VMEM.  ADVICE r2 suggested ``lax.optimization_barrier`` since a
+    compiler pass may legally fold ``x*0.0``; that primitive is
+    UNIMPLEMENTED in the Mosaic TPU lowering (verified on this toolchain,
+    2026-08-17: "Unimplemented primitive ... optimization_barrier"), so the
+    arithmetic marker stays, and benchmarks/exp_bsc_smoke.py compile+times
+    the worst-case dispatched shapes on hardware — if a future toolchain
+    folds the marker, that smoke surfaces the VMEM overflow immediately.
+    (No Inf hazard: l <= block_q * Sk << fp32 max, so sum(l)*0.0 == 0.)"""
     sk_p = k_ref.shape[1]
     dh = q_ref.shape[2] // n_heads
     n_chunks = sk_p // chunk
     q_all = q_ref[0]  # (block_q, H*D)
-    marker = None
+    marker = jnp.float32(0.0)
     for h in range(n_heads):
         q = q_all[:, h * dh:(h + 1) * dh]
-        if marker is not None:  # serialize heads (VMEM bound)
-            q, _ = jax.lax.optimization_barrier((q, marker))
+        q = q + marker.astype(q.dtype)  # serialize heads (VMEM bound)
         ms, ls, pvs = [], [], []
         for c in range(n_chunks):
             k = k_ref[0, c * chunk:(c + 1) * chunk, h * dh:(h + 1) * dh]
@@ -263,7 +267,7 @@ def _bsc_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_heads: int,
             pv = sum(pvc * w for pvc, w in zip(pvs, ws))
         out = pv * jnp.reciprocal(jnp.maximum(l, 1e-30))
         o_ref[0, :, h * dh:(h + 1) * dh] = out.astype(o_ref.dtype)
-        marker = l
+        marker = jnp.sum(l) * 0.0
 
 
 #: worst-case VMEM for one BSC grid cell: one head's live chunk scores
