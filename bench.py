@@ -43,6 +43,9 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--backend", default="pallas",
                     choices=["pallas", "xla"])
+    ap.add_argument("--quant", default="none",
+                    choices=["none", "wide", "conv"],
+                    help="UNet w8a8 int8 tier (ops/quant.py)")
     args = ap.parse_args()
 
     from pytorch_stable_diffusion_tpu.core.cache import enable_compilation_cache
@@ -53,7 +56,8 @@ def main():
     enable_compilation_cache()
 
     backend = args.backend if jax.default_backend() == "tpu" else "xla"
-    cfg = sd15_config(policy=BF16, attention_backend=backend)
+    cfg = sd15_config(policy=BF16, attention_backend=backend,
+                      quant=args.quant)
     models = build_models(cfg)
 
     b = args.batch
