@@ -122,8 +122,12 @@ def apply(params, x, context=None, *, n_heads: int, causal: bool = False,
         if backend == "pallas" and not causal:
             from .pallas.flash_attention import bsc_fits, flash_attention_bsc
 
+            # quant graphs shift Mosaic's scoped-vmem stack enough to push
+            # CFG batch 8 over the 16 MB cliff (measured +136K overflow,
+            # round 3) — halve the admitted batch there
+            eff_batch = q.shape[0] * (2 if quant != "none" else 1)
             if bsc_fits(q.shape[1], k.shape[1], k.shape[2],
-                        jnp.dtype(k.dtype).itemsize, batch=q.shape[0]):
+                        jnp.dtype(k.dtype).itemsize, batch=eff_batch):
                 out = flash_attention_bsc(q, k, v, n_heads=n_heads)
                 return linear.apply(params["out"], out, policy, quant)
     else:  # cross-attention: k/v share the context input

@@ -402,14 +402,29 @@ def flash_attention(q, k, v, *, causal: bool = False, policy: Policy = FP32,
         if _pick_chunk(block_q, sk_padded, dh, kv_itemsize) is None \
                 and sk_padded > 9216 and dh <= 128:
             # long-KV multi-pass: VMEM is O(block_q * block_k) by
-            # construction, so keep MXU-wide q blocks (swept: 512 at 16384
-            # tokens, benchmarks/exp_flash_long.py)
-            block_q = 512
+            # construction.  Swept on hardware at (2,8,16384,40)
+            # (benchmarks/exp_flash_long.py + follow-up probe): block_q 256
+            # / block_k 8192 / chunk 512 = 50 TFLOP/s vs ~29 for the
+            # round-2 128/2048 serial form; block_q 512 loses ~1 TFLOP/s
+            # and 128 loses ~20.
+            block_q = 256
     block_q = min(block_q, max(8, sq))
     if block_k is None:
         one_pass_ok = _pick_chunk(block_q, sk_padded, dh,
                                   kv_itemsize) is not None
-        block_k = sk_padded if one_pass_ok else 2048
+        if one_pass_ok:
+            block_k = sk_padded
+        else:
+            # prefer the widest swept kv step that divides the padded KV
+            # (divisibility avoids tail padding waste at e.g. 25600
+            # tokens); wide dh (VAE's 512) keeps 2048 — its double-buffered
+            # K/V blocks alone would blow VMEM at 8192
+            block_k = 2048
+            if dh <= 128:
+                for cand in (8192, 4096):
+                    if sk_padded % cand == 0:
+                        block_k = cand
+                        break
     block_k = min(block_k, max(128, sk))
     if causal and block_k < sk_padded and block_q != block_k:
         block_k = block_q = min(block_q, block_k)

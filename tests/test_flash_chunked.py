@@ -101,6 +101,8 @@ def test_chunked_matches_xla(sq, sk, dh, causal):
     (512, 4000, 16, False, 128, 2048),
     # causal multi-pass with chunks (block_q == block_k rule)
     (2048, 2048, 16, True, 1024, 1024),
+    # the swept long-KV default: block_k 8192, 16 chunks of 512
+    (256, 16384, 16, False, 128, 8192),
 ])
 def test_multipass_chunked_matches_xla(sq, sk, dh, causal, bq, bk):
     key = jax.random.PRNGKey(5)
