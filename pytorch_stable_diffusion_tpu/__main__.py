@@ -1,0 +1,115 @@
+"""Command-line entry point: ``python -m pytorch_stable_diffusion_tpu``.
+
+The reference's only user entry point is a notebook
+(``/root/reference/sd/inference_demo.ipynb``); this CLI covers the same
+flow — load checkpoint + tokenizer assets, txt2img or img2img at the demo
+anchor settings — as a shell one-liner:
+
+    python -m pytorch_stable_diffusion_tpu \
+        --ckpt v1-5-pruned-emaonly.ckpt \
+        --vocab data/vocab.json --merges data/merges.txt \
+        --prompt "a photograph of a dog" --seed 1337 --cfg-scale 5 \
+        --out dog.png
+
+    # img2img (notebook cell 4)
+    ... --image images/dog.jpg --strength 0.9
+
+Defaults mirror the reference demo; production knobs (--bf16, --backend
+pallas) select the TPU-tuned path.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m pytorch_stable_diffusion_tpu",
+        description="TPU-native Stable Diffusion txt2img / img2img")
+    p.add_argument("--ckpt", required=True,
+                   help=".ckpt / .safetensors checkpoint, or a diffusers dir")
+    p.add_argument("--vocab", required=True, help="CLIP vocab.json")
+    p.add_argument("--merges", required=True, help="CLIP merges.txt")
+    p.add_argument("--prompt", required=True)
+    p.add_argument("--uncond-prompt", default="")
+    p.add_argument("--image", default=None,
+                   help="init image file for img2img")
+    p.add_argument("--strength", type=float, default=0.8)
+    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--seed", type=int, default=1337)
+    p.add_argument("--cfg-scale", type=float, default=7.5)
+    p.add_argument("--no-cfg", action="store_true")
+    p.add_argument("--sampler", default="ddpm")
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--height", type=int, default=512)
+    p.add_argument("--decode-tile", type=int, default=None,
+                   help="tiled VAE decode (hi-res memory bound)")
+    p.add_argument("--out", default="out.png")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 MXU policy (default fp32 parity numerics)")
+    p.add_argument("--backend", default=None, choices=["xla", "pallas"],
+                   help="attention backend (default: pallas on TPU)")
+    p.add_argument("--sd2", action="store_true",
+                   help="SD-2.x architecture (sd21_config)")
+    p.add_argument("--config-preset", default=None,
+                   choices=["sd15", "sd21", "tiny"],
+                   help="explicit architecture preset (tiny = the scaled-"
+                        "down test topology; overrides --sd2)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    from . import StableDiffusion
+    from .core.cache import enable_compilation_cache
+    from .core.dtypes import BF16, FP32
+    from .models.config import sd15_config, sd21_config, tiny_sd_config
+
+    enable_compilation_cache()
+    policy = BF16 if args.bf16 else FP32
+    backend = args.backend or (
+        "pallas" if jax.default_backend() == "tpu" else "xla")
+    preset = args.config_preset or ("sd21" if args.sd2 else "sd15")
+    make = {"sd15": sd15_config, "sd21": sd21_config,
+            "tiny": tiny_sd_config}[preset]
+    cfg = make(policy=policy, attention_backend=backend)
+
+    print(f"[cli] backend={jax.default_backend()} attention={backend} "
+          f"policy={'bf16' if args.bf16 else 'fp32'}", flush=True)
+    t0 = time.time()
+    sd = StableDiffusion.from_checkpoint(args.ckpt, args.vocab, args.merges,
+                                         config=cfg)
+    print(f"[cli] loaded {args.ckpt} in {time.time()-t0:.1f}s", flush=True)
+
+    kw = dict(seed=args.seed, n_inference_steps=args.steps,
+              cfg_scale=args.cfg_scale, do_cfg=not args.no_cfg,
+              sampler_name=args.sampler, height=args.height,
+              width=args.width, decode_tile=args.decode_tile)
+    t0 = time.time()
+    if args.image:
+        from PIL import Image
+
+        init = Image.open(args.image).convert("RGB")
+        img = sd.img2img(args.prompt, init, strength=args.strength,
+                         uncond_prompt=args.uncond_prompt, **kw)
+    else:
+        img = sd.txt2img(args.prompt, uncond_prompt=args.uncond_prompt, **kw)
+    print(f"[cli] generated in {time.time()-t0:.1f}s (incl. compile)",
+          flush=True)
+
+    from PIL import Image
+
+    Image.fromarray(img).save(args.out)
+    print(f"[cli] wrote {args.out} ({img.shape[1]}x{img.shape[0]})",
+          flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -199,6 +199,93 @@ def _onepass_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int,
     o_ref[0] = (pv * jnp.reciprocal(jnp.maximum(l, 1e-30))).astype(o_ref.dtype)
 
 
+def _streamed_kernel(q_ref, k_hbm, v_hbm, o_ref, kbuf, vbuf, ksem, vsem, *,
+                     scale: float, kv_len: int, group: int, chunk: int,
+                     n_groups: int, block_q: int):
+    """Long-KV one-pass kernel with MANUAL double-buffered KV streaming.
+
+    The multi-pass grid serializes at every kv step: Mosaic pipelines block
+    DMAs across grid iterations but not compute, so each step's closed-form
+    merge stalls the MXU (measured 44-50 TFLOP/s at 16384 tokens vs the
+    one-pass kernel's 62 at 4096).  Here the whole KV walk happens inside
+    ONE grid cell: groups of ``group`` tokens are DMA'd HBM->VMEM into a
+    2-slot double buffer (guide pattern) while the current group's
+    dependence-free chunks run, and the group merge is ordinary in-kernel
+    dataflow the scheduler can overlap with the next group's matmuls.
+    Score liveness is bounded by one group (block_q x group x 4B), not the
+    whole KV — the reason 16384 tokens cannot use the plain one-pass path.
+
+    Non-causal only (the UNet/VAE spatial case; causal long-KV keeps the
+    multi-pass grid).
+
+    K and V arrive TRANSPOSED, (BH, Dh, Sk): Mosaic requires DMA slices to
+    be 128-lane-aligned on the minor dim, which head_dim 40 is not — with
+    Sk minor, the group slice is aligned, and the layout feeds the MXU
+    directly (QK^T contracts kT's sublanes; PV is the A·B^T form).
+    """
+    bh = pl.program_id(0)
+    q = q_ref[0]  # (block_q, Dh)
+    dh = q.shape[-1]
+
+    def dma(buf, hbm, slot, g, sem):
+        return pltpu.make_async_copy(
+            hbm.at[bh, :, pl.ds(g * group, group)], buf.at[slot],
+            sem.at[slot])
+
+    dma(kbuf, k_hbm, 0, 0, ksem).start()
+    dma(vbuf, v_hbm, 0, 0, vsem).start()
+    m_run = jnp.full((block_q, 1), NEG_INF, jnp.float32)
+    l_run = jnp.zeros((block_q, 1), jnp.float32)
+    acc = jnp.zeros((block_q, dh), jnp.float32)
+    for g in range(n_groups):  # static unroll: bases stay Python ints
+        slot = g % 2
+        if g + 1 < n_groups:
+            dma(kbuf, k_hbm, 1 - slot, g + 1, ksem).start()
+            dma(vbuf, v_hbm, 1 - slot, g + 1, vsem).start()
+        dma(kbuf, k_hbm, slot, g, ksem).wait()
+        dma(vbuf, v_hbm, slot, g, vsem).wait()
+
+        # per-chunk stats over this group's dependence-free chunks
+        # (transposed-KV twin of _chunk_softmax_stats)
+        ms, ls, pvs = [], [], []
+        for c in range(group // chunk):
+            kT = kbuf[slot, :, c * chunk:(c + 1) * chunk]  # (Dh, chunk)
+            vT = vbuf[slot, :, c * chunk:(c + 1) * chunk]
+            s = jax.lax.dot_general(
+                q, kT, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * (scale * LOG2E)
+            tail = g * group + (c + 1) * chunk > kv_len
+            if tail:
+                col = g * group + c * chunk + jax.lax.broadcasted_iota(
+                    jnp.int32, s.shape, 1)
+                s = jnp.where(col < kv_len, s, NEG_INF)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp2(s - m)
+            if tail:
+                p = jnp.where(s > NEG_INF * 0.5, p, 0.0)
+            ms.append(m)
+            ls.append(jnp.sum(p, axis=-1, keepdims=True))
+            pvs.append(jax.lax.dot_general(
+                p.astype(vT.dtype), vT, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        if len(ms) == 1:
+            m_g, l_g, pv_g = ms[0], ls[0], pvs[0]
+        else:
+            m_g = functools.reduce(jnp.maximum, ms)
+            ws = [jnp.exp2(m - m_g) for m in ms]
+            l_g = sum(lc * w for lc, w in zip(ls, ws))
+            pv_g = sum(pvc * w for pvc, w in zip(pvs, ws))
+
+        m_new = jnp.maximum(m_run, m_g)
+        alpha = jnp.exp2(m_run - m_new)
+        beta = jnp.exp2(m_g - m_new)
+        l_run = alpha * l_run + beta * l_g
+        acc = acc * alpha + pv_g * beta
+        m_run = m_new
+    o_ref[0] = (acc * jnp.reciprocal(jnp.maximum(l_run, 1e-30))
+                ).astype(o_ref.dtype)
+
+
 def _pad_to(x, axis, mult):
     size = x.shape[axis]
     pad = (-size) % mult
@@ -375,6 +462,46 @@ def _pick_chunk(block_q: int, sk_p: int, dh: int, kv_itemsize: int):
     return chunk if total <= _ONEPASS_VMEM_BUDGET else None
 
 
+@functools.partial(jax.jit, static_argnames=("block_q", "group", "chunk"))
+def _flash_attention_streamed(q, k, v, *, block_q: int = 256,
+                              group: int = 4096, chunk: int = 512):
+    """Long-KV non-causal flash via the manual-DMA streaming kernel.
+
+    q,k,v: (B, H, S*, Dh).  KV stays in HBM; each grid cell walks it in
+    double-buffered ``group``-token slabs (see _streamed_kernel)."""
+    b, h, sq, dh = q.shape
+    sk = k.shape[2]
+    scale = 1.0 / (dh**0.5)
+    qp = _pad_to(q.reshape(b * h, sq, dh), 1, block_q)
+    # transposed KV: (BH, Dh, Sk) — see _streamed_kernel docstring
+    kp = _pad_to(k.reshape(b * h, sk, dh).swapaxes(1, 2), 2, group)
+    vp = _pad_to(v.reshape(b * h, sk, dh).swapaxes(1, 2), 2, group)
+    sq_p, sk_p = qp.shape[1], kp.shape[2]
+    n_groups = sk_p // group
+    q_spec = pl.BlockSpec((1, block_q, dh), lambda bh, qi: (bh, qi, 0),
+                          memory_space=pltpu.VMEM)
+    hbm_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    out = pl.pallas_call(
+        functools.partial(_streamed_kernel, scale=scale, kv_len=sk,
+                          group=group, chunk=chunk, n_groups=n_groups,
+                          block_q=block_q),
+        grid=(b * h, sq_p // block_q),
+        in_specs=[q_spec, hbm_spec, hbm_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((b * h, sq_p, dh), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, dh, group), k.dtype),   # K^T double buffer
+            pltpu.VMEM((2, dh, group), v.dtype),   # V^T double buffer
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=jax.default_backend() != "tpu",
+    )(qp, kp, vp)
+    return out[:, :sq].reshape(b, h, sq, dh)
+
+
 @functools.partial(jax.jit, static_argnames=("causal", "policy", "block_q",
                                              "block_k", "block_chunk"))
 def flash_attention(q, k, v, *, causal: bool = False, policy: Policy = FP32,
@@ -391,6 +518,16 @@ def flash_attention(q, k, v, *, causal: bool = False, policy: Policy = FP32,
 
     sk_padded = -(-max(sk, 128) // 128) * 128
     kv_itemsize = jnp.dtype(k.dtype).itemsize
+    if (block_q is None and block_k is None and block_chunk is None
+            and not causal and dh <= 128 and sk_padded > 9216):
+        # long-KV default: the manual-DMA streamed kernel — whole KV walk
+        # in one grid cell, double-buffered group DMAs, no per-step grid
+        # serialization.  Swept at (2,8,16384,40): 52.1 TFLOP/s vs 50.0
+        # multi-pass chunked / ~29 round-2 serial (benchmarks/
+        # exp_flash_long.py + streamed follow-ups).
+        return _flash_attention_streamed(
+            q, k, v, block_q=512 if sq >= 512 else 256,
+            group=4096, chunk=1024)
     if block_q is None:
         # Swept on v5e with the chunked kernel (benchmarks/exp_flash_chunked
         # .py): 512 wins at the SD shapes; for very long KV (768² -> 9216,

@@ -1,0 +1,100 @@
+"""CLI entry point (python -m pytorch_stable_diffusion_tpu) — the complete
+file-driven user path: checkpoint file + tokenizer assets -> PNG on disk."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from pytorch_stable_diffusion_tpu.__main__ import build_parser, main
+from pytorch_stable_diffusion_tpu.weights.save import save_safetensors
+from pytorch_stable_diffusion_tpu.weights.tokenizer import bytes_to_unicode
+
+
+def write_tokenizer_assets(tmpdir, words):
+    """Char-level vocab/merges FILES (same scheme as make_test_tokenizer)."""
+    btu = bytes_to_unicode()
+    vocab, merges, seen = {}, [], set()
+
+    def add(tok):
+        if tok not in vocab:
+            vocab[tok] = len(vocab)
+
+    for ch in btu.values():
+        add(ch)
+        add(ch + "</w>")
+    for w in words:
+        chars = [btu[b] for b in w.encode("utf-8")]
+        chars[-1] += "</w>"
+        while len(chars) > 1:
+            pair = (chars[0], chars[1])
+            if pair not in seen:
+                seen.add(pair)
+                merges.append(pair)
+                add(pair[0] + pair[1])
+            chars[:2] = [chars[0] + chars[1]]
+    add("<|startoftext|>")
+    add("<|endoftext|>")
+    vocab_path = os.path.join(tmpdir, "vocab.json")
+    merges_path = os.path.join(tmpdir, "merges.txt")
+    with open(vocab_path, "w", encoding="utf-8") as f:
+        json.dump(vocab, f)
+    with open(merges_path, "w", encoding="utf-8") as f:
+        f.write("#version: test\n")
+        for a, b in merges:
+            f.write(f"{a} {b}\n")
+    return vocab_path, merges_path
+
+
+@pytest.fixture(scope="module")
+def assets(tmp_path_factory, tiny_cfg, tiny_models):
+    d = str(tmp_path_factory.mktemp("cli"))
+    ckpt = os.path.join(d, "tiny.safetensors")
+    save_safetensors(tiny_models, tiny_cfg, ckpt)
+    vocab, merges = write_tokenizer_assets(d, ["a", "cat", "dog"])
+    return d, ckpt, vocab, merges
+
+
+def test_cli_txt2img(assets):
+    d, ckpt, vocab, merges = assets
+    out = os.path.join(d, "t2i.png")
+    rc = main(["--ckpt", ckpt, "--vocab", vocab, "--merges", merges,
+               "--prompt", "a cat", "--steps", "2", "--seed", "3",
+               "--width", "16", "--height", "16", "--config-preset", "tiny",
+               "--out", out])
+    assert rc == 0 and os.path.exists(out)
+    img = np.asarray(Image.open(out))
+    assert img.shape == (16, 16, 3)
+
+    # determinism: same seed -> identical file content
+    out2 = os.path.join(d, "t2i_b.png")
+    main(["--ckpt", ckpt, "--vocab", vocab, "--merges", merges,
+          "--prompt", "a cat", "--steps", "2", "--seed", "3",
+          "--width", "16", "--height", "16", "--config-preset", "tiny",
+          "--out", out2])
+    np.testing.assert_array_equal(img, np.asarray(Image.open(out2)))
+
+
+def test_cli_img2img(assets):
+    d, ckpt, vocab, merges = assets
+    init = os.path.join(d, "init.png")
+    rng = np.random.RandomState(0)
+    Image.fromarray(rng.randint(0, 256, size=(16, 16, 3)).astype(np.uint8)
+                    ).save(init)
+    out = os.path.join(d, "i2i.png")
+    rc = main(["--ckpt", ckpt, "--vocab", vocab, "--merges", merges,
+               "--prompt", "a dog", "--image", init, "--strength", "0.7",
+               "--steps", "2", "--width", "16", "--height", "16",
+               "--config-preset", "tiny", "--out", out])
+    assert rc == 0
+    assert np.asarray(Image.open(out)).shape == (16, 16, 3)
+
+
+def test_cli_parser_defaults():
+    args = build_parser().parse_args(
+        ["--ckpt", "c", "--vocab", "v", "--merges", "m", "--prompt", "p"])
+    # reference demo anchors
+    assert args.steps == 50 and args.seed == 1337
+    assert args.sampler == "ddpm" and args.width == args.height == 512

@@ -101,7 +101,7 @@ def test_chunked_matches_xla(sq, sk, dh, causal):
     (512, 4000, 16, False, 128, 2048),
     # causal multi-pass with chunks (block_q == block_k rule)
     (2048, 2048, 16, True, 1024, 1024),
-    # the swept long-KV default: block_k 8192, 16 chunks of 512
+    # the swept wide-kv-step multipass: block_k 8192, 16 chunks of 512
     (256, 16384, 16, False, 128, 8192),
 ])
 def test_multipass_chunked_matches_xla(sq, sk, dh, causal, bq, bk):
@@ -112,4 +112,18 @@ def test_multipass_chunked_matches_xla(sq, sk, dh, causal, bq, bk):
     got = np.asarray(fa.flash_attention(q, k, v, causal=causal,
                                         block_q=bq, block_k=bk))
     ref = np.asarray(_xla_attention(q, k, v, causal, FP32))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_streamed_long_kv_dispatch_matches_multipass():
+    """Default dispatch for non-causal KV > 9216 is the manual-DMA streamed
+    kernel (round 3); it must agree with the multi-pass grid, and both are
+    individually XLA-validated elsewhere.  kv tail (10100 -> padded 12288)
+    crosses a group boundary."""
+    key = jax.random.PRNGKey(9)
+    q = jax.random.normal(jax.random.fold_in(key, 1), (1, 1, 512, 16), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 2), (1, 1, 10100, 16), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 3), (1, 1, 10100, 16), jnp.float32)
+    got = np.asarray(fa.flash_attention(q, k, v))          # streamed default
+    ref = np.asarray(fa.flash_attention(q, k, v, block_q=128, block_k=2048))
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
