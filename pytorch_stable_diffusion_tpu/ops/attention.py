@@ -141,8 +141,12 @@ def apply(params, x, context=None, *, n_heads: int, causal: bool = False,
     qh, kh, vh = (_split_heads(t, n_heads) for t in (q, k, v))
     # Flash pays off for long KV (it exists to keep O(S²) scores in VMEM);
     # for short KV (cross-attention over 77 context tokens) the grid's tiny
-    # per-cell matmuls lose to one batched XLA matmul.
-    if backend == "pallas" and kh.shape[2] >= 256:
+    # per-cell matmuls lose to one batched XLA matmul.  Past ~40k tokens
+    # the XLA path's materialized scores stop COMPILING at all (65536² f32
+    # = 17 GB — measured: whole 2048² VAE decode fails on xla, runs on
+    # flash at 459 ms), so extreme sequences escape to flash regardless of
+    # the configured backend.
+    if (backend == "pallas" and kh.shape[2] >= 256) or kh.shape[2] >= 40960:
         from .pallas.flash_attention import flash_attention
 
         out = flash_attention(qh, kh, vh, causal=causal, policy=policy)
