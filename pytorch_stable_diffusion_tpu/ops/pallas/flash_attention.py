@@ -598,12 +598,15 @@ def flash_attention(q, k, v, *, causal: bool = False, policy: Policy = FP32,
         )(qp, kp, vp)
         return out[:, :sq].reshape(b, h, sq, dh)
 
-    # chunk the block_k span for MXU/VPU overlap within each kv step (512 =
-    # the swept optimum; fall back to whole-block when it does not divide)
+    # chunk the block_k span for MXU/VPU overlap within each kv step.
+    # Swept at 16384 tokens (benchmarks/exp_flash_long.py + probes): 512
+    # wins at block_k 8192 (50.0 TFLOP/s), 2048 wins at block_k 4096
+    # (48.0 vs 46.3/43.9 for 512/1024); whole-block when nothing divides.
     blk_chunk = block_chunk
     if blk_chunk is None:
         blk_chunk = block_k
-        for c in (512, 1024):
+        prefs = (2048, 512, 1024) if block_k == 4096 else (512, 1024)
+        for c in prefs:
             if block_k % c == 0 and block_k // c <= _MAX_CHUNKS:
                 blk_chunk = c
                 break
