@@ -18,7 +18,7 @@ img2img, decode_tile); export one per serving configuration.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,6 @@ TPU-native write path:
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Dict
 
