@@ -152,7 +152,8 @@ def _proj1x1(p, x, policy: Policy, quant: str = "none"):
 
 def apply_attn_block(p, x, context, n_heads: int, groups: int, policy: Policy,
                      *, backend: str = "xla", reference_quirks: bool = False,
-                     fuse_qkv: bool = True, quant: str = "none"):
+                     fuse_qkv: bool = True, quant: str = "none",
+                     sp_mesh=None):
     """diffusion.py:212-381.
 
     The whole block runs in flattened (B, HW, C) form — one reshape at each
@@ -170,7 +171,7 @@ def apply_attn_block(p, x, context, n_heads: int, groups: int, policy: Policy,
     t = norm.layer_norm(p["ln1"], y, policy=policy)
     y = y + attention.apply(p["self_attn"], t, n_heads=n_heads,
                             backend=backend, policy=policy, fuse=fuse_qkv,
-                            quant=quant)
+                            quant=quant, sp_mesh=sp_mesh)
     t = norm.layer_norm(p["ln2"], y, policy=policy)
     y = y + attention.apply(p["cross_attn"], t, context, n_heads=n_heads,
                             backend=backend, policy=policy, fuse=fuse_qkv,
@@ -238,7 +239,7 @@ def init(key, cfg: UNetConfig, dtype=jnp.float32):
 def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
           *, attention_backend: str = "xla", reference_quirks: bool = False,
           t_emb: Optional[jax.Array] = None, fuse_qkv: bool = True,
-          quant: str = "none"):
+          quant: str = "none", sp_mesh=None):
     """latents: (B, h, w, in_ch); context: (B, S, d_context); t: scalar timestep.
 
     Returns predicted noise (B, h, w, out_ch).
@@ -260,7 +261,8 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
                                  cfg.heads_for(x.shape[-1]), cfg.groups,
                                  policy, backend=attention_backend,
                                  reference_quirks=reference_quirks,
-                                 fuse_qkv=fuse_qkv, quant=quant)
+                                 fuse_qkv=fuse_qkv, quant=quant,
+                                 sp_mesh=sp_mesh)
         return x
 
     x = conv.apply(params["conv_in"], latents.astype(policy.compute_dtype),
@@ -282,7 +284,8 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
                          cfg.heads_for(x.shape[-1]), cfg.groups,
                          policy, backend=attention_backend,
                          reference_quirks=reference_quirks,
-                         fuse_qkv=fuse_qkv, quant=quant)
+                         fuse_qkv=fuse_qkv, quant=quant,
+                         sp_mesh=sp_mesh)
     x = apply_res_block(mid["res2"], x, t_emb, cfg.groups, policy,
                         backend=attention_backend, quant=quant)
 

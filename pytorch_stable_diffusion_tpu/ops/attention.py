@@ -96,9 +96,36 @@ def _fused_proj(parts, x, policy: Policy, quant: str = "none"):
     return jnp.split(y, len(parts), axis=-1)
 
 
+def _sp_self_attention(q, k, v, n_heads: int, backend: str, policy: Policy,
+                       sp_mesh):
+    """Sequence-parallel self-attention core (parallel/sp.py): tokens are
+    sharded over the mesh's 'model' axis; each shard all-gathers K/V over
+    ICI and runs the regular per-shard kernel (flash included — a pallas
+    custom call GSPMD itself cannot partition, which is why this is a
+    shard_map and not a sharding constraint) on its local q rows.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    def local(ql, kl, vl):
+        kf = jax.lax.all_gather(kl, "model", axis=1, tiled=True)
+        vf = jax.lax.all_gather(vl, "model", axis=1, tiled=True)
+        qh, kh, vh = (_split_heads(t, n_heads) for t in (ql, kf, vf))
+        if backend == "pallas" and kh.shape[2] >= 256:
+            from .pallas.flash_attention import flash_attention
+
+            out = flash_attention(qh, kh, vh, policy=policy)
+        else:
+            out = _xla_attention(qh, kh, vh, False, policy)
+        return _merge_heads(out)
+
+    spec = P(None, "model", None)
+    return jax.shard_map(local, mesh=sp_mesh, in_specs=(spec, spec, spec),
+                         out_specs=spec, check_vma=False)(q, k, v)
+
+
 def apply(params, x, context=None, *, n_heads: int, causal: bool = False,
           backend: str = "xla", policy: Policy = FP32, fuse: bool = True,
-          quant: str = "none"):
+          quant: str = "none", sp_mesh=None):
     """x: (B, S, D); context: (B, S_kv, D_cross) for cross-attention.
 
     ``fuse=False`` applies q/k/v as separate linears instead of the fused
@@ -106,6 +133,10 @@ def apply(params, x, context=None, *, n_heads: int, causal: bool = False,
     along the Megatron column-sharded kernel axis, forcing GSPMD to gather
     the deliberately-sharded weights and un-split the projection compute
     (ADVICE r2); the pipeline sets this automatically from the mesh.
+
+    ``sp_mesh``: sequence-parallel mode — self-attention runs q-sharded
+    via shard_map with gathered K/V (see _sp_self_attention); projections
+    and cross-attention stay GSPMD-partitioned.
     """
     if context is None:  # self-attention: one fused qkv matmul
         if fuse:
@@ -115,6 +146,10 @@ def apply(params, x, context=None, *, n_heads: int, causal: bool = False,
             q = linear.apply(params["q"], x, policy, quant)
             k = linear.apply(params["k"], x, policy, quant)
             v = linear.apply(params["v"], x, policy, quant)
+        if sp_mesh is not None and not causal:
+            out = _sp_self_attention(q, k, v, n_heads, backend, policy,
+                                     sp_mesh)
+            return linear.apply(params["out"], out, policy, quant)
         # BSC kernel: heads stay packed in lanes, no (B,S,H,D)<->(B,H,S,D)
         # transposes around the custom call (-3.3% whole-UNet at CFG batch 8;
         # benchmarks/exp_bsc_insitu.py).  Falls through when the whole-C KV

@@ -8,26 +8,24 @@ cooperate on one image:
   * the pipeline constrains the UNet input sharding to
     ``P(None, 'model', None, None)`` (latent-H split) each step
     (``pipeline._compiled_txt2img(sp_mesh=...)``);
-  * XLA GSPMD propagates it: 3x3 convs get halo exchanges
-    (collective-permutes of 1-row edges), GroupNorm reductions psum, and
-    the flattened-HW attention runs q-sharded with gathered K/V — the
-    standard sequence-parallel attention decomposition, all collectives on
-    ICI by construction;
+  * XLA GSPMD propagates it through convs (halo exchanges —
+    collective-permutes of 1-row edges), GroupNorm reductions (psum), and
+    all projections (token-sharded rows, replicated weights);
+  * SELF-ATTENTION runs inside a ``shard_map``
+    (``ops/attention._sp_self_attention``): each shard all-gathers K/V
+    over ICI and runs the regular per-shard kernel — including the Pallas
+    flash kernel, which is a custom call GSPMD itself cannot partition —
+    on its local q rows.  The standard sequence-parallel decomposition,
+    with the production kernel intact;
   * params stay replicated (dp.replicate_params) — no Megatron resharding,
     so the fused-qkv matmul form is kept (cf. ADVICE r2 on TP).
 
 The reference has no analog (single device, SURVEY §2.3); BASELINE's
 multi-chip config is DP.  This is the elective latency tier flagged in
 VERDICT r2 #6.  Hardware scaling numbers are out of scope on the 1-chip
-host; correctness is proven against the single-device pipeline on the
-virtual CPU mesh (tests/test_sp.py) and the driver dryrun exercises the
-compile+execute path.
-
-Note: the Pallas flash kernel is a per-chip custom call GSPMD cannot
-partition, so this mode forces the XLA attention path (pipeline handles
-it).  The shard_map + per-shard flash-kernel composition (each chip runs
-the chunked kernel on its q rows against all-gathered K/V) is the planned
-hardware follow-up once a multi-chip slice is reachable.
+host; correctness — for both attention backends — is proven against the
+single-device pipeline on the virtual CPU mesh (tests/test_sp.py) and the
+driver dryrun exercises the compile+execute path.
 """
 
 from __future__ import annotations

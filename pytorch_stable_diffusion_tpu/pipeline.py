@@ -187,7 +187,7 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                 params["diffusion"], model_in, context, t, cfg.unet, policy,
                 attention_backend=cfg.attention_backend,
                 reference_quirks=cfg.reference_quirks,
-                fuse_qkv=cfg.fuse_qkv, quant=cfg.quant)
+                fuse_qkv=cfg.fuse_qkv, quant=cfg.quant, sp_mesh=sp_mesh)
             if do_cfg:
                 eps_cond, eps_uncond = jnp.split(eps, 2, axis=0)
                 eps = cfg_scale * (eps_cond - eps_uncond) + eps_uncond  # pipeline.py:233
@@ -354,13 +354,9 @@ def _run_generate(
         if h_lat % n_model:
             raise ValueError(f"latent height {h_lat} not divisible by model "
                              f"axis {n_model}")
-        if cfg.attention_backend == "pallas":
-            # the flash kernel is a per-chip custom call GSPMD cannot
-            # partition; the XLA attention einsums partition cleanly
-            # (q-sharded scores, gathered K/V)
-            import dataclasses as _dc
-
-            cfg = _dc.replace(cfg, attention_backend="xla")
+        # self-attention runs inside a shard_map (gathered K/V, per-shard
+        # kernel — flash included; ops/attention._sp_self_attention), so
+        # the pallas backend is fully usable under SP
         sp_mesh = mesh
     img2img = input_image is not None
     if img2img:

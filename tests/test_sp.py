@@ -60,3 +60,20 @@ def test_sp_validations(tiny_cfg, tiny_models, tiny_tokenizer):
         # latent height 2 not divisible by model axis 4
         sdt.generate("a cat", "", mesh=mesh_mod.make_mesh(data=1, model=4, devices=_dev4()),
                      sequence_parallel=True, height=4, width=32, **kw)
+
+
+def test_sp_pallas_backend_matches_single_device(tiny_cfg, tiny_models,
+                                                 tiny_tokenizer):
+    """SP with the pallas attention backend: self-attention runs inside a
+    shard_map (gathered KV, per-shard flash kernel) — round 3's upgrade
+    over forcing the XLA path."""
+    import dataclasses
+
+    cfg = dataclasses.replace(tiny_cfg, attention_backend="pallas")
+    kw = dict(tokenizer=tiny_tokenizer, seed=5, n_inference_steps=N_STEPS,
+              config=cfg, height=H, width=W)
+    single = sdt.generate("a cat", "", models=tiny_models, **kw)
+    mesh = mesh_mod.make_mesh(data=1, model=4, devices=_dev4())
+    spatial = sp.generate_spatial("a cat", "", mesh=mesh, models=tiny_models,
+                                  **kw)
+    assert np.abs(spatial.astype(int) - single.astype(int)).max() <= 1
