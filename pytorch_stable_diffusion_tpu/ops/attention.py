@@ -118,7 +118,11 @@ def _sp_self_attention(q, k, v, n_heads: int, backend: str, policy: Policy,
             out = _xla_attention(qh, kh, vh, False, policy)
         return _merge_heads(out)
 
-    spec = P(None, "model", None)
+    # DP x SP composes: keep the batch sharded over 'data' inside the
+    # shard_map too (otherwise jax would gather the batch and compute it
+    # redundantly per data-group)
+    bspec = "data" if sp_mesh.shape.get("data", 1) > 1 else None
+    spec = P(bspec, "model", None)
     return jax.shard_map(local, mesh=sp_mesh, in_specs=(spec, spec, spec),
                          out_specs=spec, check_vma=False)(q, k, v)
 

@@ -77,3 +77,23 @@ def test_sp_pallas_backend_matches_single_device(tiny_cfg, tiny_models,
     spatial = sp.generate_spatial("a cat", "", mesh=mesh, models=tiny_models,
                                   **kw)
     assert np.abs(spatial.astype(int) - single.astype(int)).max() <= 1
+
+
+def test_sp_composes_with_dp(tiny_cfg, tiny_models, tiny_tokenizer):
+    """DP x SP on one mesh: batch sharded over 'data', spatial over
+    'model' — output equals the single-device batched run."""
+    import pytorch_stable_diffusion_tpu.pipeline as pipeline_mod
+    from pytorch_stable_diffusion_tpu.parallel.dp import replicate_params
+
+    prompts = ["a cat", "a dog"]
+    kw = dict(tokenizer=tiny_tokenizer, seed=3, n_inference_steps=N_STEPS,
+              config=tiny_cfg, height=H, width=W)
+    single = sdt.generate_images(prompts, models=tiny_models, **kw)
+
+    mesh = mesh_mod.make_mesh(data=2, model=4)  # all 8 virtual devices
+    models = replicate_params(tiny_models, mesh)
+    both, _ = pipeline_mod._run_generate(prompts, "", models=models,
+                                         mesh=mesh, sequence_parallel=True,
+                                         **kw)
+    assert np.abs(np.asarray(both).astype(int)
+                  - single.astype(int)).max() <= 1
