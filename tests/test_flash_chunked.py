@@ -103,6 +103,8 @@ def test_chunked_matches_xla(sq, sk, dh, causal):
     (2048, 2048, 16, True, 1024, 1024),
     # the swept wide-kv-step multipass: block_k 8192, 16 chunks of 512
     (256, 16384, 16, False, 128, 8192),
+    # block_k 4096 prefers chunk 2048 (round-3 sweep): 2-chunk merge path
+    (512, 4096, 16, False, 128, 4096),
 ])
 def test_multipass_chunked_matches_xla(sq, sk, dh, causal, bq, bk):
     key = jax.random.PRNGKey(5)
