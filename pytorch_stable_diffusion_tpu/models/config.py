@@ -78,6 +78,16 @@ class UNetConfig:
     head_dim: int = None
     d_context: int = 768
     groups: int = 32
+    #: per-level transformer depth inside each attention block (SDXL: 2/10
+    #: stacked self+cross+ff layers at the 2nd/3rd levels; the bottleneck
+    #: uses the deepest level's depth).  None -> depth 1 everywhere
+    #: (SD-1.x/2.x).
+    transformer_depth: Tuple[int, ...] = None
+
+    def depth_for(self, level: int) -> int:
+        if self.transformer_depth is None:
+            return 1
+        return self.transformer_depth[level]
 
     @property
     def time_embed_dim(self) -> int:

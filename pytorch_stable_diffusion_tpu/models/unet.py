@@ -56,7 +56,8 @@ def encoder_plan(cfg: UNetConfig) -> List[dict]:
     for i, c in enumerate(cfg.level_channels):
         for _ in range(cfg.num_res_blocks):
             stages.append({"kind": "block", "c_in": c_prev, "c_out": c,
-                           "attn": cfg.attn_levels[i]})
+                           "attn": cfg.attn_levels[i],
+                           "depth": cfg.depth_for(i)})
             c_prev = c
         if i < len(cfg.ch_mults) - 1:
             stages.append({"kind": "down", "c": c})
@@ -79,6 +80,7 @@ def decoder_plan(cfg: UNetConfig) -> List[dict]:
                 "c_in": c_prev + skips.pop(),
                 "c_out": c,
                 "attn": cfg.attn_levels[i],
+                "depth": cfg.depth_for(i),
                 "upsample": (j == cfg.num_res_blocks and i > 0),
             })
             c_prev = c
@@ -116,20 +118,50 @@ def apply_res_block(p, x, t_emb, groups: int, policy: Policy,
 
 
 # ----------------------------------------------------------- transformer block
-def init_attn_block(key, channels: int, d_context: int, dtype=jnp.float32):
-    ks = jax.random.split(key, 6)
+def _init_transformer_layer(ks, channels: int, d_context: int, dtype):
+    """One self+cross+ff transformer layer (keys: 4-tuple)."""
+    return {
+        "ln1": norm.init(channels, dtype),
+        "self_attn": attention.init(ks[0], 1, channels, in_bias=False, dtype=dtype),
+        "ln2": norm.init(channels, dtype),
+        "cross_attn": attention.init(ks[1], 1, channels, d_cross=d_context,
+                                     in_bias=False, dtype=dtype),
+        "ln3": norm.init(channels, dtype),
+        "geglu_proj": linear.init(ks[2], channels, 8 * channels, dtype=dtype),
+        "geglu_out": linear.init(ks[3], 4 * channels, channels, dtype=dtype),
+    }
+
+
+def init_attn_block(key, channels: int, d_context: int, dtype=jnp.float32,
+                    depth: int = 1):
+    """depth == 1: the SD-1.x/2.x flat layout (structure and key-split
+    order frozen — full-size golden fingerprints derive from it).
+    depth > 1 (SDXL): ``blocks`` = a list of stacked transformer layers."""
+    if depth == 1:
+        ks = jax.random.split(key, 6)
+        return {
+            "norm": norm.init(channels, dtype),
+            "conv_in": conv.init(ks[0], channels, channels, 1, dtype=dtype),
+            "ln1": norm.init(channels, dtype),
+            "self_attn": attention.init(ks[1], 1, channels, in_bias=False, dtype=dtype),
+            "ln2": norm.init(channels, dtype),
+            "cross_attn": attention.init(ks[2], 1, channels, d_cross=d_context,
+                                         in_bias=False, dtype=dtype),
+            "ln3": norm.init(channels, dtype),
+            "geglu_proj": linear.init(ks[3], channels, 8 * channels, dtype=dtype),
+            "geglu_out": linear.init(ks[4], 4 * channels, channels, dtype=dtype),
+            "conv_out": conv.init(ks[5], channels, channels, 1, dtype=dtype),
+        }
+    ks = jax.random.split(key, 2 + 4 * depth)
     return {
         "norm": norm.init(channels, dtype),
         "conv_in": conv.init(ks[0], channels, channels, 1, dtype=dtype),
-        "ln1": norm.init(channels, dtype),
-        "self_attn": attention.init(ks[1], 1, channels, in_bias=False, dtype=dtype),
-        "ln2": norm.init(channels, dtype),
-        "cross_attn": attention.init(ks[2], 1, channels, d_cross=d_context,
-                                     in_bias=False, dtype=dtype),
-        "ln3": norm.init(channels, dtype),
-        "geglu_proj": linear.init(ks[3], channels, 8 * channels, dtype=dtype),
-        "geglu_out": linear.init(ks[4], 4 * channels, channels, dtype=dtype),
-        "conv_out": conv.init(ks[5], channels, channels, 1, dtype=dtype),
+        "blocks": [
+            _init_transformer_layer(ks[2 + 4 * j: 2 + 4 * (j + 1)],
+                                    channels, d_context, dtype)
+            for j in range(depth)
+        ],
+        "conv_out": conv.init(ks[1], channels, channels, 1, dtype=dtype),
     }
 
 
@@ -168,17 +200,21 @@ def apply_attn_block(p, x, context, n_heads: int, groups: int, policy: Policy,
                              backend=backend, apply_silu=False)
     y = _proj1x1(p["conv_in"], y, policy, quant)
 
-    t = norm.layer_norm(p["ln1"], y, policy=policy)
-    y = y + attention.apply(p["self_attn"], t, n_heads=n_heads,
-                            backend=backend, policy=policy, fuse=fuse_qkv,
-                            quant=quant, sp_mesh=sp_mesh)
-    t = norm.layer_norm(p["ln2"], y, policy=policy)
-    y = y + attention.apply(p["cross_attn"], t, context, n_heads=n_heads,
-                            backend=backend, policy=policy, fuse=fuse_qkv,
-                            quant=quant)
-    t = norm.layer_norm(p["ln3"], y, policy=policy)
-    t = geglu(linear.apply(p["geglu_proj"], t, policy, quant), reference_quirks)
-    y = y + linear.apply(p["geglu_out"], t, policy, quant)
+    # depth-1 blocks keep the flat SD-1.x layout; SDXL-style blocks carry
+    # a "blocks" list of stacked transformer layers
+    for lp in p.get("blocks", [p]):
+        t = norm.layer_norm(lp["ln1"], y, policy=policy)
+        y = y + attention.apply(lp["self_attn"], t, n_heads=n_heads,
+                                backend=backend, policy=policy,
+                                fuse=fuse_qkv, quant=quant, sp_mesh=sp_mesh)
+        t = norm.layer_norm(lp["ln2"], y, policy=policy)
+        y = y + attention.apply(lp["cross_attn"], t, context,
+                                n_heads=n_heads, backend=backend,
+                                policy=policy, fuse=fuse_qkv, quant=quant)
+        t = norm.layer_norm(lp["ln3"], y, policy=policy)
+        t = geglu(linear.apply(lp["geglu_proj"], t, policy, quant),
+                  reference_quirks)
+        y = y + linear.apply(lp["geglu_out"], t, policy, quant)
 
     y = _proj1x1(p["conv_out"], y, policy, quant) + y0
     return y.reshape(n, h, w, c)
@@ -206,14 +242,17 @@ def init(key, cfg: UNetConfig, dtype=jnp.float32):
                                            st["c_out"], t_dim, dtype)}
             if st["attn"]:
                 stage["attn"] = init_attn_block(jax.random.fold_in(k, 1),
-                                                st["c_out"], cfg.d_context, dtype)
+                                                st["c_out"], cfg.d_context,
+                                                dtype, depth=st["depth"])
             enc.append(stage)
     params["encoder"] = enc
 
     c_mid = cfg.level_channels[-1]
     params["bottleneck"] = {
         "res1": init_res_block(jax.random.fold_in(k_mid, 0), c_mid, c_mid, t_dim, dtype),
-        "attn": init_attn_block(jax.random.fold_in(k_mid, 1), c_mid, cfg.d_context, dtype),
+        "attn": init_attn_block(jax.random.fold_in(k_mid, 1), c_mid,
+                                cfg.d_context, dtype,
+                                depth=cfg.depth_for(len(cfg.ch_mults) - 1)),
         "res2": init_res_block(jax.random.fold_in(k_mid, 2), c_mid, c_mid, t_dim, dtype),
     }
 
@@ -224,7 +263,8 @@ def init(key, cfg: UNetConfig, dtype=jnp.float32):
                                        st["c_out"], t_dim, dtype)}
         if st["attn"]:
             stage["attn"] = init_attn_block(jax.random.fold_in(k, 1),
-                                            st["c_out"], cfg.d_context, dtype)
+                                            st["c_out"], cfg.d_context,
+                                            dtype, depth=st["depth"])
         if st["upsample"]:
             stage["upsample"] = conv.init(jax.random.fold_in(k, 2), st["c_out"],
                                           st["c_out"], 3, dtype=dtype)

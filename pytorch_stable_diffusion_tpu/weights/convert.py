@@ -111,20 +111,28 @@ def _unet_res_rules(rules, src, dst, c_in, c_out):
         _conv(rules, f"{src}.skip_connection", f"{dst}/shortcut")
 
 
-def _unet_attn_rules(rules, src, dst):
+def _transformer_layer_rules(rules, tb, ldst):
+    _norm(rules, f"{tb}.norm1", f"{ldst}/ln1")
+    for ours, theirs in (("q", "to_q"), ("k", "to_k"), ("v", "to_v")):
+        _linear(rules, f"{tb}.attn1.{theirs}", f"{ldst}/self_attn/{ours}", bias=False)
+        _linear(rules, f"{tb}.attn2.{theirs}", f"{ldst}/cross_attn/{ours}", bias=False)
+    _linear(rules, f"{tb}.attn1.to_out.0", f"{ldst}/self_attn/out")
+    _linear(rules, f"{tb}.attn2.to_out.0", f"{ldst}/cross_attn/out")
+    _norm(rules, f"{tb}.norm2", f"{ldst}/ln2")
+    _norm(rules, f"{tb}.norm3", f"{ldst}/ln3")
+    _linear(rules, f"{tb}.ff.net.0.proj", f"{ldst}/geglu_proj")
+    _linear(rules, f"{tb}.ff.net.2", f"{ldst}/geglu_out")
+
+
+def _unet_attn_rules(rules, src, dst, depth: int = 1):
     _norm(rules, f"{src}.norm", f"{dst}/norm")
     _conv(rules, f"{src}.proj_in", f"{dst}/conv_in")
-    tb = f"{src}.transformer_blocks.0"
-    _norm(rules, f"{tb}.norm1", f"{dst}/ln1")
-    for ours, theirs in (("q", "to_q"), ("k", "to_k"), ("v", "to_v")):
-        _linear(rules, f"{tb}.attn1.{theirs}", f"{dst}/self_attn/{ours}", bias=False)
-        _linear(rules, f"{tb}.attn2.{theirs}", f"{dst}/cross_attn/{ours}", bias=False)
-    _linear(rules, f"{tb}.attn1.to_out.0", f"{dst}/self_attn/out")
-    _linear(rules, f"{tb}.attn2.to_out.0", f"{dst}/cross_attn/out")
-    _norm(rules, f"{tb}.norm2", f"{dst}/ln2")
-    _norm(rules, f"{tb}.norm3", f"{dst}/ln3")
-    _linear(rules, f"{tb}.ff.net.0.proj", f"{dst}/geglu_proj")
-    _linear(rules, f"{tb}.ff.net.2", f"{dst}/geglu_out")
+    if depth == 1:  # flat SD-1.x/2.x layout
+        _transformer_layer_rules(rules, f"{src}.transformer_blocks.0", dst)
+    else:  # SDXL-style stacked layers
+        for j in range(depth):
+            _transformer_layer_rules(rules, f"{src}.transformer_blocks.{j}",
+                                     f"{dst}/blocks/{j}")
     _conv(rules, f"{src}.proj_out", f"{dst}/conv_out")
 
 
@@ -144,11 +152,13 @@ def unet_rules(cfg: SDConfig) -> List[Rule]:
         else:
             _unet_res_rules(rules, f"{blk}.0", f"{dst}/res", st["c_in"], st["c_out"])
             if st["attn"]:
-                _unet_attn_rules(rules, f"{blk}.1", f"{dst}/attn")
+                _unet_attn_rules(rules, f"{blk}.1", f"{dst}/attn",
+                                 depth=st.get("depth", 1))
 
     mid_c = u.level_channels[-1]
     _unet_res_rules(rules, f"{src}.middle_block.0", "bottleneck/res1", mid_c, mid_c)
-    _unet_attn_rules(rules, f"{src}.middle_block.1", "bottleneck/attn")
+    _unet_attn_rules(rules, f"{src}.middle_block.1", "bottleneck/attn",
+                     depth=u.depth_for(len(u.ch_mults) - 1))
     _unet_res_rules(rules, f"{src}.middle_block.2", "bottleneck/res2", mid_c, mid_c)
 
     for j, st in enumerate(unet_mod.decoder_plan(u)):
@@ -157,7 +167,8 @@ def unet_rules(cfg: SDConfig) -> List[Rule]:
         _unet_res_rules(rules, f"{blk}.0", f"{dst}/res", st["c_in"], st["c_out"])
         nxt = 1
         if st["attn"]:
-            _unet_attn_rules(rules, f"{blk}.1", f"{dst}/attn")
+            _unet_attn_rules(rules, f"{blk}.1", f"{dst}/attn",
+                             depth=st.get("depth", 1))
             nxt = 2
         if st["upsample"]:
             _conv(rules, f"{blk}.{nxt}.conv", f"{dst}/upsample")
