@@ -41,6 +41,11 @@ def init(key, cfg: CLIPConfig, dtype=jnp.float32):
             "fc1": linear.init(k1, cfg.d_model, cfg.d_ff, dtype=dtype),
             "fc2": linear.init(k2, cfg.d_ff, cfg.d_model, dtype=dtype),
         })
+    if cfg.text_projection:
+        # OpenCLIP pooled-text head (SDXL bigG): (d, d) projection applied
+        # to the final-normed EOT token embedding
+        params["text_projection"] = jax.random.normal(
+            keys[-1], (cfg.d_model, cfg.d_model), dtype) * cfg.d_model**-0.5
     return params
 
 
@@ -69,4 +74,26 @@ def apply(params, tokens, cfg: CLIPConfig, policy: Policy = FP32,
         h = act(h)
         h = linear.apply(lp["fc2"], h, policy)
         x = x + h
+    if cfg.stop_at_layer is not None and not cfg.penultimate_norm:
+        return x  # SDXL contract: truncated hidden WITHOUT the final LN
     return norm.layer_norm(params["final_norm"], x, policy=policy)
+
+
+def apply_with_pooled(params, tokens, cfg: CLIPConfig, policy: Policy = FP32,
+                      *, fuse_qkv: bool = True):
+    """(hidden, pooled) — the SDXL text-tower contract: ``hidden`` follows
+    ``apply`` (penultimate, un-normed when cfg.penultimate_norm=False);
+    ``pooled`` runs the FULL stack, final-norms, takes the EOT-token
+    embedding (argmax of ids — the CLIP convention; eot is the largest id)
+    and applies ``text_projection`` when present."""
+    import dataclasses as _dc
+
+    hidden = apply(params, tokens, cfg, policy, fuse_qkv=fuse_qkv)
+    full = apply(params, tokens, _dc.replace(cfg, stop_at_layer=None),
+                 policy, fuse_qkv=fuse_qkv)
+    eot = jnp.argmax(tokens, axis=-1)  # (B,)
+    pooled = jnp.take_along_axis(full, eot[:, None, None], axis=1)[:, 0]
+    if "text_projection" in params:
+        pooled = jnp.dot(pooled,
+                         params["text_projection"].astype(pooled.dtype))
+    return hidden, pooled

@@ -32,11 +32,20 @@ class CLIPConfig:
     #: stop after this many transformer layers, then apply the final LN —
     #: SD-2.x conditions on the penultimate layer (n_layers - 1).
     stop_at_layer: int = None
+    #: apply the final LayerNorm to the truncated (stop_at_layer) hidden —
+    #: True for SD-2.x; SDXL conditions on the RAW penultimate hidden.
+    penultimate_norm: bool = True
+    #: OpenCLIP pooled-text head (SDXL bigG): (d, d) projection applied to
+    #: the final-normed EOT token embedding (clip.apply_with_pooled).
+    text_projection: bool = False
     #: checkpoint key namespace: "clip" (SD-1.x, HF-transformers-style
     #: cond_stage_model.transformer.text_model.*) or "open_clip" (SD-2.x,
     #: cond_stage_model.model.* with fused attn in_proj).  Affects only
     #: weights/convert.py; the runtime model is identical.
     layout: str = "clip"
+    #: checkpoint key prefix override (SDXL: the towers live under
+    #: conditioner.embedders.{0,1}.*); None -> the layout's default.
+    key_prefix: str = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -83,6 +92,10 @@ class UNetConfig:
     #: uses the deepest level's depth).  None -> depth 1 everywhere
     #: (SD-1.x/2.x).
     transformer_depth: Tuple[int, ...] = None
+    #: SDXL added conditioning: dimension of the concatenated
+    #: (pooled-text, size-embedding) vector fed through the add_embedding
+    #: MLP into the time embedding (SDXL: 1280 + 6*256 = 2816).
+    add_embed_dim: int = None
 
     def depth_for(self, level: int) -> int:
         if self.transformer_depth is None:
@@ -125,6 +138,11 @@ class SDConfig:
     #: 0.000085 (ddpm.py:30; CompVis value is 0.00085).
     #: Default False = correct SD-1.5.
     reference_quirks: bool = False
+    #: second text tower (SDXL's OpenCLIP bigG); None for single-tower
+    #: SD-1.x/2.x.  When set, the pipeline concatenates both towers'
+    #: penultimate hiddens as cross-attention context and feeds the bigG
+    #: pooled embedding (+ size ids) through the UNet's add_embedding.
+    clip2: CLIPConfig = None
     #: "epsilon" (SD-1.x / SD-2-base) or "v" (SD-2.x 768-v checkpoints).
     prediction_type: str = "epsilon"
     #: Fuse same-input q/k/v projections into one wide matmul (measured ~5%
@@ -178,5 +196,38 @@ def sd21_config(policy: Policy = FP32, v_prediction: bool = True, **kw) -> SDCon
                         n_heads=8, head_dim=64, d_context=1024),
         policy=policy,
         prediction_type="v" if v_prediction else "epsilon",
+        **kw,
+    )
+
+
+def sdxl_config(policy: Policy = FP32, **kw) -> SDConfig:
+    """SDXL-base architecture preset (the reference covers only SD-1.5).
+
+    Dual text towers — CLIP-L (penultimate, un-normed) + OpenCLIP bigG
+    (penultimate + pooled/text_projection) concatenated to a 2048-d
+    context; 3-level UNet (320/640/1280) with transformer depths (1,2,10),
+    head_dim 64, and the 2816-d added conditioning (pooled 1280 + 6x256
+    size embeddings) through add_embedding; VAE scale 0.13025.  Checkpoint
+    conversion handles the conditioner.embedders.{0,1} namespaces
+    (synthetic round-trip tested; no real SDXL weights on this host)."""
+    return SDConfig(
+        clip=CLIPConfig(vocab_size=49408, d_model=768, max_len=77,
+                        n_layers=12, n_heads=12, d_ff=3072,
+                        hidden_act="quick_gelu", stop_at_layer=11,
+                        penultimate_norm=False,
+                        key_prefix="conditioner.embedders.0.transformer"
+                                   ".text_model"),
+        clip2=CLIPConfig(vocab_size=49408, d_model=1280, max_len=77,
+                         n_layers=32, n_heads=20, d_ff=5120,
+                         hidden_act="gelu", stop_at_layer=31,
+                         penultimate_norm=False, text_projection=True,
+                         layout="open_clip",
+                         key_prefix="conditioner.embedders.1.model"),
+        vae=VAEConfig(scale_factor=0.13025),
+        unet=UNetConfig(model_channels=320, ch_mults=(1, 2, 4),
+                        attn_levels=(False, True, True),
+                        transformer_depth=(1, 2, 10),
+                        head_dim=64, d_context=2048, add_embed_dim=2816),
+        policy=policy,
         **kw,
     )

@@ -231,6 +231,14 @@ def init(key, cfg: UNetConfig, dtype=jnp.float32):
         },
         "conv_in": conv.init(k_cin, cfg.in_channels, cfg.model_channels, 3, dtype=dtype),
     }
+    if cfg.add_embed_dim:
+        # SDXL added conditioning (pooled text + size ids) -> time embedding
+        params["add_embed"] = {
+            "fc1": linear.init(jax.random.fold_in(k_t, 2), cfg.add_embed_dim,
+                               t_dim, dtype=dtype),
+            "fc2": linear.init(jax.random.fold_in(k_t, 3), t_dim, t_dim,
+                               dtype=dtype),
+        }
 
     enc = []
     for i, st in enumerate(encoder_plan(cfg)[1:]):
@@ -279,7 +287,8 @@ def init(key, cfg: UNetConfig, dtype=jnp.float32):
 def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
           *, attention_backend: str = "xla", reference_quirks: bool = False,
           t_emb: Optional[jax.Array] = None, fuse_qkv: bool = True,
-          quant: str = "none", sp_mesh=None):
+          quant: str = "none", sp_mesh=None,
+          add_cond: Optional[jax.Array] = None):
     """latents: (B, h, w, in_ch); context: (B, S, d_context); t: scalar timestep.
 
     Returns predicted noise (B, h, w, out_ch).
@@ -292,6 +301,12 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
         t_emb = timestep_embedding(t, cfg.model_channels)
     t_emb = linear.apply(params["time_embed"]["fc1"], t_emb, policy)
     t_emb = linear.apply(params["time_embed"]["fc2"], silu(t_emb), policy)
+    if add_cond is not None:
+        # SDXL: emb = time_emb + add_embedding(concat(pooled, size_embs))
+        a = linear.apply(params["add_embed"]["fc1"],
+                         add_cond.astype(policy.compute_dtype), policy)
+        t_emb = t_emb + linear.apply(params["add_embed"]["fc2"], silu(a),
+                                     policy)
 
     def block(stage, x):
         x = apply_res_block(stage["res"], x, t_emb, cfg.groups, policy,

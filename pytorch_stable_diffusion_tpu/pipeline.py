@@ -127,15 +127,42 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
     policy: Policy = cfg.policy
     lc = cfg.vae.latent_channels
 
+    def encode_text(params, tokens):
+        """-> (context, add_cond).  Single tower: (hidden, None).  SDXL
+        dual tower: concat CLIP-L + bigG penultimate hiddens on features,
+        and the bigG pooled embedding + 6x256 size embeddings through the
+        UNet add_embedding (add_cond)."""
+        hidden = clip_mod.apply(params["clip"], tokens, cfg.clip, policy,
+                                fuse_qkv=cfg.fuse_qkv)
+        if cfg.clip2 is None:
+            return hidden, None
+        hidden2, pooled = clip_mod.apply_with_pooled(
+            params["clip2"], tokens, cfg.clip2, policy, fuse_qkv=cfg.fuse_qkv)
+        context = jnp.concatenate(
+            [hidden.astype(policy.compute_dtype),
+             hidden2.astype(policy.compute_dtype)], axis=-1)
+        # add_time_ids = (orig_h, orig_w, crop_top, crop_left, tgt_h, tgt_w),
+        # each sinusoidally embedded at (add_embed_dim - pooled_dim)/6 dims
+        # (SDXL: (2816 - 1280)/6 = 256)
+        h_px, w_px = h_lat * cfg.vae.downsample_factor, \
+            w_lat * cfg.vae.downsample_factor
+        ids = jnp.asarray([h_px, w_px, 0, 0, h_px, w_px], jnp.float32)
+        size_dim = (cfg.unet.add_embed_dim - cfg.clip2.d_model) // 6
+        size_emb = unet_mod.timestep_embedding(ids, size_dim).reshape(1, -1)
+        size_emb = jnp.broadcast_to(size_emb,
+                                    (pooled.shape[0], 6 * size_dim))
+        add_cond = jnp.concatenate(
+            [pooled.astype(jnp.float32), size_emb], axis=-1)
+        return context, add_cond
+
     def run(params: Dict[str, Any], cond_tokens, uncond_tokens, key,
             cfg_scale, start_step, init_image, noises):
-        context = clip_mod.apply(params["clip"], cond_tokens, cfg.clip, policy,
-                                 fuse_qkv=cfg.fuse_qkv)
+        context, add_cond = encode_text(params, cond_tokens)
         if do_cfg:
-            uncond_ctx = clip_mod.apply(params["clip"], uncond_tokens,
-                                        cfg.clip, policy,
-                                        fuse_qkv=cfg.fuse_qkv)
+            uncond_ctx, uncond_add = encode_text(params, uncond_tokens)
             context = jnp.concatenate([context, uncond_ctx], axis=0)
+            if add_cond is not None:
+                add_cond = jnp.concatenate([add_cond, uncond_add], axis=0)
 
         lat_shape = (batch, h_lat, w_lat, lc)
 
@@ -187,7 +214,8 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                 params["diffusion"], model_in, context, t, cfg.unet, policy,
                 attention_backend=cfg.attention_backend,
                 reference_quirks=cfg.reference_quirks,
-                fuse_qkv=cfg.fuse_qkv, quant=cfg.quant, sp_mesh=sp_mesh)
+                fuse_qkv=cfg.fuse_qkv, quant=cfg.quant, sp_mesh=sp_mesh,
+                add_cond=add_cond)
             if do_cfg:
                 eps_cond, eps_uncond = jnp.split(eps, 2, axis=0)
                 eps = cfg_scale * (eps_cond - eps_uncond) + eps_uncond  # pipeline.py:233

@@ -173,6 +173,11 @@ def unet_rules(cfg: SDConfig) -> List[Rule]:
         if st["upsample"]:
             _conv(rules, f"{blk}.{nxt}.conv", f"{dst}/upsample")
 
+    if u.add_embed_dim:
+        # SDXL added conditioning MLP (stored under label_emb.0.{0,2})
+        _linear(rules, f"{src}.label_emb.0.0", "add_embed/fc1")
+        _linear(rules, f"{src}.label_emb.0.2", "add_embed/fc2")
+
     _norm(rules, f"{src}.out.0", "norm_out")
     _conv(rules, f"{src}.out.2", "conv_out")
     return rules
@@ -243,21 +248,24 @@ def vae_decoder_rules(cfg: SDConfig) -> List[Rule]:
 
 
 # ------------------------------------------------------------------- CLIP
-def _open_clip_rules(cfg: SDConfig) -> List[Rule]:
-    """SD-2.x text tower: OpenCLIP ViT-H under ``cond_stage_model.model.*``.
+def _open_clip_rules(ccfg, src: str) -> List[Rule]:
+    """OpenCLIP text tower (SD-2.x ViT-H / SDXL bigG).
 
     Layout differences vs SD-1.x (verified against the standard SD-2.1
     CompVis checkpoint key schema): positional embedding is a bare param
     (``positional_embedding``, no ``.weight``), transformer blocks live at
     ``transformer.resblocks.{i}`` with ``ln_1/ln_2``, ``mlp.c_fc/c_proj``,
     and attention stores a FUSED ``attn.in_proj_weight``/``in_proj_bias``
-    (3d, d)/(3d,) that we split into our unfused q/k/v."""
-    src = "cond_stage_model.model"
+    (3d, d)/(3d,) that we split into our unfused q/k/v.  SDXL's bigG also
+    consumes ``text_projection`` (the pooled-text head; direct layout —
+    open_clip applies it as ``x @ W``)."""
     rules: List[Rule] = [
         (f"{src}.token_embedding.weight", "token_embedding", "direct"),
         (f"{src}.positional_embedding", "position_embedding", "direct"),
     ]
-    for i in range(cfg.clip.n_layers):
+    if ccfg.text_projection:
+        rules.append((f"{src}.text_projection", "text_projection", "direct"))
+    for i in range(ccfg.n_layers):
         lyr = f"{src}.transformer.resblocks.{i}"
         dst = f"layers/{i}"
         _norm(rules, f"{lyr}.ln_1", f"{dst}/ln1")
@@ -274,17 +282,12 @@ def _open_clip_rules(cfg: SDConfig) -> List[Rule]:
     return rules
 
 
-def clip_rules(cfg: SDConfig) -> List[Rule]:
-    if cfg.clip.layout == "open_clip":
-        return _open_clip_rules(cfg)
-    if cfg.clip.layout != "clip":
-        raise ValueError(f"unknown CLIP layout {cfg.clip.layout!r}")
-    src = "cond_stage_model.transformer.text_model"
+def _hf_clip_rules(ccfg, src: str) -> List[Rule]:
     rules: List[Rule] = [
         (f"{src}.embeddings.token_embedding.weight", "token_embedding", "direct"),
         (f"{src}.embeddings.position_embedding.weight", "position_embedding", "direct"),
     ]
-    for i in range(cfg.clip.n_layers):
+    for i in range(ccfg.n_layers):
         lyr = f"{src}.encoder.layers.{i}"
         dst = f"layers/{i}"
         _norm(rules, f"{lyr}.layer_norm1", f"{dst}/ln1")
@@ -298,6 +301,24 @@ def clip_rules(cfg: SDConfig) -> List[Rule]:
     return rules
 
 
+def _tower_rules(ccfg) -> List[Rule]:
+    if ccfg.layout == "open_clip":
+        return _open_clip_rules(ccfg, ccfg.key_prefix or "cond_stage_model.model")
+    if ccfg.layout != "clip":
+        raise ValueError(f"unknown CLIP layout {ccfg.layout!r}")
+    return _hf_clip_rules(
+        ccfg, ccfg.key_prefix or "cond_stage_model.transformer.text_model")
+
+
+def clip_rules(cfg: SDConfig) -> List[Rule]:
+    return _tower_rules(cfg.clip)
+
+
+def clip2_rules(cfg: SDConfig) -> List[Rule]:
+    """SDXL's second text tower (registered only when cfg.clip2 is set)."""
+    return _tower_rules(cfg.clip2)
+
+
 # --------------------------------------------------------------- execution
 _ALL_RULES = {
     "clip": clip_rules,
@@ -305,6 +326,13 @@ _ALL_RULES = {
     "decoder": vae_decoder_rules,
     "diffusion": unet_rules,
 }
+
+
+def _rules_map(cfg: SDConfig):
+    m = dict(_ALL_RULES)
+    if cfg.clip2 is not None:
+        m["clip2"] = clip2_rules
+    return m
 
 #: source keys that exist in CompVis ckpts but carry no model weight we need
 _IGNORE_PREFIXES = ("model_ema.", "cond_stage_model.transformer.text_model."
@@ -360,7 +388,7 @@ def convert(state_dict: Dict[str, np.ndarray], cfg: SDConfig, dtype=None,
         place = lambda name, path, x: jnp.asarray(x, dtype)
     consumed = set()
     out = {}
-    for name, rule_fn in _ALL_RULES.items():
+    for name, rule_fn in _rules_map(cfg).items():
         flat = {}
         for src_key, dst_path, kind in rule_fn(cfg):
             if src_key not in state_dict:
@@ -388,7 +416,7 @@ def deconvert(params: Dict[str, dict], cfg: SDConfig) -> Dict[str, np.ndarray]:
 
     sd: Dict[str, np.ndarray] = {}
     fused: Dict[str, list] = {}
-    for name, rule_fn in _ALL_RULES.items():
+    for name, rule_fn in _rules_map(cfg).items():
         flat = flatten(params[name])
         for src_key, dst_path, kind in rule_fn(cfg):
             if dst_path not in flat:
@@ -477,4 +505,6 @@ def synthetic_state_dict(cfg: SDConfig, seed: int = 0) -> Dict[str, np.ndarray]:
         "decoder": vae_mod.init_decoder(jax.random.fold_in(key, 2), cfg.vae),
         "diffusion": unet_mod.init(jax.random.fold_in(key, 3), cfg.unet),
     }
+    if cfg.clip2 is not None:
+        params["clip2"] = clip_mod.init(jax.random.fold_in(key, 4), cfg.clip2)
     return deconvert(params, cfg)

@@ -1,0 +1,121 @@
+"""SDXL architecture support (round 3) — dual text towers, per-level
+transformer depth, added conditioning, 0.13025 VAE scale.
+
+The reference covers only SD-1.5 (SURVEY §2); this is the elective family
+tier, validated the same way SD-2.x was accepted in round 2: exact
+synthetic checkpoint round-trip through the conditioner.embedders.{0,1} /
+label_emb namespaces, structural param-count identity with the published
+model, and an end-to-end generate at a scaled topology.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pytorch_stable_diffusion_tpu.models import clip as clip_mod
+from pytorch_stable_diffusion_tpu.models import unet as unet_mod
+from pytorch_stable_diffusion_tpu.models import vae as vae_mod
+from pytorch_stable_diffusion_tpu.models.config import (
+    CLIPConfig, SDConfig, UNetConfig, VAEConfig, sdxl_config)
+from pytorch_stable_diffusion_tpu.weights import convert
+
+
+def tiny_sdxl_config(**kw) -> SDConfig:
+    return SDConfig(
+        clip=CLIPConfig(vocab_size=1024, d_model=16, max_len=16, n_layers=2,
+                        n_heads=2, d_ff=32, stop_at_layer=1,
+                        penultimate_norm=False,
+                        key_prefix="conditioner.embedders.0.transformer"
+                                   ".text_model"),
+        clip2=CLIPConfig(vocab_size=1024, d_model=32, max_len=16, n_layers=3,
+                         n_heads=4, d_ff=64, hidden_act="gelu",
+                         stop_at_layer=2, penultimate_norm=False,
+                         text_projection=True, layout="open_clip",
+                         key_prefix="conditioner.embedders.1.model"),
+        vae=VAEConfig(base_channels=16, ch_mults=(1, 2), groups=4,
+                      scale_factor=0.13025),
+        unet=UNetConfig(model_channels=16, ch_mults=(1, 2),
+                        attn_levels=(False, True), transformer_depth=(1, 2),
+                        head_dim=8, d_context=48, groups=4,
+                        add_embed_dim=32 + 6 * 4),  # pooled 32 + 6x4 sizes
+        **kw,
+    )
+
+
+@pytest.fixture(scope="module")
+def xl_cfg():
+    return tiny_sdxl_config()
+
+
+@pytest.fixture(scope="module")
+def xl_models(xl_cfg):
+    key = jax.random.PRNGKey(7)
+    return {
+        "clip": clip_mod.init(jax.random.fold_in(key, 0), xl_cfg.clip),
+        "clip2": clip_mod.init(jax.random.fold_in(key, 4), xl_cfg.clip2),
+        "encoder": vae_mod.init_encoder(jax.random.fold_in(key, 1), xl_cfg.vae),
+        "decoder": vae_mod.init_decoder(jax.random.fold_in(key, 2), xl_cfg.vae),
+        "diffusion": unet_mod.init(jax.random.fold_in(key, 3), xl_cfg.unet),
+    }
+
+
+def test_sdxl_unet_param_count_matches_published():
+    """Structural identity with SDXL-base: the real config's UNet must have
+    exactly 2,567,463,684 params (the analog of SD-1.5's 859,520,964)."""
+    cfg = sdxl_config()
+    shapes = jax.eval_shape(lambda k: unet_mod.init(k, cfg.unet),
+                            jax.random.PRNGKey(0))
+    n = sum(int(np.prod(l.shape))
+            for l in jax.tree_util.tree_leaves(shapes))
+    assert n == 2_567_463_684, n
+
+
+def test_sdxl_converter_round_trip(xl_cfg):
+    sd = convert.synthetic_state_dict(xl_cfg, seed=3)
+    assert any(k.startswith("conditioner.embedders.1.model.") for k in sd)
+    assert "model.diffusion_model.label_emb.0.0.weight" in sd
+    assert "conditioner.embedders.1.model.text_projection" in sd
+    models = convert.convert(sd, xl_cfg)
+    assert "clip2" in models and "add_embed" in models["diffusion"]
+    sd2 = convert.deconvert(models, xl_cfg)
+    assert set(sd) == set(sd2)
+    for k in sd:
+        np.testing.assert_array_equal(np.asarray(sd[k]), np.asarray(sd2[k]))
+
+
+def test_pooled_text_contract(xl_cfg, xl_models):
+    """hidden follows the un-normed-penultimate contract; pooled comes from
+    the FULL stack + final norm + EOT token + text_projection."""
+    toks = jnp.asarray([[1023, 5, 6, 1022] + [1022] * 12], jnp.int32)
+    hidden, pooled = jax.jit(lambda p, t: clip_mod.apply_with_pooled(
+        p, t, xl_cfg.clip2))(xl_models["clip2"], toks)
+    assert hidden.shape == (1, 16, 32) and pooled.shape == (1, 32)
+    # penultimate un-normed hidden must differ from the normed full output
+    full_cfg = dataclasses.replace(xl_cfg.clip2, stop_at_layer=None)
+    full = clip_mod.apply(xl_models["clip2"], toks, full_cfg)
+    assert not np.allclose(np.asarray(hidden), np.asarray(full))
+
+
+def test_sdxl_end_to_end_generate(xl_cfg, xl_models, tiny_tokenizer):
+    import pytorch_stable_diffusion_tpu as sdt
+
+    img = sdt.generate("a cat", "", models=xl_models,
+                       tokenizer=tiny_tokenizer, seed=5,
+                       n_inference_steps=2, config=xl_cfg,
+                       height=16, width=16, sampler_name="euler")
+    assert img.shape == (16, 16, 3) and img.dtype == np.uint8
+    # deterministic + seed-sensitive
+    img_b = sdt.generate("a cat", "", models=xl_models,
+                         tokenizer=tiny_tokenizer, seed=5,
+                         n_inference_steps=2, config=xl_cfg,
+                         height=16, width=16, sampler_name="euler")
+    np.testing.assert_array_equal(img, img_b)
+    img_c = sdt.generate("a cat", "", models=xl_models,
+                         tokenizer=tiny_tokenizer, seed=6,
+                         n_inference_steps=2, config=xl_cfg,
+                         height=16, width=16, sampler_name="euler")
+    assert (img != img_c).any()
