@@ -47,6 +47,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--height", type=int, default=512)
     p.add_argument("--decode-tile", type=int, default=None,
                    help="tiled VAE decode (hi-res memory bound)")
+    p.add_argument("--lora", action="append", default=[], metavar="PATH[:SCALE]",
+                   help="merge a LoRA adapter (kohya or PEFT .safetensors); "
+                        "repeatable; optional :scale suffix (default 1.0)")
     p.add_argument("--out", default="out.png")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 MXU policy (default fp32 parity numerics)")
@@ -83,9 +86,18 @@ def main(argv=None) -> int:
     print(f"[cli] backend={jax.default_backend()} attention={backend} "
           f"policy={'bf16' if args.bf16 else 'fp32'}", flush=True)
     t0 = time.time()
+    loras = []
+    for spec in args.lora:
+        path, _, s = spec.rpartition(":")
+        try:
+            loras.append((path, float(s)) if path else (spec, 1.0))
+        except ValueError:  # ":" was part of the path, not a scale
+            loras.append((spec, 1.0))
     sd = StableDiffusion.from_checkpoint(args.ckpt, args.vocab, args.merges,
-                                         config=cfg)
-    print(f"[cli] loaded {args.ckpt} in {time.time()-t0:.1f}s", flush=True)
+                                         config=cfg, loras=loras or None)
+    print(f"[cli] loaded {args.ckpt}"
+          + "".join(f" + lora {p}x{s:g}" for p, s in loras)
+          + f" in {time.time()-t0:.1f}s", flush=True)
 
     kw = dict(seed=args.seed, n_inference_steps=args.steps,
               cfg_scale=args.cfg_scale, do_cfg=not args.no_cfg,

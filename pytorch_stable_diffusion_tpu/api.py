@@ -47,12 +47,37 @@ class StableDiffusion:
 
     @classmethod
     def from_checkpoint(cls, ckpt_path: str, vocab_path: str, merges_path: str,
-                        config: Optional[SDConfig] = None, mesh=None):
+                        config: Optional[SDConfig] = None, mesh=None,
+                        loras: Optional[Sequence] = None):
+        """``loras``: optional adapters merged into the weights before any
+        mesh sharding — each entry a path, or a ``(path, scale)`` pair."""
         config = config or sd15_config()
         models = load_sd_checkpoint(ckpt_path, config)
+        if loras:
+            from .weights import lora as lora_mod
+
+            pairs = [(lora_mod.load_lora(l), 1.0) if isinstance(l, (str,))
+                     else (lora_mod.load_lora(l[0]), float(l[1]))
+                     for l in loras]
+            models = lora_mod.apply_loras(models, config, pairs)
         tokenizer = CLIPTokenizer.from_files(vocab_path, merges_path,
                                              max_len=config.clip.max_len)
         return cls(models, tokenizer, config, mesh)
+
+    def with_lora(self, lora, scale: float = 1.0, *, strict: bool = True):
+        """Return a new bundle with a LoRA adapter merged in
+        (``weights/lora.py``).  ``lora`` is a file path or a raw LoRA state
+        dict; ``scale`` is the user strength multiplier.  Merging is a pure
+        weight transform, so the jitted pipeline recompiles nothing."""
+        from .weights import lora as lora_mod
+
+        sd = lora_mod.load_lora(lora) if isinstance(lora, str) else lora
+        merged = lora_mod.apply_lora(self.models, self.config, sd, scale,
+                                     strict=strict)
+        out = type(self).__new__(type(self))
+        out.models, out.tokenizer = merged, self.tokenizer
+        out.config, out.mesh = self.config, self.mesh
+        return out
 
     def _kw(self, kwargs):
         kwargs.setdefault("models", self.models)

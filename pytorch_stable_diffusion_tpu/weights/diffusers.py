@@ -43,20 +43,28 @@ def _res_rules(rules, src, dst, c_in, c_out):
         _conv(rules, f"{src}.conv_shortcut", f"{dst}/shortcut")
 
 
-def _tx_rules(rules, src, dst):
+def _tx_layer_rules(rules, tb, ldst):
+    _norm(rules, f"{tb}.norm1", f"{ldst}/ln1")
+    for ours, theirs in (("q", "to_q"), ("k", "to_k"), ("v", "to_v")):
+        _linear(rules, f"{tb}.attn1.{theirs}", f"{ldst}/self_attn/{ours}", bias=False)
+        _linear(rules, f"{tb}.attn2.{theirs}", f"{ldst}/cross_attn/{ours}", bias=False)
+    _linear(rules, f"{tb}.attn1.to_out.0", f"{ldst}/self_attn/out")
+    _linear(rules, f"{tb}.attn2.to_out.0", f"{ldst}/cross_attn/out")
+    _norm(rules, f"{tb}.norm2", f"{ldst}/ln2")
+    _norm(rules, f"{tb}.norm3", f"{ldst}/ln3")
+    _linear(rules, f"{tb}.ff.net.0.proj", f"{ldst}/geglu_proj")
+    _linear(rules, f"{tb}.ff.net.2", f"{ldst}/geglu_out")
+
+
+def _tx_rules(rules, src, dst, depth: int = 1):
     _norm(rules, f"{src}.norm", f"{dst}/norm")
     _conv(rules, f"{src}.proj_in", f"{dst}/conv_in")
-    tb = f"{src}.transformer_blocks.0"
-    _norm(rules, f"{tb}.norm1", f"{dst}/ln1")
-    for ours, theirs in (("q", "to_q"), ("k", "to_k"), ("v", "to_v")):
-        _linear(rules, f"{tb}.attn1.{theirs}", f"{dst}/self_attn/{ours}", bias=False)
-        _linear(rules, f"{tb}.attn2.{theirs}", f"{dst}/cross_attn/{ours}", bias=False)
-    _linear(rules, f"{tb}.attn1.to_out.0", f"{dst}/self_attn/out")
-    _linear(rules, f"{tb}.attn2.to_out.0", f"{dst}/cross_attn/out")
-    _norm(rules, f"{tb}.norm2", f"{dst}/ln2")
-    _norm(rules, f"{tb}.norm3", f"{dst}/ln3")
-    _linear(rules, f"{tb}.ff.net.0.proj", f"{dst}/geglu_proj")
-    _linear(rules, f"{tb}.ff.net.2", f"{dst}/geglu_out")
+    if depth == 1:  # flat SD-1.x/2.x layout
+        _tx_layer_rules(rules, f"{src}.transformer_blocks.0", dst)
+    else:  # SDXL-style stacked layers
+        for j in range(depth):
+            _tx_layer_rules(rules, f"{src}.transformer_blocks.{j}",
+                            f"{dst}/blocks/{j}")
     _conv(rules, f"{src}.proj_out", f"{dst}/conv_out")
 
 
@@ -80,12 +88,14 @@ def unet_rules(cfg: SDConfig) -> List[Rule]:
             _res_rules(rules, f"down_blocks.{level}.resnets.{r}", f"{dst}/res",
                        st["c_in"], st["c_out"])
             if st["attn"]:
-                _tx_rules(rules, f"down_blocks.{level}.attentions.{r}", f"{dst}/attn")
+                _tx_rules(rules, f"down_blocks.{level}.attentions.{r}",
+                          f"{dst}/attn", depth=st.get("depth", 1))
             res_i[level] += 1
 
     c_mid = u.level_channels[-1]
     _res_rules(rules, "mid_block.resnets.0", "bottleneck/res1", c_mid, c_mid)
-    _tx_rules(rules, "mid_block.attentions.0", "bottleneck/attn")
+    _tx_rules(rules, "mid_block.attentions.0", "bottleneck/attn",
+              depth=u.depth_for(len(u.ch_mults) - 1))
     _res_rules(rules, "mid_block.resnets.1", "bottleneck/res2", c_mid, c_mid)
 
     per_level = u.num_res_blocks + 1
@@ -95,9 +105,15 @@ def unet_rules(cfg: SDConfig) -> List[Rule]:
         _res_rules(rules, f"up_blocks.{l}.resnets.{r}", f"{dst}/res",
                    st["c_in"], st["c_out"])
         if st["attn"]:
-            _tx_rules(rules, f"up_blocks.{l}.attentions.{r}", f"{dst}/attn")
+            _tx_rules(rules, f"up_blocks.{l}.attentions.{r}", f"{dst}/attn",
+                      depth=st.get("depth", 1))
         if st["upsample"]:
             _conv(rules, f"up_blocks.{l}.upsamplers.0.conv", f"{dst}/upsample")
+
+    if u.add_embed_dim:
+        # SDXL added conditioning MLP (diffusers: add_embedding.linear_{1,2})
+        _linear(rules, "add_embedding.linear_1", "add_embed/fc1")
+        _linear(rules, "add_embedding.linear_2", "add_embed/fc2")
 
     _norm(rules, "conv_norm_out", "norm_out")
     _conv(rules, "conv_out", "conv_out")
@@ -170,13 +186,16 @@ def vae_decoder_rules(cfg: SDConfig) -> List[Rule]:
 
 
 # ------------------------------------------------------------------- CLIP
-def clip_rules(cfg: SDConfig) -> List[Rule]:
+def _clip_tower_rules(ccfg) -> List[Rule]:
+    """HF-layout (diffusers ``text_encoder``) rules for one tower config —
+    SDXL's ``text_encoder_2`` ships HF-layout too, so this serves both
+    ``cfg.clip`` and ``cfg.clip2`` (the LoRA resolver uses the latter)."""
     src = "text_model"
     rules: List[Rule] = [
         (f"{src}.embeddings.token_embedding.weight", "token_embedding", "direct"),
         (f"{src}.embeddings.position_embedding.weight", "position_embedding", "direct"),
     ]
-    for i in range(cfg.clip.n_layers):
+    for i in range(ccfg.n_layers):
         lyr = f"{src}.encoder.layers.{i}"
         dst = f"layers/{i}"
         _norm(rules, f"{lyr}.layer_norm1", f"{dst}/ln1")
@@ -188,6 +207,10 @@ def clip_rules(cfg: SDConfig) -> List[Rule]:
         _linear(rules, f"{lyr}.mlp.fc2", f"{dst}/fc2")
     _norm(rules, f"{src}.final_layer_norm", "final_norm")
     return rules
+
+
+def clip_rules(cfg: SDConfig) -> List[Rule]:
+    return _clip_tower_rules(cfg.clip)
 
 
 _RULES = {"clip": clip_rules, "diffusion": unet_rules,

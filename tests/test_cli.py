@@ -98,3 +98,40 @@ def test_cli_parser_defaults():
     # reference demo anchors
     assert args.steps == 50 and args.seed == 1337
     assert args.sampler == "ddpm" and args.width == args.height == 512
+
+
+def test_cli_lora(assets, tiny_cfg, tiny_models):
+    """--lora merges an adapter and changes the image (scale via :suffix)."""
+    from safetensors.numpy import save_file
+
+    from pytorch_stable_diffusion_tpu.weights import lora as lora_mod
+
+    d, ckpt, vocab, merges = assets
+    targets = lora_mod._weight_targets(tiny_cfg)
+    dotted = [k for k in targets if "attn2.to_q" in k][0]
+    _, dst, _ = targets[dotted][0]
+    from pytorch_stable_diffusion_tpu.core.pytree import flatten
+
+    in_d, out_d = np.asarray(flatten(tiny_models["diffusion"])[dst]).shape
+    rng = np.random.RandomState(5)
+    name = "lora_unet_" + dotted.split(".", 1)[1].replace(".", "_")
+    lora_path = os.path.join(d, "adapter.safetensors")
+    save_file({
+        f"{name}.lora_down.weight": rng.randn(2, in_d).astype(np.float32),
+        f"{name}.lora_up.weight": rng.randn(out_d, 2).astype(np.float32),
+        f"{name}.alpha": np.array(2.0, np.float32),
+    }, lora_path)
+
+    base = os.path.join(d, "lora_base.png")
+    main(["--ckpt", ckpt, "--vocab", vocab, "--merges", merges,
+          "--prompt", "a cat", "--steps", "2", "--seed", "3",
+          "--width", "16", "--height", "16", "--config-preset", "tiny",
+          "--out", base])
+    out = os.path.join(d, "lora_on.png")
+    rc = main(["--ckpt", ckpt, "--vocab", vocab, "--merges", merges,
+               "--prompt", "a cat", "--steps", "2", "--seed", "3",
+               "--width", "16", "--height", "16", "--config-preset", "tiny",
+               "--lora", f"{lora_path}:0.5", "--out", out])
+    assert rc == 0
+    a, b = np.asarray(Image.open(base)), np.asarray(Image.open(out))
+    assert a.shape == b.shape and not np.array_equal(a, b)
