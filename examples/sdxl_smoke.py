@@ -1,0 +1,72 @@
+"""SDXL-base hardware smoke: full 2.57B-param architecture at native 1024².
+
+The reference covers only SD-1.5 (`/root/reference/sd/`); SDXL is the
+elective family tier.  This runs the real topology (random weights — no
+SDXL checkpoint on this host) end-to-end on the chip: dual text towers,
+depth-(1,2,10) UNet with the 2816-d added conditioning, 0.13025 VAE.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python examples/sdxl_smoke.py
+"""
+import time
+
+import jax
+import numpy as np
+
+import pytorch_stable_diffusion_tpu as sdt
+from pytorch_stable_diffusion_tpu.core.cache import enable_compilation_cache
+from pytorch_stable_diffusion_tpu.core.dtypes import BF16
+from pytorch_stable_diffusion_tpu.models import clip, unet, vae
+from pytorch_stable_diffusion_tpu.models.config import sdxl_config
+from pytorch_stable_diffusion_tpu.weights.tokenizer import make_test_tokenizer
+
+
+def build_sdxl_models(cfg, seed=0):
+    key = jax.random.PRNGKey(seed)
+    dtype = cfg.policy.param_dtype
+    return {
+        "clip": clip.init(jax.random.fold_in(key, 0), cfg.clip, dtype=dtype),
+        "clip2": clip.init(jax.random.fold_in(key, 4), cfg.clip2, dtype=dtype),
+        "encoder": vae.init_encoder(jax.random.fold_in(key, 1), cfg.vae,
+                                    dtype=dtype),
+        "decoder": vae.init_decoder(jax.random.fold_in(key, 2), cfg.vae,
+                                    dtype=dtype),
+        "diffusion": unet.init(jax.random.fold_in(key, 3), cfg.unet,
+                               dtype=dtype),
+    }
+
+
+def main():
+    enable_compilation_cache()
+    backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    cfg = sdxl_config(policy=BF16, attention_backend=backend)
+    models = build_sdxl_models(cfg)
+    n_params = sum(int(np.prod(x.shape)) for x in
+                   jax.tree_util.tree_leaves(models["diffusion"]))
+    print(f"UNet params: {n_params:,}", flush=True)
+    tok = make_test_tokenizer(["a", "photo", "of", "dog", "cat", "golden"],
+                              max_len=77)
+
+    steps = 20
+    t0 = time.time()
+    img = sdt.generate("a photo of a golden dog", "a cat", models=models,
+                       tokenizer=tok, seed=1337, cfg_scale=7.0,
+                       sampler_name="dpm++", n_inference_steps=steps,
+                       height=1024, width=1024, config=cfg)
+    print(f"sdxl 1024^2 {steps}-step: {img.shape} {img.dtype} "
+          f"range {int(img.min())}..{int(img.max())} "
+          f"({time.time()-t0:.1f}s incl compile)", flush=True)
+
+    for _ in range(2):
+        t0 = time.time()
+        img2 = sdt.generate("a photo of a golden dog", "a cat", models=models,
+                            tokenizer=tok, seed=1337, cfg_scale=7.0,
+                            sampler_name="dpm++", n_inference_steps=steps,
+                            height=1024, width=1024, config=cfg)
+        dt = time.time() - t0
+        print(f"repeat: {dt:.2f}s ({dt/steps*1000:.1f} ms/step incl "
+              f"text+decode)  deterministic: {bool((img == img2).all())}",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
