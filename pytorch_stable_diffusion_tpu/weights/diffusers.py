@@ -206,6 +206,10 @@ def _clip_tower_rules(ccfg) -> List[Rule]:
         _linear(rules, f"{lyr}.mlp.fc1", f"{dst}/fc1")
         _linear(rules, f"{lyr}.mlp.fc2", f"{dst}/fc2")
     _norm(rules, f"{src}.final_layer_norm", "final_norm")
+    if ccfg.text_projection:
+        # HF CLIPTextModelWithProjection: top-level Linear (proj, d) applied
+        # x @ W.T; "linear" transposes into our pooled @ W layout.
+        rules.append(("text_projection.weight", "text_projection", "linear"))
     return rules
 
 
@@ -235,10 +239,13 @@ def _convert_one(state_dict, rule_fn, cfg, dtype, name):
 def convert_diffusers(unet_sd: Dict[str, np.ndarray],
                       vae_sd: Dict[str, np.ndarray],
                       text_encoder_sd: Dict[str, np.ndarray],
-                      cfg: SDConfig, dtype=None):
-    """Three diffusers state dicts -> {'clip','encoder','decoder','diffusion'}.
+                      cfg: SDConfig, dtype=None,
+                      text_encoder_2_sd: Dict[str, np.ndarray] = None):
+    """Diffusers state dicts -> {'clip','encoder','decoder','diffusion'}.
 
-    Exact coverage enforced on all three inputs."""
+    Exact coverage enforced on all inputs.  For SDXL configs
+    (``cfg.clip2`` set) the second text tower's state dict is required and
+    converts to a ``'clip2'`` entry."""
     dtype = dtype or cfg.policy.param_dtype
     out = {}
     out["diffusion"], used_u = _convert_one(unet_sd, unet_rules, cfg, dtype, "unet")
@@ -246,9 +253,16 @@ def convert_diffusers(unet_sd: Dict[str, np.ndarray],
     out["decoder"], used_d = _convert_one(vae_sd, vae_decoder_rules, cfg, dtype, "vae")
     out["clip"], used_c = _convert_one(text_encoder_sd, clip_rules, cfg, dtype,
                                        "text_encoder")
-    for sd, used, name in ((unet_sd, used_u, "unet"),
-                           (vae_sd, used_e | used_d, "vae"),
-                           (text_encoder_sd, used_c, "text_encoder")):
+    checks = [(unet_sd, used_u, "unet"), (vae_sd, used_e | used_d, "vae"),
+              (text_encoder_sd, used_c, "text_encoder")]
+    if cfg.clip2 is not None:
+        if text_encoder_2_sd is None:
+            raise ValueError("SDXL config (clip2 set) requires text_encoder_2_sd")
+        out["clip2"], used_c2 = _convert_one(
+            text_encoder_2_sd, lambda c: _clip_tower_rules(c.clip2), cfg,
+            dtype, "text_encoder_2")
+        checks.append((text_encoder_2_sd, used_c2, "text_encoder_2"))
+    for sd, used, name in checks:
         leftover = [k for k in sd if k not in used and k not in _IGNORE]
         if leftover:
             raise KeyError(f"[{name}] {len(leftover)} unconsumed diffusers keys "
@@ -257,7 +271,8 @@ def convert_diffusers(unet_sd: Dict[str, np.ndarray],
 
 
 def deconvert_diffusers(params, cfg: SDConfig):
-    """Inverse: framework pytrees -> (unet_sd, vae_sd, text_encoder_sd)."""
+    """Inverse: framework pytrees -> (unet_sd, vae_sd, text_encoder_sd);
+    SDXL configs return a 4-tuple with text_encoder_2_sd appended."""
     from ..core.pytree import flatten
 
     def inv(rule_fn, tree, sink):
@@ -272,12 +287,17 @@ def deconvert_diffusers(params, cfg: SDConfig):
     inv(vae_encoder_rules, params["encoder"], vae_sd)
     inv(vae_decoder_rules, params["decoder"], vae_sd)
     inv(clip_rules, params["clip"], te_sd)
+    if cfg.clip2 is not None:
+        te2_sd: Dict[str, np.ndarray] = {}
+        inv(lambda c: _clip_tower_rules(c.clip2), params["clip2"], te2_sd)
+        return unet_sd, vae_sd, te_sd, te2_sd
     return unet_sd, vae_sd, te_sd
 
 
 def load_diffusers_pipeline(root: str, cfg: SDConfig, dtype=None):
-    """Load a diffusers SD-1.5 directory:
-    root/{unet,vae,text_encoder}/diffusion_pytorch_model.safetensors etc."""
+    """Load a diffusers directory:
+    root/{unet,vae,text_encoder[,text_encoder_2]}/
+    diffusion_pytorch_model.safetensors etc. (text_encoder_2 for SDXL)."""
     import os
 
     from .convert import load_state_dict
@@ -294,4 +314,9 @@ def load_diffusers_pipeline(root: str, cfg: SDConfig, dtype=None):
     vae_sd = find("vae", ["diffusion_pytorch_model.safetensors",
                           "diffusion_pytorch_model.bin"])
     te_sd = find("text_encoder", ["model.safetensors", "pytorch_model.bin"])
-    return convert_diffusers(unet_sd, vae_sd, te_sd, cfg, dtype)
+    te2_sd = None
+    if cfg.clip2 is not None:
+        te2_sd = find("text_encoder_2",
+                      ["model.safetensors", "pytorch_model.bin"])
+    return convert_diffusers(unet_sd, vae_sd, te_sd, cfg, dtype,
+                             text_encoder_2_sd=te2_sd)

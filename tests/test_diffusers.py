@@ -71,3 +71,58 @@ def test_load_diffusers_directory(tiny_cfg, tiny_models, diff_sds, tmp_path):
     for k in a:
         np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
                                    rtol=1e-6, atol=1e-7, err_msg=k)
+
+
+# ------------------------------------------------------------------- SDXL
+def test_sdxl_diffusers_round_trip(tmp_path):
+    """SDXL layout: text_encoder_2 tower (incl. HF text_projection) and
+    depth>1 stacked transformer_blocks round-trip exactly, and the
+    directory loader picks up the 4th subfolder."""
+    from safetensors.numpy import save_file
+
+    from tests.test_sdxl import tiny_sdxl_config
+    import jax
+
+    from pytorch_stable_diffusion_tpu.models import clip as clip_mod
+    from pytorch_stable_diffusion_tpu.models import unet as unet_mod
+    from pytorch_stable_diffusion_tpu.models import vae as vae_mod
+
+    cfg = tiny_sdxl_config()
+    key = jax.random.PRNGKey(11)
+    models = {
+        "clip": clip_mod.init(jax.random.fold_in(key, 0), cfg.clip),
+        "clip2": clip_mod.init(jax.random.fold_in(key, 4), cfg.clip2),
+        "encoder": vae_mod.init_encoder(jax.random.fold_in(key, 1), cfg.vae),
+        "decoder": vae_mod.init_decoder(jax.random.fold_in(key, 2), cfg.vae),
+        "diffusion": unet_mod.init(jax.random.fold_in(key, 3), cfg.unet),
+    }
+    unet_sd, vae_sd, te_sd, te2_sd = diffusers.deconvert_diffusers(models, cfg)
+    assert "text_projection.weight" in te2_sd
+    assert any("transformer_blocks.1." in k for k in unet_sd)
+    assert any(k.startswith("add_embedding.") for k in unet_sd)
+
+    back = diffusers.convert_diffusers(unet_sd, vae_sd, te_sd, cfg,
+                                       text_encoder_2_sd=te2_sd)
+    a, b = flatten(models), flatten(back)
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]),
+                                      err_msg=k)
+
+    # missing te2 must fail loudly for an SDXL config
+    with pytest.raises(ValueError, match="text_encoder_2"):
+        diffusers.convert_diffusers(unet_sd, vae_sd, te_sd, cfg)
+
+    for sub, sd, fname in (
+            ("unet", unet_sd, "diffusion_pytorch_model.safetensors"),
+            ("vae", vae_sd, "diffusion_pytorch_model.safetensors"),
+            ("text_encoder", te_sd, "model.safetensors"),
+            ("text_encoder_2", te2_sd, "model.safetensors")):
+        d = tmp_path / sub
+        d.mkdir()
+        save_file({k: np.ascontiguousarray(v) for k, v in sd.items()},
+                  str(d / fname))
+    loaded = flatten(diffusers.load_diffusers_pipeline(str(tmp_path), cfg))
+    for k in a:
+        np.testing.assert_allclose(np.asarray(a[k]), np.asarray(loaded[k]),
+                                   rtol=1e-6, atol=1e-7, err_msg=k)
