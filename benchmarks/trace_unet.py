@@ -17,17 +17,22 @@ def main():
     from pytorch_stable_diffusion_tpu.core.cache import enable_compilation_cache
     from pytorch_stable_diffusion_tpu.core.dtypes import BF16
     from pytorch_stable_diffusion_tpu.models import unet
-    from pytorch_stable_diffusion_tpu.models.config import sd15_config
+    from pytorch_stable_diffusion_tpu.models.config import (sd15_config,
+                                                            sdxl_config)
 
     enable_compilation_cache()
-    cfg = sd15_config(policy=BF16)
+    sdxl = "--sdxl" in sys.argv
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    cfg = (sdxl_config if sdxl else sd15_config)(policy=BF16)
     key = jax.random.PRNGKey(0)
-    size = int(sys.argv[1]) if len(sys.argv) > 1 else 512
-    b = int(sys.argv[2]) if len(sys.argv) > 2 else 2  # CFG batch (2x images)
+    size = int(pos[0]) if pos else (1024 if sdxl else 512)
+    b = int(pos[1]) if len(pos) > 1 else 2  # CFG batch (2x images)
     hl = size // 8
     up = unet.init(jax.random.fold_in(key, 3), cfg.unet, dtype=jnp.bfloat16)
     lat = jax.random.normal(key, (b, hl, hl, 4), jnp.bfloat16)
-    ctx = jax.random.normal(key, (b, 77, 768), jnp.bfloat16)
+    ctx = jax.random.normal(key, (b, 77, cfg.unet.d_context), jnp.bfloat16)
+    add = (jax.random.normal(key, (b, cfg.unet.add_embed_dim), jnp.bfloat16)
+           if cfg.unet.add_embed_dim else None)
 
     R_ITERS = 5
 
@@ -35,7 +40,8 @@ def main():
     def chained(p, l, c):
         def body(i, x):
             return unet.apply(p, x, c, 981, cfg.unet, cfg.policy,
-                              attention_backend="pallas").astype(x.dtype)
+                              attention_backend="pallas",
+                              add_cond=add).astype(x.dtype)
         return jax.lax.fori_loop(0, R_ITERS, body, l)
 
     float(jnp.ravel(chained(up, lat, ctx))[0])  # compile+warm
