@@ -60,7 +60,7 @@ def tp_spec(model_name: str, path: str) -> P:
             return BIAS_COL
         if path.endswith("geglu_out/kernel"):
             return ROW
-    elif model_name == "clip":
+    elif model_name in ("clip", "clip2"):
         if "/attn/" in path:
             return _ATTN_LEAF.get("/".join(path.rsplit("/", 2)[-2:]), REPL)
         if path.endswith("fc1/kernel"):
@@ -81,11 +81,11 @@ def unet_tp_rules(params) -> Dict[str, P]:
             or p.endswith(("self_attn/out/bias", "cross_attn/out/bias"))}
 
 
-def clip_tp_rules(params) -> Dict[str, P]:
+def clip_tp_rules(params, model_name: str = "clip") -> Dict[str, P]:
     from ..core.pytree import flatten
 
-    return {p: tp_spec("clip", p) for p in flatten(params)
-            if tp_spec("clip", p) != REPL or p.endswith("attn/out/bias")}
+    return {p: tp_spec(model_name, p) for p in flatten(params)
+            if tp_spec(model_name, p) != REPL or p.endswith("attn/out/bias")}
 
 
 def shard_models(models, mesh: Mesh):
@@ -102,6 +102,8 @@ def shard_models(models, mesh: Mesh):
         "encoder": {},
         "decoder": {},
     }
+    if "clip2" in models:  # SDXL second text tower
+        all_rules["clip2"] = clip_tp_rules(models["clip2"], "clip2")
     out = {}
     for name, params in models.items():
         rules = all_rules.get(name, {})

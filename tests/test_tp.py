@@ -59,3 +59,38 @@ def test_unfused_qkv_matches_fused(tiny_cfg, tiny_models, tiny_tokenizer):
         "a cat", "", config=dataclasses.replace(tiny_cfg, fuse_qkv=False),
         **kw)
     assert np.abs(fused.astype(int) - unfused.astype(int)).max() <= 1
+
+
+def test_sdxl_tp_matches_replicated(tiny_tokenizer):
+    """SDXL tree under TP: stacked-block attn paths and the clip2 tower get
+    specs, and a model=2 (+2-way DP) run matches single-device (uint8 ±1)."""
+    from tests.test_sdxl import tiny_sdxl_config
+
+    from pytorch_stable_diffusion_tpu.models import clip as clip_mod
+    from pytorch_stable_diffusion_tpu.models import unet as unet_mod
+    from pytorch_stable_diffusion_tpu.models import vae as vae_mod
+
+    cfg = tiny_sdxl_config()
+    key = jax.random.PRNGKey(21)
+    models = {
+        "clip": clip_mod.init(jax.random.fold_in(key, 0), cfg.clip),
+        "clip2": clip_mod.init(jax.random.fold_in(key, 4), cfg.clip2),
+        "encoder": vae_mod.init_encoder(jax.random.fold_in(key, 1), cfg.vae),
+        "decoder": vae_mod.init_decoder(jax.random.fold_in(key, 2), cfg.vae),
+        "diffusion": unet_mod.init(jax.random.fold_in(key, 3), cfg.unet),
+    }
+    rules = tp.unet_tp_rules(models["diffusion"])
+    assert any("/blocks/1/" in p and p.endswith("self_attn/q/kernel")
+               for p in rules), "stacked-depth blocks must be sharded"
+    c2 = tp.clip_tp_rules(models["clip2"], "clip2")
+    assert any(p.endswith("fc1/kernel") for p in c2)
+
+    prompts = ["a cat", "a dog", "a fox", "a bird"]
+    kw = dict(tokenizer=tiny_tokenizer, seed=9, n_inference_steps=N_STEPS,
+              config=cfg, height=H, width=W, sampler_name="euler")
+    single = sdt.generate_images(prompts, models=models, **kw)
+    # model=2 divides every head count in the tiny SDXL tree (2/4 heads)
+    mesh = mesh_mod.make_mesh(data=4, model=2)
+    tp_imgs = tp.generate_images_tp(prompts, mesh=mesh, models=models, **kw)
+    assert tp_imgs.shape == single.shape
+    assert np.abs(tp_imgs.astype(int) - single.astype(int)).max() <= 1
