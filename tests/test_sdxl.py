@@ -119,3 +119,23 @@ def test_sdxl_end_to_end_generate(xl_cfg, xl_models, tiny_tokenizer):
                          n_inference_steps=2, config=xl_cfg,
                          height=16, width=16, sampler_name="euler")
     assert (img != img_c).any()
+
+
+def test_sdxl_img2img(xl_cfg, xl_models, tiny_tokenizer):
+    """img2img glue (encode -> strength start-step -> denoise) composes with
+    the SDXL conditioning path."""
+    import pytorch_stable_diffusion_tpu as sdt
+
+    rng = np.random.RandomState(0)
+    init = rng.randint(0, 255, (16, 16, 3), np.uint8)
+    img = sdt.generate("a cat", "", input_image=init, strength=0.6,
+                       models=xl_models, tokenizer=tiny_tokenizer, seed=4,
+                       n_inference_steps=3, config=xl_cfg,
+                       height=16, width=16, sampler_name="euler")
+    assert img.shape == (16, 16, 3) and img.dtype == np.uint8
+    # strength must matter: weaker strength stays closer to the input
+    img_hi = sdt.generate("a cat", "", input_image=init, strength=1.0,
+                          models=xl_models, tokenizer=tiny_tokenizer, seed=4,
+                          n_inference_steps=3, config=xl_cfg,
+                          height=16, width=16, sampler_name="euler")
+    assert not np.array_equal(img, img_hi)
