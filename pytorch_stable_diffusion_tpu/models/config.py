@@ -96,6 +96,10 @@ class UNetConfig:
     #: (pooled-text, size-embedding) vector fed through the add_embedding
     #: MLP into the time embedding (SDXL: 1280 + 6*256 = 2816).
     add_embed_dim: int = None
+    #: number of scalar add_time_ids sinusoidally embedded next to the
+    #: pooled text: 6 for SDXL-base (orig_h, orig_w, crop_t, crop_l,
+    #: tgt_h, tgt_w), 5 for the refiner (crop + aesthetic_score).
+    add_time_ids: int = 6
 
     def depth_for(self, level: int) -> int:
         if self.transformer_depth is None:
@@ -156,6 +160,9 @@ class SDConfig:
     #: 16²/8² levels), "conv" (additionally every 3x3 conv).  Perf tier; the
     #: in-situ hardware A/B decides the shipping default.
     quant: str = "none"
+    #: SDXL-refiner aesthetic-score conditioning value (the 5th
+    #: add_time_id; sgm's positive-prompt default).  Unused elsewhere.
+    aesthetic_score: float = 6.0
 
 
 def tiny_sd_config(policy: Policy = FP32, **kw) -> SDConfig:
@@ -228,6 +235,38 @@ def sdxl_config(policy: Policy = FP32, **kw) -> SDConfig:
                         attn_levels=(False, True, True),
                         transformer_depth=(1, 2, 10),
                         head_dim=64, d_context=2048, add_embed_dim=2816),
+        policy=policy,
+        **kw,
+    )
+
+
+def sdxl_refiner_config(policy: Policy = FP32, **kw) -> SDConfig:
+    """SDXL-refiner architecture preset (elective family tier).
+
+    Single OpenCLIP bigG tower (penultimate hidden AS the 1280-d context,
+    pooled + text_projection for the added conditioning — no CLIP-L);
+    4-level UNet (384/768/1536/1536) with transformer depth 4 at the two
+    attention levels and the bottleneck; added conditioning is
+    pooled 1280 + 5x256 ids (orig/crop + aesthetic_score, sgm's
+    ``sd_xl_refiner.yaml`` — 2560-d adm).  Same 0.13025 VAE as the base.
+    Structural topology from the published sgm config; no real refiner
+    weights on this host, so the param count is regression-locked, not
+    externally verified."""
+    return SDConfig(
+        clip=CLIPConfig(vocab_size=49408, d_model=1280, max_len=77,
+                        n_layers=32, n_heads=20, d_ff=5120,
+                        hidden_act="gelu", stop_at_layer=31,
+                        penultimate_norm=False, text_projection=True,
+                        layout="open_clip",
+                        key_prefix="conditioner.embedders.0.model"),
+        vae=VAEConfig(scale_factor=0.13025),
+        # transformer_depth[-1] exists only to feed the bottleneck lookup
+        # (depth_for(len-1)); level 3 itself has no attention.
+        unet=UNetConfig(model_channels=384, ch_mults=(1, 2, 4, 4),
+                        attn_levels=(False, True, True, False),
+                        transformer_depth=(0, 4, 4, 4),
+                        head_dim=64, d_context=1280,
+                        add_embed_dim=2560, add_time_ids=5),
         policy=policy,
         **kw,
     )

@@ -131,26 +131,44 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
         """-> (context, add_cond).  Single tower: (hidden, None).  SDXL
         dual tower: concat CLIP-L + bigG penultimate hiddens on features,
         and the bigG pooled embedding + 6x256 size embeddings through the
-        UNet add_embedding (add_cond)."""
-        hidden = clip_mod.apply(params["clip"], tokens, cfg.clip, policy,
-                                fuse_qkv=cfg.fuse_qkv)
-        if cfg.clip2 is None:
-            return hidden, None
-        hidden2, pooled = clip_mod.apply_with_pooled(
-            params["clip2"], tokens, cfg.clip2, policy, fuse_qkv=cfg.fuse_qkv)
-        context = jnp.concatenate(
-            [hidden.astype(policy.compute_dtype),
-             hidden2.astype(policy.compute_dtype)], axis=-1)
-        # add_time_ids = (orig_h, orig_w, crop_top, crop_left, tgt_h, tgt_w),
-        # each sinusoidally embedded at (add_embed_dim - pooled_dim)/6 dims
-        # (SDXL: (2816 - 1280)/6 = 256)
+        UNet add_embedding (add_cond).  SDXL-refiner: the single bigG
+        tower's hidden IS the context, pooled from the same tower, and the
+        5th add_time_id is the aesthetic score."""
+        if cfg.clip2 is None and cfg.unet.add_embed_dim is None:
+            return clip_mod.apply(params["clip"], tokens, cfg.clip, policy,
+                                  fuse_qkv=cfg.fuse_qkv), None
+        if cfg.clip2 is None:  # refiner: single tower + added conditioning
+            hidden, pooled = clip_mod.apply_with_pooled(
+                params["clip"], tokens, cfg.clip, policy,
+                fuse_qkv=cfg.fuse_qkv)
+            context = hidden.astype(policy.compute_dtype)
+            pooled_dim = cfg.clip.d_model
+        else:
+            hidden = clip_mod.apply(params["clip"], tokens, cfg.clip, policy,
+                                    fuse_qkv=cfg.fuse_qkv)
+            hidden2, pooled = clip_mod.apply_with_pooled(
+                params["clip2"], tokens, cfg.clip2, policy,
+                fuse_qkv=cfg.fuse_qkv)
+            context = jnp.concatenate(
+                [hidden.astype(policy.compute_dtype),
+                 hidden2.astype(policy.compute_dtype)], axis=-1)
+            pooled_dim = cfg.clip2.d_model
+        # add_time_ids, each sinusoidally embedded at
+        # (add_embed_dim - pooled_dim)/n dims (SDXL: (2816-1280)/6 = 256):
+        # base n=6 (orig_h, orig_w, crop_top, crop_left, tgt_h, tgt_w);
+        # refiner n=5 (orig_h, orig_w, crop_top, crop_left, aesthetic).
         h_px, w_px = h_lat * cfg.vae.downsample_factor, \
             w_lat * cfg.vae.downsample_factor
-        ids = jnp.asarray([h_px, w_px, 0, 0, h_px, w_px], jnp.float32)
-        size_dim = (cfg.unet.add_embed_dim - cfg.clip2.d_model) // 6
+        n_ids = cfg.unet.add_time_ids
+        if n_ids == 5:
+            ids = jnp.asarray([h_px, w_px, 0, 0, cfg.aesthetic_score],
+                              jnp.float32)
+        else:
+            ids = jnp.asarray([h_px, w_px, 0, 0, h_px, w_px], jnp.float32)
+        size_dim = (cfg.unet.add_embed_dim - pooled_dim) // n_ids
         size_emb = unet_mod.timestep_embedding(ids, size_dim).reshape(1, -1)
         size_emb = jnp.broadcast_to(size_emb,
-                                    (pooled.shape[0], 6 * size_dim))
+                                    (pooled.shape[0], n_ids * size_dim))
         add_cond = jnp.concatenate(
             [pooled.astype(jnp.float32), size_emb], axis=-1)
         return context, add_cond
