@@ -25,12 +25,16 @@ def build_models(cfg, seed=0):
 
     key = jax.random.PRNGKey(seed)
     dtype = cfg.policy.param_dtype
-    return {
+    models = {
         "clip": clip.init(jax.random.fold_in(key, 0), cfg.clip, dtype=dtype),
         "encoder": vae.init_encoder(jax.random.fold_in(key, 1), cfg.vae, dtype=dtype),
         "decoder": vae.init_decoder(jax.random.fold_in(key, 2), cfg.vae, dtype=dtype),
         "diffusion": unet.init(jax.random.fold_in(key, 3), cfg.unet, dtype=dtype),
     }
+    if cfg.clip2 is not None:  # SDXL second tower
+        models["clip2"] = clip.init(jax.random.fold_in(key, 4), cfg.clip2,
+                                    dtype=dtype)
+    return models
 
 
 def main():
@@ -46,18 +50,27 @@ def main():
     ap.add_argument("--quant", default="none",
                     choices=["none", "wide", "conv"],
                     help="UNet w8a8 int8 tier (ops/quant.py)")
+    ap.add_argument("--family", default="sd15",
+                    choices=["sd15", "sd21", "sdxl"],
+                    help="model family (driver headline stays sd15; "
+                         "sdxl defaults its native 1024 size)")
     args = ap.parse_args()
 
     from pytorch_stable_diffusion_tpu.core.cache import enable_compilation_cache
     from pytorch_stable_diffusion_tpu.core.dtypes import BF16
-    from pytorch_stable_diffusion_tpu.models.config import sd15_config
+    from pytorch_stable_diffusion_tpu.models.config import (sd15_config,
+                                                            sd21_config,
+                                                            sdxl_config)
     from pytorch_stable_diffusion_tpu.pipeline import _compiled_txt2img
 
     enable_compilation_cache()
 
     backend = args.backend if jax.default_backend() == "tpu" else "xla"
-    cfg = sd15_config(policy=BF16, attention_backend=backend,
-                      quant=args.quant)
+    mk = {"sd15": sd15_config, "sd21": sd21_config, "sdxl": sdxl_config}
+    cfg = mk[args.family](policy=BF16, attention_backend=backend,
+                          quant=args.quant)
+    if args.family == "sdxl" and args.size == 512 and args.batch == 4:
+        args.size, args.batch = 1024, 1  # native-resolution latency config
     models = build_models(cfg)
 
     b = args.batch
@@ -93,7 +106,8 @@ def main():
     p50 = float(np.median(times))
     ips = b / p50
     result = {
-        "metric": f"txt2img {args.size}x{args.size} {args.steps}-step DDPM+CFG "
+        "metric": f"{args.family} txt2img {args.size}x{args.size} "
+                  f"{args.steps}-step DDPM+CFG "
                   f"batch={b} images/sec/chip ({backend} attention, bf16)",
         "value": round(ips, 4),
         "unit": "images/sec/chip",
