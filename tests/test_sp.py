@@ -97,3 +97,30 @@ def test_sp_composes_with_dp(tiny_cfg, tiny_models, tiny_tokenizer):
                                          **kw)
     assert np.abs(np.asarray(both).astype(int)
                   - single.astype(int)).max() <= 1
+
+
+def test_sp_sdxl_matches_single_device(tiny_tokenizer):
+    """Spatial sharding generalizes to the SDXL tree: stacked transformer
+    blocks run per-shard, add_cond stays replicated."""
+    from tests.test_sdxl import tiny_sdxl_config
+
+    from pytorch_stable_diffusion_tpu.models import clip as clip_mod
+    from pytorch_stable_diffusion_tpu.models import unet as unet_mod
+    from pytorch_stable_diffusion_tpu.models import vae as vae_mod
+
+    cfg = tiny_sdxl_config()
+    key = jax.random.PRNGKey(17)
+    models = {
+        "clip": clip_mod.init(jax.random.fold_in(key, 0), cfg.clip),
+        "clip2": clip_mod.init(jax.random.fold_in(key, 4), cfg.clip2),
+        "encoder": vae_mod.init_encoder(jax.random.fold_in(key, 1), cfg.vae),
+        "decoder": vae_mod.init_decoder(jax.random.fold_in(key, 2), cfg.vae),
+        "diffusion": unet_mod.init(jax.random.fold_in(key, 3), cfg.unet),
+    }
+    kw = dict(tokenizer=tiny_tokenizer, seed=6, n_inference_steps=N_STEPS,
+              config=cfg, height=H, width=W, sampler_name="euler")
+    single = sdt.generate("a cat", "", models=models, **kw)
+    mesh = mesh_mod.make_mesh(data=1, model=4, devices=_dev4())
+    spatial = sp.generate_spatial("a cat", "", mesh=mesh, models=models, **kw)
+    assert spatial.shape == single.shape
+    assert np.abs(spatial.astype(int) - single.astype(int)).max() <= 1
