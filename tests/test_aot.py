@@ -90,3 +90,37 @@ def test_export_validates_size(tiny_cfg, tiny_models):
     with pytest.raises(ValueError, match="sampler"):
         aot.export_pipeline(tiny_cfg, tiny_models, height=16, width=16,
                             sampler="nope")
+
+
+def test_export_sdxl_roundtrip(tiny_tokenizer):
+    """The serving artifact covers the SDXL family too (dual towers +
+    add_cond all live inside the one compiled program)."""
+    from tests.test_sdxl import tiny_sdxl_config
+
+    from pytorch_stable_diffusion_tpu.models import clip as clip_mod
+    from pytorch_stable_diffusion_tpu.models import unet as unet_mod
+    from pytorch_stable_diffusion_tpu.models import vae as vae_mod
+
+    cfg = tiny_sdxl_config()
+    key = jax.random.PRNGKey(23)
+    models = {
+        "clip": clip_mod.init(jax.random.fold_in(key, 0), cfg.clip),
+        "clip2": clip_mod.init(jax.random.fold_in(key, 4), cfg.clip2),
+        "encoder": vae_mod.init_encoder(jax.random.fold_in(key, 1), cfg.vae),
+        "decoder": vae_mod.init_decoder(jax.random.fold_in(key, 2), cfg.vae),
+        "diffusion": unet_mod.init(jax.random.fold_in(key, 3), cfg.unet),
+    }
+    blob = aot.export_pipeline(cfg, models, n_steps=N_STEPS, batch=1,
+                               height=H, width=W, sampler="euler")
+    loaded = aot.load_pipeline(blob)
+    toks = np.asarray([tiny_tokenizer.encode("a cat")], np.int32)
+    un = np.asarray([tiny_tokenizer.encode("")], np.int32)
+    images, _ = loaded(models, toks, un, jax.random.PRNGKey(7), 7.5)
+    assert images.shape == (1, H, W, 3) and images.dtype == np.uint8
+
+    import pytorch_stable_diffusion_tpu as sdt
+
+    live = sdt.generate("a cat", "", models=models, tokenizer=tiny_tokenizer,
+                        seed=7, n_inference_steps=N_STEPS, config=cfg,
+                        height=H, width=W, sampler_name="euler")
+    np.testing.assert_array_equal(images[0], live)
