@@ -58,7 +58,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sd2", action="store_true",
                    help="SD-2.x architecture (sd21_config)")
     p.add_argument("--config-preset", default=None,
-                   choices=["sd15", "sd21", "tiny"],
+                   choices=["sd15", "sd21", "sdxl", "sdxl_refiner", "tiny"],
                    help="explicit architecture preset (tiny = the scaled-"
                         "down test topology; overrides --sd2)")
     return p
@@ -72,14 +72,16 @@ def main(argv=None) -> int:
     from . import StableDiffusion
     from .core.cache import enable_compilation_cache
     from .core.dtypes import BF16, FP32
-    from .models.config import sd15_config, sd21_config, tiny_sd_config
+    from .models.config import (sd15_config, sd21_config, sdxl_config,
+                                sdxl_refiner_config, tiny_sd_config)
 
     enable_compilation_cache()
     policy = BF16 if args.bf16 else FP32
     backend = args.backend or (
         "pallas" if jax.default_backend() == "tpu" else "xla")
     preset = args.config_preset or ("sd21" if args.sd2 else "sd15")
-    make = {"sd15": sd15_config, "sd21": sd21_config,
+    make = {"sd15": sd15_config, "sd21": sd21_config, "sdxl": sdxl_config,
+            "sdxl_refiner": sdxl_refiner_config,
             "tiny": tiny_sd_config}[preset]
     cfg = make(policy=policy, attention_backend=backend)
 

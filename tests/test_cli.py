@@ -135,3 +135,14 @@ def test_cli_lora(assets, tiny_cfg, tiny_models):
     assert rc == 0
     a, b = np.asarray(Image.open(base)), np.asarray(Image.open(out))
     assert a.shape == b.shape and not np.array_equal(a, b)
+
+
+def test_cli_family_presets_exposed():
+    """All four family presets are reachable from the CLI."""
+    p = build_parser()
+    a = p.parse_args(["--ckpt", "x", "--vocab", "v", "--merges", "m",
+                      "--prompt", "p", "--config-preset", "sdxl"])
+    assert a.config_preset == "sdxl"
+    a = p.parse_args(["--ckpt", "x", "--vocab", "v", "--merges", "m",
+                      "--prompt", "p", "--config-preset", "sdxl_refiner"])
+    assert a.config_preset == "sdxl_refiner"
