@@ -83,3 +83,40 @@ def test_streamed_tp_generates(ckpt_path, tiny_tokenizer):
     ref = sdt.generate_images(["a cat", "a dog"],
                               **{**kw, "models": plain})
     np.testing.assert_array_equal(imgs, ref)
+
+
+def test_streamed_sdxl_tp(tmp_path, tiny_tokenizer):
+    """SDXL checkpoints stream too: synthetic CompVis SDXL file -> per-leaf
+    TP placement (incl. the clip2 tower and stacked blocks) == eager
+    convert, and the placed tree generates."""
+    import jax
+
+    import pytorch_stable_diffusion_tpu as sdt
+    from tests.test_sdxl import tiny_sdxl_config
+
+    cfg = tiny_sdxl_config()
+    from safetensors.numpy import save_file
+
+    sd = convert.synthetic_state_dict(cfg, seed=9)
+    path = str(tmp_path / "sdxl_tiny.safetensors")
+    save_file({k: np.ascontiguousarray(np.asarray(v, np.float32))
+               for k, v in sd.items()}, path)
+
+    mesh = make_mesh(data=4, model=2)
+    streamed = stream.load_sd_checkpoint_streamed(path, cfg, mesh=mesh,
+                                                  tp=True)
+    eager = convert.convert(sd, cfg)
+    assert set(streamed) == set(eager) and "clip2" in streamed
+    fs, fe = flatten(streamed), flatten(eager)
+    for k in fe:
+        np.testing.assert_allclose(np.asarray(fs[k]), np.asarray(fe[k]),
+                                   rtol=1e-6, atol=1e-7, err_msg=k)
+    # clip2 attention kernels carry the Megatron column spec
+    qk = [k for k in fs if k.startswith("clip2/") and
+          k.endswith("attn/q/kernel")][0]
+    assert fs[qk].sharding.spec == tp.COL
+    img = tp.generate_images_tp(
+        ["a cat", "a dog", "a fox", "a bird"], mesh=mesh, models=streamed,
+        tokenizer=tiny_tokenizer, seed=2, n_inference_steps=2, config=cfg,
+        height=16, width=16, sampler_name="euler")
+    assert img.shape == (4, 16, 16, 3)
