@@ -19,7 +19,8 @@ Quick start::
 
 from .api import StableDiffusion
 from .models.config import (CLIPConfig, SDConfig, UNetConfig, VAEConfig,
-                            sd15_config, sd21_config, sdxl_config,
+                            sd15_config, sd15_inpaint_config,
+                            sd2_inpaint_config, sd21_config, sdxl_config,
                             sdxl_refiner_config, tiny_sd_config)
 from .core.dtypes import BF16, FP32, MIXED, Policy
 from .pipeline import (generate, generate_images, generate_many,
@@ -36,7 +37,8 @@ __all__ = [
     "generate", "generate_images", "generate_many", "load_models",
     "load_diffusers_models", "load_models_streamed", "CLIPTokenizer",
     "SDConfig", "CLIPConfig", "UNetConfig", "VAEConfig",
-    "sd15_config", "sd21_config", "sdxl_config", "sdxl_refiner_config",
+    "sd15_config", "sd15_inpaint_config", "sd2_inpaint_config",
+    "sd21_config", "sdxl_config", "sdxl_refiner_config",
     "tiny_sd_config", "Policy", "FP32", "BF16", "MIXED",
     "get_time_embedding", "rescale",
 ]

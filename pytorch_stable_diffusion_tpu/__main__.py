@@ -37,6 +37,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--uncond-prompt", default="")
     p.add_argument("--image", default=None,
                    help="init image file for img2img")
+    p.add_argument("--mask", default=None,
+                   help="inpainting mask image (white = repaint); with a "
+                        "9-channel inpaint checkpoint it conditions the "
+                        "UNet, else latent-blend masking is used")
     p.add_argument("--strength", type=float, default=0.8)
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--seed", type=int, default=1337)
@@ -58,7 +62,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sd2", action="store_true",
                    help="SD-2.x architecture (sd21_config)")
     p.add_argument("--config-preset", default=None,
-                   choices=["sd15", "sd21", "sdxl", "sdxl_refiner", "tiny"],
+                   choices=["sd15", "sd15_inpaint", "sd21", "sd2_inpaint",
+                            "sdxl", "sdxl_refiner", "tiny"],
                    help="explicit architecture preset (tiny = the scaled-"
                         "down test topology; overrides --sd2)")
     return p
@@ -72,7 +77,8 @@ def main(argv=None) -> int:
     from . import StableDiffusion
     from .core.cache import enable_compilation_cache
     from .core.dtypes import BF16, FP32
-    from .models.config import (sd15_config, sd21_config, sdxl_config,
+    from .models.config import (sd15_config, sd15_inpaint_config,
+                                sd2_inpaint_config, sd21_config, sdxl_config,
                                 sdxl_refiner_config, tiny_sd_config)
 
     enable_compilation_cache()
@@ -80,8 +86,9 @@ def main(argv=None) -> int:
     backend = args.backend or (
         "pallas" if jax.default_backend() == "tpu" else "xla")
     preset = args.config_preset or ("sd21" if args.sd2 else "sd15")
-    make = {"sd15": sd15_config, "sd21": sd21_config, "sdxl": sdxl_config,
-            "sdxl_refiner": sdxl_refiner_config,
+    make = {"sd15": sd15_config, "sd15_inpaint": sd15_inpaint_config,
+            "sd21": sd21_config, "sd2_inpaint": sd2_inpaint_config,
+            "sdxl": sdxl_config, "sdxl_refiner": sdxl_refiner_config,
             "tiny": tiny_sd_config}[preset]
     cfg = make(policy=policy, attention_backend=backend)
 
@@ -106,7 +113,16 @@ def main(argv=None) -> int:
               sampler_name=args.sampler, height=args.height,
               width=args.width, decode_tile=args.decode_tile)
     t0 = time.time()
-    if args.image:
+    if args.mask:
+        from PIL import Image
+
+        if not args.image:
+            raise SystemExit("--mask requires --image")
+        init = Image.open(args.image).convert("RGB")
+        mask = Image.open(args.mask)
+        img = sd.inpaint(args.prompt, init, mask, strength=args.strength,
+                         uncond_prompt=args.uncond_prompt, **kw)
+    elif args.image:
         from PIL import Image
 
         init = Image.open(args.image).convert("RGB")

@@ -96,6 +96,20 @@ class StableDiffusion:
                                      input_image=init_image, strength=strength,
                                      **self._kw(kwargs))
 
+    def inpaint(self, prompt: str, init_image, mask_image,
+                strength: float = 1.0, uncond_prompt: str = "", **kwargs) -> np.ndarray:
+        """Repaint the masked region (mask 1 = repaint, 0 = keep).
+
+        With a 9-channel inpaint checkpoint (``sd15_inpaint_config`` /
+        ``sd2_inpaint_config``) the mask conditions the UNet directly; with
+        any standard 4-channel checkpoint the pipeline falls back to
+        latent-blend masking.  ``strength`` works like img2img (1.0 =
+        repaint from full noise)."""
+        return pipeline_mod.generate(prompt, uncond_prompt,
+                                     input_image=init_image,
+                                     mask_image=mask_image,
+                                     strength=strength, **self._kw(kwargs))
+
     def generate_batch(self, prompts: Sequence[str], uncond_prompts="",
                        **kwargs) -> np.ndarray:
         return pipeline_mod.generate_images(list(prompts), uncond_prompts,

@@ -183,6 +183,26 @@ def sd15_config(policy: Policy = FP32, **kw) -> SDConfig:
     return SDConfig(policy=policy, **kw)
 
 
+def sd15_inpaint_config(policy: Policy = FP32, **kw) -> SDConfig:
+    """SD-1.5 inpainting architecture (runwayml/stable-diffusion-inpainting).
+
+    Identical to SD-1.5 except the UNet's conv_in takes 9 channels: the
+    4 latent channels + a 1-channel nearest-downsampled repaint mask + the
+    4-channel VAE encoding of the masked image, concatenated every step
+    (pipeline inpaint="unet9").  Everything else (towers, VAE, converter
+    rules) is shared — the converter adapts structurally to in_channels."""
+    return SDConfig(unet=UNetConfig(in_channels=9), policy=policy, **kw)
+
+
+def sd2_inpaint_config(policy: Policy = FP32, **kw) -> SDConfig:
+    """SD-2.0 inpainting (stabilityai/stable-diffusion-2-inpainting):
+    the SD-2 512-base architecture (epsilon prediction) with the 9-channel
+    inpaint conv_in."""
+    base = sd21_config(policy=policy, v_prediction=False, **kw)
+    return dataclasses.replace(
+        base, unet=dataclasses.replace(base.unet, in_channels=9))
+
+
 def sd21_config(policy: Policy = FP32, v_prediction: bool = True, **kw) -> SDConfig:
     """SD-2.1 architecture preset (the reference covers only SD-1.5).
 

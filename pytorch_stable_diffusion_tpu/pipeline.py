@@ -86,6 +86,40 @@ def _prepare_image(input_image, width: int, height: int) -> np.ndarray:
     return arr[None]
 
 
+def _prepare_mask(mask_image, width: int, height: int) -> np.ndarray:
+    """PIL image / array -> (1, H, W, 1) float32 in [0, 1].
+
+    Convention (diffusers-compatible): 1 = repaint, 0 = keep original.
+    """
+    if not isinstance(mask_image, np.ndarray) and hasattr(mask_image, "resize"):
+        m = mask_image.convert("L") if hasattr(mask_image, "convert") else mask_image
+        arr = np.asarray(m.resize((width, height)), np.float32) / 255.0
+    else:
+        arr = np.asarray(mask_image, np.float32)
+        if arr.ndim == 3:
+            arr = arr[..., 0]
+        if arr.shape != (height, width):
+            raise ValueError(f"mask must be {height}x{width}, got {arr.shape}")
+        if arr.max() > 1.0:
+            arr = arr / 255.0
+    return np.clip(arr, 0.0, 1.0)[None, ..., None]
+
+
+def mask_to_latent_nearest(mask, factor: int):
+    """(B, H, W, 1) -> (B, H/f, W/f, 1) by nearest sampling (the 9-channel
+    inpaint UNet's training-time mask conditioning; diffusers uses
+    ``interpolate(mode="nearest")`` which picks the top-left of each cell)."""
+    return mask[:, ::factor, ::factor, :]
+
+
+def mask_to_latent_area(mask, factor: int):
+    """(B, H, W, 1) -> (B, H/f, W/f, 1) by area mean — soft edges for the
+    latent-blend inpaint mode (keeps the seam smooth after decode)."""
+    b, h, w, _ = mask.shape
+    return mask.reshape(b, h // factor, factor, w // factor, factor, 1).mean(
+        axis=(2, 4))
+
+
 def _progress_tick(step_i, n_steps):
     """Host-side denoise progress (the reference wraps the loop in tqdm,
     ``pipeline.py:205``; our loop is compiled, so this is a debug callback)."""
@@ -106,7 +140,8 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                       h_lat: int, w_lat: int, img2img: bool,
                       fixed_noise: bool = False, progress: bool = False,
                       sampler: str = "ddpm", eta: float = 0.0,
-                      decode_tile: Optional[int] = None, sp_mesh=None):
+                      decode_tile: Optional[int] = None, sp_mesh=None,
+                      inpaint: Optional[str] = None):
     """Build + jit the full generate computation for one static shape.
 
     ``fixed_noise=True`` compiles a variant whose latent-init / encoder /
@@ -117,6 +152,14 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
     input is sharding-constrained on the latent-H axis over the mesh's
     'model' axis, so GSPMD spatially partitions the denoise loop: halo
     exchanges for the 3x3 convs, q-sharded attention with gathered K/V.
+
+    ``inpaint``: None, "unet9" (dedicated 9-channel inpaint UNet — per-step
+    input is [latents, nearest-downsampled mask, masked-image latents], the
+    runwayml/sd-inpainting conditioning), or "blend" (works with ANY
+    4-channel checkpoint: each step re-noises the original latents to the
+    current timestep and blends them into the kept region, with an exact
+    final blend — the classic latent-blend / legacy-inpaint algorithm).
+    The mask rides in ``noises["mask"]`` as (B, H, W, 1) float, 1 = repaint.
     """
     timesteps = jnp.asarray(ddpm.inference_timesteps(n_steps))
     # third reference quirk: the reference's beta_start is a typo (0.000085
@@ -193,29 +236,65 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
 
         init_noise = noises["latent_init"] if fixed_noise else draw("latent_init")
 
-        if fixed_noise:
-            step_noises = noises["sampler_noise"]
-        else:
+        def all_step_noises(name):
             # one fused PRNG draw for all steps (values identical to per-step
-            # draw("sampler", i) — same key folding, just batched)
+            # draw(name, i) — same key folding, just batched)
             def step_draw(i):
-                base = rng_mod.step_key(key, "sampler", i)
+                base = rng_mod.step_key(key, name, i)
                 ks = jax.vmap(lambda j: jax.random.fold_in(base, j))(jnp.arange(batch))
                 return jax.vmap(
                     lambda kk: jax.random.normal(kk, lat_shape[1:], jnp.float32))(ks)
 
-            step_noises = jax.vmap(step_draw)(jnp.arange(n_steps))
+            return jax.vmap(step_draw)(jnp.arange(n_steps))
 
+        step_noises = noises["sampler_noise"] if fixed_noise \
+            else all_step_noises("sampler")
+
+        lat0 = None
         if img2img:
             enc_noise = noises["encoder_noise"] if fixed_noise else draw("encoder_noise")
             lat0 = vae_mod.apply_encoder(
                 params["encoder"], init_image, enc_noise, cfg.vae, policy,
                 attention_backend=cfg.vae_attention_backend,
-                reference_quirks=cfg.reference_quirks)
+                reference_quirks=cfg.reference_quirks).astype(jnp.float32)
             t0 = timesteps[start_step]
-            latents = ddpm.add_noise(schedule, lat0.astype(jnp.float32), t0, init_noise)
+            latents = ddpm.add_noise(schedule, lat0, t0, init_noise)
         else:
             latents = init_noise
+
+        # ------------------------------------------------ inpaint conditioning
+        factor = cfg.vae.downsample_factor
+        if inpaint == "unet9":
+            mask = noises["mask"]
+            # conditioning channels: nearest-downsampled binary mask + the
+            # VAE-encoded masked image (repaint region zeroed in [-1,1])
+            mask_lat = mask_to_latent_nearest(mask, factor)
+            binm = (mask > 0.5).astype(init_image.dtype)
+            m_noise = noises["mask_encoder_noise"] if fixed_noise \
+                else draw("mask_encoder_noise")
+            masked_lat = vae_mod.apply_encoder(
+                params["encoder"], init_image * (1.0 - binm), m_noise,
+                cfg.vae, policy,
+                attention_backend=cfg.vae_attention_backend,
+                reference_quirks=cfg.reference_quirks)
+            inpaint_extra = jnp.concatenate(
+                [mask_lat.astype(policy.compute_dtype),
+                 masked_lat.astype(policy.compute_dtype)], axis=-1)
+        elif inpaint == "blend":
+            mask = noises["mask"]
+            # soft (area-mean) latent mask keeps the seam smooth
+            m_lat = mask_to_latent_area(mask, factor).astype(jnp.float32)
+            blend_noises = step_noises if fixed_noise \
+                else all_step_noises("inpaint")
+
+        def inpaint_blend(step_i, lat):
+            """Re-noise the originals to step_i's level and paste them into
+            the kept region (legacy-inpaint / RePaint-style projection)."""
+            if inpaint != "blend":
+                return lat
+            noised0 = ddpm.add_noise(schedule, lat0, timesteps[step_i],
+                                     blend_noises[step_i])
+            return m_lat * lat + (1.0 - m_lat) * noised0
 
         if sp_mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as _P
@@ -225,6 +304,10 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
         def eps_at(step_i, latents):
             t = timesteps[step_i]
             lat_in = latents.astype(policy.compute_dtype)
+            if inpaint == "unet9":
+                # [latents, mask, masked-image latents] per step (the
+                # diffusers SD-inpaint channel order)
+                lat_in = jnp.concatenate([lat_in, inpaint_extra], axis=-1)
             model_in = jnp.concatenate([lat_in, lat_in], axis=0) if do_cfg else lat_in
             if sp_mesh is not None:
                 model_in = jax.lax.with_sharding_constraint(model_in, _sp)
@@ -252,6 +335,7 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
 
             def body(step_i, carry):
                 lat, st = carry
+                lat = inpaint_blend(step_i, lat)
                 eps, t = eps_at(step_i, lat)
                 new_lat, st = mod.step(schedule, t, lat, eps, st,
                                        num_inference_steps=n_steps)
@@ -266,6 +350,7 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
             # step's second eval is computed (fori_loop cannot skip it) but
             # discarded inside step_heun_correct (sigma_next = 0 rule).
             def body(step_i, latents):
+                latents = inpaint_blend(step_i, latents)
                 eps, t = eps_at(step_i, latents)
                 lat32 = latents.astype(jnp.float32)
                 pred = euler.step(schedule, t, lat32, eps, None,
@@ -279,6 +364,7 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                                         latents.astype(jnp.float32))
         else:
             def body(step_i, latents):
+                latents = inpaint_blend(step_i, latents)
                 eps, t = eps_at(step_i, latents)
                 noise = step_noises[step_i]
                 lat32 = latents.astype(jnp.float32)
@@ -299,6 +385,10 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
 
             latents = jax.lax.fori_loop(start_step, n_steps, body,
                                         latents.astype(jnp.float32))
+
+        if inpaint == "blend":
+            # exact final projection: kept region is the original latents
+            latents = m_lat * latents + (1.0 - m_lat) * lat0
 
         if decode_tile:
             images = vae_mod.apply_decoder_tiled(
@@ -337,6 +427,7 @@ def _run_generate(
     config: Optional[SDConfig] = None,
     height: int = 512,
     width: int = 512,
+    mask_image=None,
     fixed_noise: Optional[Dict[str, np.ndarray]] = None,
     mesh=None,
     progress: bool = False,
@@ -404,6 +495,21 @@ def _run_generate(
         # kernel — flash included; ops/attention._sp_self_attention), so
         # the pallas backend is fully usable under SP
         sp_mesh = mesh
+    # ---------------------------------------------------------- inpaint mode
+    # "unet9": dedicated 9-channel inpaint checkpoint (runwayml-style);
+    # "blend": latent-blend masking, works with ANY 4-channel checkpoint.
+    inpaint = None
+    if cfg.unet.in_channels == 9:
+        inpaint = "unet9"
+        if mask_image is None and input_image is not None:
+            raise ValueError("inpaint checkpoint: mask_image is required "
+                             "with input_image")
+    elif mask_image is not None:
+        if input_image is None:
+            raise ValueError("mask_image requires input_image (the region "
+                             "outside the mask is kept from it)")
+        inpaint = "blend"
+
     img2img = input_image is not None
     if img2img:
         image = np.broadcast_to(_prepare_image(input_image, width, height),
@@ -412,6 +518,11 @@ def _run_generate(
     else:
         image = np.zeros((batch, height, width, 3), np.float32)
         start_step = 0
+
+    if inpaint is not None:
+        mask = np.ones((1, height, width, 1), np.float32) if mask_image is None \
+            else _prepare_mask(mask_image, width, height)
+        mask = np.broadcast_to(mask, (batch, height, width, 1)).copy()
 
     lat_shape = (batch, h_lat, w_lat, cfg.vae.latent_channels)
     use_fixed = fixed_noise is not None
@@ -425,15 +536,22 @@ def _run_generate(
         if img2img:
             noises["encoder_noise"] = jnp.asarray(
                 fixed_noise["encoder_noise"], jnp.float32).reshape(lat_shape)
+        if inpaint == "unet9" and "mask_encoder_noise" in fixed_noise:
+            noises["mask_encoder_noise"] = jnp.asarray(
+                fixed_noise["mask_encoder_noise"], jnp.float32).reshape(lat_shape)
+        elif inpaint == "unet9":
+            noises["mask_encoder_noise"] = jnp.zeros(lat_shape, jnp.float32)
     else:
         noises = {"latent_init": jnp.zeros((1,), jnp.float32)}  # unused dummy
+    if inpaint is not None:
+        noises["mask"] = jnp.asarray(mask)
 
     key = jax.random.PRNGKey(0 if seed is None else seed) if _key is None \
         else _key
     run = _compiled_txt2img(cfg, n_inference_steps, do_cfg, batch,
                             h_lat, w_lat, img2img, use_fixed, progress,
                             sampler_name, float(ddim_eta), decode_tile,
-                            sp_mesh)
+                            sp_mesh, inpaint)
     cond_tokens = jnp.asarray(cond_tokens)
     uncond_tokens = jnp.asarray(uncond_tokens)
     image = jnp.asarray(image)
