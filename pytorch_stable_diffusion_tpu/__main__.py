@@ -51,6 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--height", type=int, default=512)
     p.add_argument("--decode-tile", type=int, default=None,
                    help="tiled VAE decode (hi-res memory bound)")
+    p.add_argument("--controlnet", default=None,
+                   help="ControlNet checkpoint (control_model.* layout)")
+    p.add_argument("--control-image", default=None,
+                   help="conditioning image for --controlnet")
+    p.add_argument("--controlnet-scale", type=float, default=1.0)
     p.add_argument("--lora", action="append", default=[], metavar="PATH[:SCALE]",
                    help="merge a LoRA adapter (kohya or PEFT .safetensors); "
                         "repeatable; optional :scale suffix (default 1.0)")
@@ -108,10 +113,21 @@ def main(argv=None) -> int:
           + "".join(f" + lora {p}x{s:g}" for p, s in loras)
           + f" in {time.time()-t0:.1f}s", flush=True)
 
+    if args.controlnet:
+        sd = sd.with_controlnet(args.controlnet)
+        print(f"[cli] attached controlnet {args.controlnet}", flush=True)
+
     kw = dict(seed=args.seed, n_inference_steps=args.steps,
               cfg_scale=args.cfg_scale, do_cfg=not args.no_cfg,
               sampler_name=args.sampler, height=args.height,
               width=args.width, decode_tile=args.decode_tile)
+    if args.control_image:
+        from PIL import Image
+
+        if not args.controlnet:
+            raise SystemExit("--control-image requires --controlnet")
+        kw["control_image"] = Image.open(args.control_image).convert("RGB")
+        kw["controlnet_scale"] = args.controlnet_scale
     t0 = time.time()
     if args.mask:
         from PIL import Image

@@ -96,6 +96,22 @@ class StableDiffusion:
                                      input_image=init_image, strength=strength,
                                      **self._kw(kwargs))
 
+    def with_controlnet(self, controlnet, *, config: Optional[SDConfig] = None):
+        """Return a bundle with a ControlNet attached (models/controlnet.py).
+
+        ``controlnet`` is a checkpoint path (``control_model.*`` layout,
+        standalone or merged) or an already-converted pytree.  Generation
+        kwargs then accept ``control_image`` (+ ``controlnet_scale``)."""
+        if isinstance(controlnet, str):
+            from .weights.convert import load_controlnet
+
+            controlnet = load_controlnet(controlnet, config or self.config)
+        out = type(self).__new__(type(self))
+        out.models = dict(self.models, controlnet=controlnet)
+        out.tokenizer, out.config, out.mesh = \
+            self.tokenizer, self.config, self.mesh
+        return out
+
     def inpaint(self, prompt: str, init_image, mask_image,
                 strength: float = 1.0, uncond_prompt: str = "", **kwargs) -> np.ndarray:
         """Repaint the masked region (mask 1 = repaint, 0 = keep).

@@ -288,7 +288,7 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
           *, attention_backend: str = "xla", reference_quirks: bool = False,
           t_emb: Optional[jax.Array] = None, fuse_qkv: bool = True,
           quant: str = "none", sp_mesh=None,
-          add_cond: Optional[jax.Array] = None):
+          add_cond: Optional[jax.Array] = None, control=None):
     """latents: (B, h, w, in_ch); context: (B, S, d_context); t: scalar timestep.
 
     Returns predicted noise (B, h, w, out_ch).
@@ -296,6 +296,10 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
     ``quant``: dynamic w8a8 int8 for wide contractions ("wide": only
     K >= 1280 matmuls/1x1s; "conv": additionally every 3x3 conv, whose
     effective K = 9·C >= 2880 at all levels).  See ops/quant.py.
+
+    ``control``: ControlNet residuals ``{"down": [one per skip], "mid": r}``
+    (models/controlnet.py) — added to the skip connections and the
+    bottleneck output, the diffusers ``ControlNetModel`` contract.
     """
     if t_emb is None:
         t_emb = timestep_embedding(t, cfg.model_channels)
@@ -332,6 +336,10 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
             x = block(stage, x)
         skips.append(x)
 
+    if control is not None:
+        skips = [s + d.astype(s.dtype)
+                 for s, d in zip(skips, control["down"])]
+
     mid = params["bottleneck"]
     x = apply_res_block(mid["res1"], x, t_emb, cfg.groups, policy,
                         backend=attention_backend, quant=quant)
@@ -343,6 +351,8 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
                          sp_mesh=sp_mesh)
     x = apply_res_block(mid["res2"], x, t_emb, cfg.groups, policy,
                         backend=attention_backend, quant=quant)
+    if control is not None:
+        x = x + control["mid"].astype(x.dtype)
 
     for stage in params["decoder"]:
         x = jnp.concatenate([x, skips.pop()], axis=-1)

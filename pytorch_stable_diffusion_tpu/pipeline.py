@@ -141,7 +141,8 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                       fixed_noise: bool = False, progress: bool = False,
                       sampler: str = "ddpm", eta: float = 0.0,
                       decode_tile: Optional[int] = None, sp_mesh=None,
-                      inpaint: Optional[str] = None):
+                      inpaint: Optional[str] = None,
+                      use_control: bool = False):
     """Build + jit the full generate computation for one static shape.
 
     ``fixed_noise=True`` compiles a variant whose latent-init / encoder /
@@ -160,6 +161,13 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
     current timestep and blends them into the kept region, with an exact
     final blend — the classic latent-blend / legacy-inpaint algorithm).
     The mask rides in ``noises["mask"]`` as (B, H, W, 1) float, 1 = repaint.
+
+    ``use_control``: ControlNet conditioning (models/controlnet.py) —
+    ``params["controlnet"]`` holds the side network, the conditioning image
+    rides in ``noises["control_hint"]`` ((B, H, W, 3) in [0, 1]) and the
+    strength in ``noises["control_scale"]`` (traced — no recompile per
+    scale).  The hint encoder runs ONCE per generation; per step the side
+    network's zero-conv residuals are added to the UNet skips/bottleneck.
     """
     timesteps = jnp.asarray(ddpm.inference_timesteps(n_steps))
     # third reference quirk: the reference's beta_start is a typo (0.000085
@@ -296,6 +304,14 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                                      blend_noises[step_i])
             return m_lat * lat + (1.0 - m_lat) * noised0
 
+        if use_control:
+            from .models import controlnet as controlnet_mod
+            hf = controlnet_mod.encode_hint(
+                params["controlnet"], noises["control_hint"], cfg.unet,
+                factor, policy)
+            hint_feats = jnp.concatenate([hf, hf], axis=0) if do_cfg else hf
+            ctrl_scale = noises["control_scale"]
+
         if sp_mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as _P
 
@@ -303,7 +319,8 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
 
         def eps_at(step_i, latents):
             t = timesteps[step_i]
-            lat_in = latents.astype(policy.compute_dtype)
+            lat_c = latents.astype(policy.compute_dtype)
+            lat_in = lat_c
             if inpaint == "unet9":
                 # [latents, mask, masked-image latents] per step (the
                 # diffusers SD-inpaint channel order)
@@ -311,12 +328,22 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
             model_in = jnp.concatenate([lat_in, lat_in], axis=0) if do_cfg else lat_in
             if sp_mesh is not None:
                 model_in = jax.lax.with_sharding_constraint(model_in, _sp)
+            control = None
+            if use_control:
+                ctrl_in = jnp.concatenate([lat_c, lat_c], axis=0) \
+                    if do_cfg else lat_c
+                control = controlnet_mod.apply(
+                    params["controlnet"], ctrl_in, context, t, hint_feats,
+                    cfg.unet, policy,
+                    attention_backend=cfg.attention_backend,
+                    fuse_qkv=cfg.fuse_qkv,
+                    conditioning_scale=ctrl_scale, add_cond=add_cond)
             eps = unet_mod.apply(
                 params["diffusion"], model_in, context, t, cfg.unet, policy,
                 attention_backend=cfg.attention_backend,
                 reference_quirks=cfg.reference_quirks,
                 fuse_qkv=cfg.fuse_qkv, quant=cfg.quant, sp_mesh=sp_mesh,
-                add_cond=add_cond)
+                add_cond=add_cond, control=control)
             if do_cfg:
                 eps_cond, eps_uncond = jnp.split(eps, 2, axis=0)
                 eps = cfg_scale * (eps_cond - eps_uncond) + eps_uncond  # pipeline.py:233
@@ -428,6 +455,8 @@ def _run_generate(
     height: int = 512,
     width: int = 512,
     mask_image=None,
+    control_image=None,
+    controlnet_scale: float = 1.0,
     fixed_noise: Optional[Dict[str, np.ndarray]] = None,
     mesh=None,
     progress: bool = False,
@@ -524,6 +553,17 @@ def _run_generate(
             else _prepare_mask(mask_image, width, height)
         mask = np.broadcast_to(mask, (batch, height, width, 1)).copy()
 
+    use_control = control_image is not None
+    if use_control:
+        if "controlnet" not in models:
+            raise ValueError("control_image given but models has no "
+                             "'controlnet' entry (weights/convert.py "
+                             "load_controlnet)")
+        # ControlNet hint convention: [0, 1] range (not [-1, 1])
+        hint = rescale(_prepare_image(control_image, width, height),
+                       (-1.0, 1.0), (0.0, 1.0))
+        hint = np.broadcast_to(hint, (batch, height, width, 3)).copy()
+
     lat_shape = (batch, h_lat, w_lat, cfg.vae.latent_channels)
     use_fixed = fixed_noise is not None
     if use_fixed:
@@ -545,13 +585,16 @@ def _run_generate(
         noises = {"latent_init": jnp.zeros((1,), jnp.float32)}  # unused dummy
     if inpaint is not None:
         noises["mask"] = jnp.asarray(mask)
+    if use_control:
+        noises["control_hint"] = jnp.asarray(hint)
+        noises["control_scale"] = jnp.float32(controlnet_scale)
 
     key = jax.random.PRNGKey(0 if seed is None else seed) if _key is None \
         else _key
     run = _compiled_txt2img(cfg, n_inference_steps, do_cfg, batch,
                             h_lat, w_lat, img2img, use_fixed, progress,
                             sampler_name, float(ddim_eta), decode_tile,
-                            sp_mesh, inpaint)
+                            sp_mesh, inpaint, use_control)
     cond_tokens = jnp.asarray(cond_tokens)
     uncond_tokens = jnp.asarray(uncond_tokens)
     image = jnp.asarray(image)

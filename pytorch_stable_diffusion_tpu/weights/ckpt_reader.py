@@ -171,6 +171,16 @@ class _CkptReader:
         return up.load()
 
 
+def load_torch_object(path: str) -> Any:
+    """Read a torch zip-format pickle and return the raw object tree
+    (nested dicts/lists with numpy leaves) — used for non-state-dict
+    artifacts like textual-inversion embeddings
+    ({"string_to_param": {"*": tensor}}).  Same restricted unpickler, same
+    safety guarantees."""
+    with zipfile.ZipFile(path) as zf:
+        return _CkptReader(zf).load()
+
+
 def load_torch_ckpt(path: str) -> Dict[str, np.ndarray]:
     """Read a torch zip-format checkpoint without torch.
 

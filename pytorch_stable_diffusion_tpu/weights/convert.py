@@ -183,6 +183,99 @@ def unet_rules(cfg: SDConfig) -> List[Rule]:
     return rules
 
 
+# -------------------------------------------------------------- ControlNet
+def controlnet_rules(cfg: SDConfig) -> List[Rule]:
+    """CompVis ControlNet layout (``control_model.*`` — standalone
+    control_v11*/control_sd15* checkpoints and the control_model half of
+    merged ones): the copied UNet encoder + bottleneck plus
+    ``input_hint_block`` (Sequential indices 0,2,..), ``zero_convs.{i}.0``
+    and ``middle_block_out.0``.  Rule-generated from the same plans as
+    ``unet_rules`` so it adapts to every family config."""
+    from ..models import controlnet as controlnet_mod
+
+    u = cfg.unet
+    src = "control_model"
+    rules: List[Rule] = []
+    _linear(rules, f"{src}.time_embed.0", "time_embed/fc1")
+    _linear(rules, f"{src}.time_embed.2", "time_embed/fc2")
+    _conv(rules, f"{src}.input_blocks.0.0", "conv_in")
+
+    for i, st in enumerate(unet_mod.encoder_plan(u)[1:]):
+        blk = f"{src}.input_blocks.{i + 1}"
+        dst = f"encoder/{i}"
+        if st["kind"] == "down":
+            _conv(rules, f"{blk}.0.op", f"{dst}/down")
+        else:
+            _unet_res_rules(rules, f"{blk}.0", f"{dst}/res", st["c_in"], st["c_out"])
+            if st["attn"]:
+                _unet_attn_rules(rules, f"{blk}.1", f"{dst}/attn",
+                                 depth=st.get("depth", 1))
+
+    mid_c = u.level_channels[-1]
+    _unet_res_rules(rules, f"{src}.middle_block.0", "bottleneck/res1", mid_c, mid_c)
+    _unet_attn_rules(rules, f"{src}.middle_block.1", "bottleneck/attn",
+                     depth=u.depth_for(len(u.ch_mults) - 1))
+    _unet_res_rules(rules, f"{src}.middle_block.2", "bottleneck/res2", mid_c, mid_c)
+
+    n_skips = len(unet_mod.encoder_plan(u))
+    for i in range(n_skips):
+        _conv(rules, f"{src}.zero_convs.{i}.0", f"zero_convs/{i}")
+    _conv(rules, f"{src}.middle_block_out.0", "mid_out")
+
+    plan = controlnet_mod.hint_plan(u, cfg.vae.downsample_factor)
+    for j in range(len(plan)):
+        _conv(rules, f"{src}.input_hint_block.{2 * j}", f"hint_block/{j}")
+
+    if u.add_embed_dim:
+        _linear(rules, f"{src}.label_emb.0.0", "add_embed/fc1")
+        _linear(rules, f"{src}.label_emb.0.2", "add_embed/fc2")
+    return rules
+
+
+def convert_controlnet(state_dict: Dict[str, np.ndarray], cfg: SDConfig,
+                       dtype=None):
+    """``control_model.*`` keys -> ControlNet pytree (models/controlnet.py).
+
+    Coverage contract: every rule source must exist, and every
+    ``control_model.*`` key must be consumed (other keys may belong to a
+    merged base model and are left for ``convert``)."""
+    dtype = dtype or cfg.policy.param_dtype
+    flat, consumed = {}, set()
+    for src_key, dst_path, kind in controlnet_rules(cfg):
+        if src_key not in state_dict:
+            raise KeyError(f"[controlnet] missing source key: {src_key}")
+        flat[dst_path] = jnp.asarray(
+            _fwd_transform(kind, np.asarray(state_dict[src_key])), dtype)
+        consumed.add(src_key)
+    leftover = [k for k in state_dict
+                if k.startswith("control_model.") and k not in consumed]
+    if leftover:
+        raise KeyError(f"{len(leftover)} unconsumed control_model keys "
+                       f"(first 10): {sorted(leftover)[:10]}")
+    return _nest(flat)
+
+
+def deconvert_controlnet(params, cfg: SDConfig) -> Dict[str, np.ndarray]:
+    """Inverse of ``convert_controlnet`` (tests / export)."""
+    from ..core.pytree import flatten
+
+    flat = flatten(params)
+    sd: Dict[str, np.ndarray] = {}
+    for src_key, dst_path, kind in controlnet_rules(cfg):
+        if dst_path not in flat:
+            raise KeyError(f"[controlnet] missing target leaf: {dst_path}")
+        sd[src_key] = _INV[kind](np.asarray(flat[dst_path]))
+    return sd
+
+
+def load_controlnet(path: str, cfg: SDConfig, dtype=None, *,
+                    allow_unsafe_fallback: bool = False):
+    """ControlNet checkpoint file (.pth/.ckpt/.safetensors, standalone or
+    merged) -> ControlNet pytree."""
+    sd = load_state_dict(path, allow_unsafe_fallback=allow_unsafe_fallback)
+    return convert_controlnet(sd, cfg, dtype)
+
+
 # -------------------------------------------------------------------- VAE
 def _vae_res_rules(rules, src, dst, c_in, c_out):
     _norm(rules, f"{src}.norm1", f"{dst}/norm1")

@@ -84,6 +84,11 @@ class CLIPTokenizer:
         self.eot = self.encoder["<|endoftext|>"]
         self._cache = {"<|startoftext|>": "<|startoftext|>",
                        "<|endoftext|>": "<|endoftext|>"}
+        #: textual-inversion placeholders: lowercased trigger -> token ids
+        #: (ids may exceed the base vocab; the embedding table is extended
+        #: by weights/textual_inversion.py)
+        self.placeholders: Dict[str, List[int]] = {}
+        self._ph_pat = None
 
     # ------------------------------------------------------------- loading
     @classmethod
@@ -137,6 +142,34 @@ class CLIPTokenizer:
         self._cache[token] = out
         return out
 
+    # -------------------------------------------------- placeholder tokens
+    def add_placeholder(self, token: str, ids: Sequence[int]) -> None:
+        """Register a textual-inversion trigger word: occurrences of
+        ``token`` (case-insensitive, matched before BPE) expand to ``ids``."""
+        self.placeholders[token.lower()] = list(ids)
+        self._ph_pat = None
+
+    def clone(self) -> "CLIPTokenizer":
+        """Shallow copy with an independent placeholder table (vocab/merges
+        shared read-only)."""
+        import copy
+
+        out = copy.copy(self)
+        out.placeholders = dict(self.placeholders)
+        out._ph_pat = None
+        return out
+
+    def _placeholder_split(self, text: str):
+        if not self.placeholders:
+            return [text]
+        if self._ph_pat is None:
+            import re as _stdre
+
+            alts = sorted(self.placeholders, key=len, reverse=True)
+            self._ph_pat = _stdre.compile(
+                "(" + "|".join(_stdre.escape(a) for a in alts) + ")")
+        return self._ph_pat.split(text)
+
     # ------------------------------------------------------------- encoding
     def tokenize(self, text: str) -> List[int]:
         """Raw BPE ids, no framing/padding."""
@@ -148,10 +181,14 @@ class CLIPTokenizer:
                 "token ids)")
         text = _whitespace_clean(html.unescape(html.unescape(text))).lower()
         ids: List[int] = []
-        for tok in _PAT.findall(text):
-            tok_b = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
-            for piece in self._bpe(tok_b).split(" "):
-                ids.append(self.encoder[piece])
+        for part in self._placeholder_split(text):
+            if part in self.placeholders:
+                ids.extend(self.placeholders[part])
+                continue
+            for tok in _PAT.findall(part):
+                tok_b = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
+                for piece in self._bpe(tok_b).split(" "):
+                    ids.append(self.encoder[piece])
         return ids
 
     def encode(self, text: str) -> List[int]:
@@ -165,6 +202,21 @@ class CLIPTokenizer:
 
     def batch_encode(self, texts: Sequence[str]) -> List[List[int]]:
         return [self.encode(t) for t in texts]
+
+    def encode_windows(self, text: str) -> List[List[int]]:
+        """Long-prompt encoding: split the raw BPE ids into
+        ``max_len - 2``-token windows, each framed sot/eot and padded —
+        the de-facto community scheme (the window hiddens are concatenated
+        into one long cross-attention context).  Always >= 1 window."""
+        ids = self.tokenize(text)
+        cap = self.max_len - 2
+        chunks = [ids[i:i + cap] for i in range(0, len(ids), cap)] or [[]]
+        out = []
+        for ch in chunks:
+            full = [self.sot] + ch + [self.eot]
+            full.extend([self.eot] * (self.max_len - len(full)))
+            out.append(full)
+        return out
 
     # ------------------------------------------------------------- decoding
     def decode(self, ids: Sequence[int]) -> str:
