@@ -51,6 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--height", type=int, default=512)
     p.add_argument("--decode-tile", type=int, default=None,
                    help="tiled VAE decode (hi-res memory bound)")
+    p.add_argument("--embedding", action="append", default=[],
+                   metavar="PATH[:TOKEN]",
+                   help="textual-inversion embedding (.pt/.safetensors); "
+                        "repeatable; optional :token overrides the trigger")
     p.add_argument("--controlnet", default=None,
                    help="ControlNet checkpoint (control_model.* layout)")
     p.add_argument("--control-image", default=None,
@@ -112,6 +116,15 @@ def main(argv=None) -> int:
     print(f"[cli] loaded {args.ckpt}"
           + "".join(f" + lora {p}x{s:g}" for p, s in loras)
           + f" in {time.time()-t0:.1f}s", flush=True)
+
+    for spec in args.embedding:
+        path, _, tok_name = spec.rpartition(":")
+        # ":token" suffix only counts when what precedes it is a weight file
+        if not path.endswith((".pt", ".safetensors")):
+            path, tok_name = spec, ""
+        sd = sd.with_textual_inversion(path, tok_name or None)
+        print(f"[cli] installed embedding {path}"
+              + (f" as {tok_name}" if tok_name else ""), flush=True)
 
     if args.controlnet:
         sd = sd.with_controlnet(args.controlnet)

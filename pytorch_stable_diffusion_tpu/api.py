@@ -96,6 +96,25 @@ class StableDiffusion:
                                      input_image=init_image, strength=strength,
                                      **self._kw(kwargs))
 
+    def with_textual_inversion(self, embedding, token: Optional[str] = None):
+        """Return a bundle with a textual-inversion embedding installed
+        (weights/textual_inversion.py).
+
+        ``embedding`` is a ``.pt``/``.safetensors`` path or a ready
+        ``{trigger: (n, d)}`` dict; ``token`` overrides the trigger word.
+        The trigger then works in any prompt: ``sd.txt2img("a photo of
+        <my-style>")``."""
+        from .weights import textual_inversion as ti
+
+        embs = ti.load_embedding(embedding, token) if isinstance(embedding, str) \
+            else ({token: embedding} if token is not None else dict(embedding))
+        models, tok, cfg = ti.add_embeddings(self.models, self.tokenizer,
+                                             self.config, embs)
+        out = type(self).__new__(type(self))
+        out.models, out.tokenizer = models, tok
+        out.config, out.mesh = cfg, self.mesh
+        return out
+
     def with_controlnet(self, controlnet, *, config: Optional[SDConfig] = None):
         """Return a bundle with a ControlNet attached (models/controlnet.py).
 

@@ -184,8 +184,18 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
         and the bigG pooled embedding + 6x256 size embeddings through the
         UNet add_embedding (add_cond).  SDXL-refiner: the single bigG
         tower's hidden IS the context, pooled from the same tower, and the
-        5th add_time_id is the aesthetic score."""
+        5th add_time_id is the aesthetic score.
+
+        3-D tokens (B, k, L) are long prompts: k independent 77-token
+        windows encoded in one batched CLIP call, hiddens concatenated to a
+        (B, k*L, d) cross-attention context (the community long-prompt
+        scheme; single-tower families only — _run_generate validates)."""
         if cfg.clip2 is None and cfg.unet.add_embed_dim is None:
+            if tokens.ndim == 3:
+                b, k, L = tokens.shape
+                h = clip_mod.apply(params["clip"], tokens.reshape(b * k, L),
+                                   cfg.clip, policy, fuse_qkv=cfg.fuse_qkv)
+                return h.reshape(b, k * L, h.shape[-1]), None
             return clip_mod.apply(params["clip"], tokens, cfg.clip, policy,
                                   fuse_qkv=cfg.fuse_qkv), None
         if cfg.clip2 is None:  # refiner: single tower + added conditioning
@@ -463,6 +473,7 @@ def _run_generate(
     ddim_eta: float = 0.0,
     decode_tile: Optional[int] = None,
     sequence_parallel: bool = False,
+    long_prompts: bool = False,
     _device_output: bool = False,
     _key: Optional[jax.Array] = None,
 ):
@@ -497,8 +508,32 @@ def _run_generate(
         uncond = uncond * len(prompts)
     batch = len(prompts)
 
-    cond_tokens = _encode_tokens(tokenizer, prompts, cfg.clip.max_len)
-    uncond_tokens = _encode_tokens(tokenizer, uncond, cfg.clip.max_len)
+    if long_prompts:
+        # community long-prompt scheme: >75-token prompts split into
+        # 77-token windows whose hiddens concatenate into one long context
+        if not hasattr(tokenizer, "encode_windows"):
+            raise ValueError("long_prompts requires the built-in "
+                             "CLIPTokenizer (encode_windows)")
+        if cfg.clip2 is not None or cfg.unet.add_embed_dim is not None:
+            raise NotImplementedError("long_prompts is single-tower only "
+                                      "(SD-1.x/2.x)")
+        cw = [tokenizer.encode_windows(t) for t in prompts]
+        uw = [tokenizer.encode_windows(t) for t in uncond]
+        k = max(len(w) for w in cw + uw)
+        L = cfg.clip.max_len
+        pad_win = [tokenizer.sot] + [tokenizer.eot] * (L - 1)
+
+        def _stack(wins):
+            return np.asarray([w + [pad_win] * (k - len(w)) for w in wins],
+                              np.int32)
+
+        cond_tokens, uncond_tokens = _stack(cw), _stack(uw)
+        if k == 1:
+            cond_tokens = cond_tokens[:, 0]
+            uncond_tokens = uncond_tokens[:, 0]
+    else:
+        cond_tokens = _encode_tokens(tokenizer, prompts, cfg.clip.max_len)
+        uncond_tokens = _encode_tokens(tokenizer, uncond, cfg.clip.max_len)
     # JAX gather clamps out-of-range indices silently — validate on host.
     vmax = max(cond_tokens.max(), uncond_tokens.max())
     if vmax >= cfg.clip.vocab_size:
@@ -601,8 +636,10 @@ def _run_generate(
     if mesh is not None:
         from .core.mesh import data_sharded
 
-        cond_tokens = jax.device_put(cond_tokens, data_sharded(mesh, 2))
-        uncond_tokens = jax.device_put(uncond_tokens, data_sharded(mesh, 2))
+        cond_tokens = jax.device_put(cond_tokens,
+                                     data_sharded(mesh, cond_tokens.ndim))
+        uncond_tokens = jax.device_put(uncond_tokens,
+                                       data_sharded(mesh, uncond_tokens.ndim))
         image = jax.device_put(image, data_sharded(mesh, 4))
     images, latents = run(models, cond_tokens, uncond_tokens, key,
                           jnp.float32(cfg_scale), jnp.int32(start_step),

@@ -32,7 +32,9 @@ def export_pipeline(cfg: SDConfig, models, *, n_steps: int = 50, batch: int = 1,
                     height: int = 512, width: int = 512, do_cfg: bool = True,
                     sampler: str = "ddpm", img2img: bool = False,
                     ddim_eta: float = 0.0,
-                    decode_tile: Optional[int] = None) -> bytes:
+                    decode_tile: Optional[int] = None,
+                    inpaint: Optional[str] = None,
+                    use_control: bool = False) -> bytes:
     """Serialize the full generation program for one static configuration.
 
     ``models`` supplies only shapes/dtypes for the export signature; the
@@ -40,17 +42,31 @@ def export_pipeline(cfg: SDConfig, models, *, n_steps: int = 50, batch: int = 1,
     ``img2img=True`` the artifact contains the VAE-encode + add_noise graph
     and its ``start_step`` runtime argument selects the strength
     (``sampling.ddpm.start_step_for_strength``).
+
+    ``inpaint`` ("unet9"/"blend") and ``use_control`` export the inpaint /
+    ControlNet graphs (round 3); their runtime inputs (mask, hint,
+    conditioning scale) ride in the aux dict like the live pipeline's.
     """
     f = cfg.vae.downsample_factor
     if height % f or width % f:
         raise ValueError(f"height/width must be multiples of {f}")
     if sampler not in SAMPLERS:
         raise ValueError(f"Unknown sampler value {sampler!r}")
+    if inpaint == "blend" and not img2img:
+        raise ValueError("inpaint='blend' requires img2img=True")
+    if use_control and "controlnet" not in models:
+        raise ValueError("use_control=True needs models['controlnet']")
     h_lat, w_lat = height // f, width // f
     run = _compiled_txt2img(cfg, n_steps, do_cfg, batch, h_lat, w_lat,
                             img2img, False, False, sampler, float(ddim_eta),
-                            decode_tile)
+                            decode_tile, None, inpaint, use_control)
 
+    aux = {"latent_init": jnp.zeros((1,), jnp.float32)}
+    if inpaint is not None:
+        aux["mask"] = jnp.zeros((batch, height, width, 1), jnp.float32)
+    if use_control:
+        aux["control_hint"] = jnp.zeros((batch, height, width, 3), jnp.float32)
+        aux["control_scale"] = jnp.float32(1.0)
     args = (
         models,
         jnp.zeros((batch, cfg.clip.max_len), jnp.int32),
@@ -59,7 +75,7 @@ def export_pipeline(cfg: SDConfig, models, *, n_steps: int = 50, batch: int = 1,
         jnp.float32(7.5),
         jnp.int32(0),
         jnp.zeros((batch, height, width, 3), jnp.float32),
-        {"latent_init": jnp.zeros((1,), jnp.float32)},
+        aux,
     )
     shapes = jax.tree_util.tree_map(
         lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), args)
@@ -76,14 +92,32 @@ class LoadedPipeline:
 
     @property
     def image_shape(self):
-        """(batch, H, W, 3) the artifact was exported with."""
-        return self._exported.in_avals[-2].shape
+        """(batch, H, W, 3) the artifact was exported with.
+
+        ``in_avals`` is flat; the image precedes the aux dict's (sorted)
+        leaves, so index back over however many aux entries were exported."""
+        return self._exported.in_avals[-(len(self.aux_keys) + 1)].shape
+
+    @property
+    def aux_keys(self):
+        """Aux-dict entries the artifact was exported with: 'mask' for
+        inpaint, 'control_hint'/'control_scale' for ControlNet."""
+        tree = self._exported.in_tree
+        dummy = jax.tree_util.tree_unflatten(
+            tree, [None] * tree.num_leaves)
+        args = dummy[0] if (isinstance(dummy, tuple) and len(dummy) == 2
+                            and isinstance(dummy[1], dict)
+                            and not isinstance(dummy[0], dict)) else dummy
+        return sorted(args[-1].keys())
 
     def __call__(self, models, cond_tokens, uncond_tokens, key, cfg_scale,
-                 start_step=0, input_image=None):
+                 start_step=0, input_image=None, mask=None, control_hint=None,
+                 control_scale=1.0):
         """``input_image``: (batch, H, W, 3) float32 in [-1, 1] for an
         img2img artifact (ignored — and zero-filled — for txt2img ones);
-        ``start_step`` selects the img2img strength."""
+        ``start_step`` selects the img2img strength.  ``mask`` ((B,H,W,1),
+        1 = repaint) for inpaint artifacts; ``control_hint`` ((B,H,W,3) in
+        [0,1]) + ``control_scale`` for ControlNet artifacts."""
         image_shape = self.image_shape
         if input_image is None:
             image = jnp.zeros(image_shape, jnp.float32)
@@ -92,11 +126,22 @@ class LoadedPipeline:
             if image.shape != image_shape:
                 raise ValueError(
                     f"input_image shape {image.shape} != exported {image_shape}")
+        b, h, w, _ = image_shape
+        aux = {"latent_init": jnp.zeros((1,), jnp.float32)}
+        keys = self.aux_keys
+        if "mask" in keys:
+            aux["mask"] = jnp.ones((b, h, w, 1), jnp.float32) if mask is None \
+                else jnp.asarray(mask, jnp.float32).reshape(b, h, w, 1)
+        if "control_hint" in keys:
+            if control_hint is None:
+                raise ValueError("this artifact needs control_hint")
+            aux["control_hint"] = jnp.asarray(control_hint, jnp.float32) \
+                .reshape(b, h, w, 3)
+            aux["control_scale"] = jnp.float32(control_scale)
         out = self._exported.call(
             models, jnp.asarray(cond_tokens, jnp.int32),
             jnp.asarray(uncond_tokens, jnp.int32), key,
-            jnp.float32(cfg_scale), jnp.int32(start_step), image,
-            {"latent_init": jnp.zeros((1,), jnp.float32)})
+            jnp.float32(cfg_scale), jnp.int32(start_step), image, aux)
         images, latents = out
         return np.asarray(images).astype(np.uint8), np.asarray(latents)
 

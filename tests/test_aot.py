@@ -124,3 +124,73 @@ def test_export_sdxl_roundtrip(tiny_tokenizer):
                         seed=7, n_inference_steps=N_STEPS, config=cfg,
                         height=H, width=W, sampler_name="euler")
     np.testing.assert_array_equal(images[0], live)
+
+
+def test_export_inpaint_blend_roundtrip(tiny_cfg, tiny_models, tiny_tokenizer):
+    """Round 3: inpaint (latent-blend) exports; mask rides in the aux dict
+    and the artifact bit-matches the live pipeline."""
+    blob = aot.export_pipeline(tiny_cfg, tiny_models, n_steps=N_STEPS,
+                               height=H, width=W, img2img=True,
+                               inpaint="blend")
+    loaded = aot.load_pipeline(blob)
+    assert "mask" in loaded.aux_keys
+
+    rng = np.random.RandomState(3)
+    img_u8 = rng.randint(0, 256, size=(H, W, 3)).astype(np.uint8)
+    mask = np.zeros((H, W), np.float32)
+    mask[:, W // 2:] = 1.0
+
+    import pytorch_stable_diffusion_tpu as sdt
+    from pytorch_stable_diffusion_tpu.sampling import ddpm as ddpm_mod
+
+    live = sdt.generate("a cat", "", models=tiny_models,
+                        tokenizer=tiny_tokenizer, seed=5,
+                        n_inference_steps=N_STEPS, config=tiny_cfg,
+                        height=H, width=W, input_image=img_u8,
+                        mask_image=mask, strength=1.0)
+
+    toks = np.asarray([tiny_tokenizer.encode("a cat")], np.int32)
+    un = np.asarray([tiny_tokenizer.encode("")], np.int32)
+    image_f = (img_u8.astype(np.float32) / 255.0) * 2.0 - 1.0
+    start = ddpm_mod.start_step_for_strength(N_STEPS, 1.0)
+    images, _ = loaded(tiny_models, toks, un, jax.random.PRNGKey(5), 7.5,
+                       start_step=start, input_image=image_f[None],
+                       mask=mask[None, :, :, None])
+    np.testing.assert_array_equal(images[0], live)
+
+
+def test_export_controlnet_roundtrip(tiny_cfg, tiny_models, tiny_tokenizer):
+    """Round 3: ControlNet exports; hint + traced scale ride in the aux
+    dict and the artifact bit-matches the live pipeline."""
+    from pytorch_stable_diffusion_tpu.models import controlnet
+
+    ctrl = controlnet.init(jax.random.PRNGKey(5), tiny_cfg.unet,
+                           downsample_factor=tiny_cfg.vae.downsample_factor)
+    ctrl["mid_out"] = {"kernel": jnp.full_like(ctrl["mid_out"]["kernel"], 0.05),
+                       "bias": jnp.full_like(ctrl["mid_out"]["bias"], 0.01)}
+    models = dict(tiny_models, controlnet=ctrl)
+
+    blob = aot.export_pipeline(tiny_cfg, models, n_steps=N_STEPS,
+                               height=H, width=W, use_control=True)
+    loaded = aot.load_pipeline(blob)
+    assert {"control_hint", "control_scale"} <= set(loaded.aux_keys)
+
+    rng = np.random.RandomState(7)
+    hint_u8 = rng.randint(0, 256, size=(H, W, 3)).astype(np.float32)
+
+    import pytorch_stable_diffusion_tpu as sdt
+
+    live = sdt.generate("a cat", "", models=models, tokenizer=tiny_tokenizer,
+                        seed=5, n_inference_steps=N_STEPS, config=tiny_cfg,
+                        height=H, width=W, control_image=hint_u8,
+                        controlnet_scale=0.7)
+
+    toks = np.asarray([tiny_tokenizer.encode("a cat")], np.int32)
+    un = np.asarray([tiny_tokenizer.encode("")], np.int32)
+    images, _ = loaded(models, toks, un, jax.random.PRNGKey(5), 7.5,
+                       control_hint=(hint_u8 / 255.0)[None],
+                       control_scale=0.7)
+    np.testing.assert_array_equal(images[0], live)
+
+    with pytest.raises(ValueError, match="control_hint"):
+        loaded(models, toks, un, jax.random.PRNGKey(5), 7.5)
