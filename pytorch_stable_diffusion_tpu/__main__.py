@@ -46,6 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=1337)
     p.add_argument("--cfg-scale", type=float, default=7.5)
     p.add_argument("--no-cfg", action="store_true")
+    p.add_argument("--guidance-rescale", type=float, default=0.0,
+                   help="CFG std-rescale factor (0.7 recommended for "
+                        "SD-2.1-v checkpoints; 0 = off)")
     p.add_argument("--sampler", default="ddpm")
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--height", type=int, default=512)
@@ -133,7 +136,8 @@ def main(argv=None) -> int:
     kw = dict(seed=args.seed, n_inference_steps=args.steps,
               cfg_scale=args.cfg_scale, do_cfg=not args.no_cfg,
               sampler_name=args.sampler, height=args.height,
-              width=args.width, decode_tile=args.decode_tile)
+              width=args.width, decode_tile=args.decode_tile,
+              guidance_rescale=args.guidance_rescale)
     if args.control_image:
         from PIL import Image
 

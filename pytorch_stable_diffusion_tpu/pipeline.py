@@ -142,7 +142,8 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                       sampler: str = "ddpm", eta: float = 0.0,
                       decode_tile: Optional[int] = None, sp_mesh=None,
                       inpaint: Optional[str] = None,
-                      use_control: bool = False):
+                      use_control: bool = False,
+                      guidance_rescale: float = 0.0):
     """Build + jit the full generate computation for one static shape.
 
     ``fixed_noise=True`` compiles a variant whose latent-init / encoder /
@@ -357,6 +358,22 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
             if do_cfg:
                 eps_cond, eps_uncond = jnp.split(eps, 2, axis=0)
                 eps = cfg_scale * (eps_cond - eps_uncond) + eps_uncond  # pipeline.py:233
+                if guidance_rescale > 0.0:
+                    # CFG over-exposure fix ("Common Diffusion Noise
+                    # Schedules and Sample Steps are Flawed", eq. 15/16):
+                    # rescale the combined prediction's per-sample std back
+                    # to the conditional one, then lerp.  Applied in model-
+                    # output space (before any v->eps conversion), matching
+                    # the published implementation.
+                    ax = tuple(range(1, eps.ndim))
+                    std_c = jnp.std(eps_cond.astype(jnp.float32), axis=ax,
+                                    keepdims=True)
+                    std_g = jnp.std(eps.astype(jnp.float32), axis=ax,
+                                    keepdims=True)
+                    rescaled = eps * (std_c / jnp.maximum(std_g, 1e-12)
+                                      ).astype(eps.dtype)
+                    eps = (guidance_rescale * rescaled
+                           + (1.0 - guidance_rescale) * eps)
             # SD-2.x v-prediction -> epsilon (no-op for "epsilon"; CFG and
             # the conversion are both affine, so combining first is exact)
             eps = ddpm.to_epsilon(schedule, t, latents, eps, cfg.prediction_type)
@@ -474,6 +491,7 @@ def _run_generate(
     decode_tile: Optional[int] = None,
     sequence_parallel: bool = False,
     long_prompts: bool = False,
+    guidance_rescale: float = 0.0,
     _device_output: bool = False,
     _key: Optional[jax.Array] = None,
 ):
@@ -629,7 +647,8 @@ def _run_generate(
     run = _compiled_txt2img(cfg, n_inference_steps, do_cfg, batch,
                             h_lat, w_lat, img2img, use_fixed, progress,
                             sampler_name, float(ddim_eta), decode_tile,
-                            sp_mesh, inpaint, use_control)
+                            sp_mesh, inpaint, use_control,
+                            float(guidance_rescale))
     cond_tokens = jnp.asarray(cond_tokens)
     uncond_tokens = jnp.asarray(uncond_tokens)
     image = jnp.asarray(image)

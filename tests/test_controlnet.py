@@ -160,3 +160,22 @@ def test_api_with_controlnet(tiny_cfg, tiny_models, tiny_tokenizer,
                       n_inference_steps=N_STEPS, height=H, width=W, seed=0)
     assert img.shape == (H, W, 3)
     assert "controlnet" not in sd.models  # original bundle untouched
+
+
+def test_controlnet_sdxl_topology_roundtrip():
+    """Config-driven rules adapt to SDXL (stacked transformer depth,
+    label_emb added-conditioning MLP) — structural round-trip."""
+    from test_sdxl import tiny_sdxl_config
+
+    cfg = tiny_sdxl_config()
+    p = controlnet.init(jax.random.PRNGKey(1), cfg.unet,
+                        downsample_factor=cfg.vae.downsample_factor)
+    assert "add_embed" in p
+    sd = convert.deconvert_controlnet(p, cfg)
+    assert "control_model.label_emb.0.0.weight" in sd
+    back = convert.convert_controlnet(sd, cfg)
+    a = jax.tree_util.tree_leaves(p)
+    b = jax.tree_util.tree_leaves(back)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

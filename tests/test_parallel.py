@@ -65,3 +65,30 @@ def test_replicate_params(tiny_models):
     rep = replicate_params(tiny_models, m)
     leaf = jax.tree_util.tree_leaves(rep)[0]
     assert len(leaf.sharding.device_set) == 8
+
+
+def test_dp_with_controlnet_matches_single(tiny_cfg, tiny_models,
+                                           tiny_tokenizer):
+    """Round 3: ControlNet conditioning under 8-way DP (hint sharded with
+    the batch, side-net params replicated) == single device."""
+    import jax.numpy as jnp
+
+    from pytorch_stable_diffusion_tpu.models import controlnet
+
+    ctrl = controlnet.init(jax.random.PRNGKey(5), tiny_cfg.unet,
+                           downsample_factor=tiny_cfg.vae.downsample_factor)
+    ctrl["mid_out"] = {
+        "kernel": jnp.full_like(ctrl["mid_out"]["kernel"], 0.05),
+        "bias": jnp.full_like(ctrl["mid_out"]["bias"], 0.01)}
+    models = dict(tiny_models, controlnet=ctrl)
+    hint = np.random.RandomState(4).randint(
+        0, 256, (H, W, 3)).astype(np.float32)
+
+    prompts = ["a cat", "a dog", "a photo", "a photo of a dog",
+               "cat", "dog", "a", "of a cat"]
+    kw = dict(models=models, tokenizer=tiny_tokenizer, seed=11,
+              n_inference_steps=N_STEPS, config=tiny_cfg, height=H, width=W,
+              control_image=hint)
+    single = sdt.generate_images(prompts, **kw)
+    dp = generate_images_dp(prompts, mesh=mesh_mod.make_mesh(), **kw)
+    assert np.abs(dp.astype(int) - single.astype(int)).max() <= 1
