@@ -50,6 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="CFG std-rescale factor (0.7 recommended for "
                         "SD-2.1-v checkpoints; 0 = off)")
     p.add_argument("--sampler", default="ddpm")
+    p.add_argument("--spacing", default="uniform",
+                   choices=["uniform", "karras"],
+                   help="timestep grid: uniform (reference parity) or the "
+                        "Karras sigma schedule (denser low-sigma steps — "
+                        "the community 'Karras' sampler variants)")
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--height", type=int, default=512)
     p.add_argument("--decode-tile", type=int, default=None,
@@ -137,7 +142,8 @@ def main(argv=None) -> int:
               cfg_scale=args.cfg_scale, do_cfg=not args.no_cfg,
               sampler_name=args.sampler, height=args.height,
               width=args.width, decode_tile=args.decode_tile,
-              guidance_rescale=args.guidance_rescale)
+              guidance_rescale=args.guidance_rescale,
+              timestep_spacing=args.spacing)
     if args.control_image:
         from PIL import Image
 

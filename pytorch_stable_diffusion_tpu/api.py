@@ -118,13 +118,22 @@ class StableDiffusion:
     def with_controlnet(self, controlnet, *, config: Optional[SDConfig] = None):
         """Return a bundle with a ControlNet attached (models/controlnet.py).
 
-        ``controlnet`` is a checkpoint path (``control_model.*`` layout,
-        standalone or merged) or an already-converted pytree.  Generation
-        kwargs then accept ``control_image`` (+ ``controlnet_scale``)."""
+        ``controlnet`` is a checkpoint path (CompVis ``control_model.*``
+        file, standalone or merged), a diffusers ControlNetModel directory,
+        or an already-converted pytree.  Generation kwargs then accept
+        ``control_image`` (+ ``controlnet_scale``)."""
         if isinstance(controlnet, str):
-            from .weights.convert import load_controlnet
+            import os
 
-            controlnet = load_controlnet(controlnet, config or self.config)
+            if os.path.isdir(controlnet):
+                from .weights.diffusers import load_diffusers_controlnet
+
+                controlnet = load_diffusers_controlnet(
+                    controlnet, config or self.config)
+            else:
+                from .weights.convert import load_controlnet
+
+                controlnet = load_controlnet(controlnet, config or self.config)
         out = type(self).__new__(type(self))
         out.models = dict(self.models, controlnet=controlnet)
         out.tokenizer, out.config, out.mesh = \

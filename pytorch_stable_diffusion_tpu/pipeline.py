@@ -143,7 +143,8 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                       decode_tile: Optional[int] = None, sp_mesh=None,
                       inpaint: Optional[str] = None,
                       use_control: bool = False,
-                      guidance_rescale: float = 0.0):
+                      guidance_rescale: float = 0.0,
+                      timestep_spacing: str = "uniform"):
     """Build + jit the full generate computation for one static shape.
 
     ``fixed_noise=True`` compiles a variant whose latent-init / encoder /
@@ -170,12 +171,22 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
     scale).  The hint encoder runs ONCE per generation; per step the side
     network's zero-conv residuals are added to the UNet skips/bottleneck.
     """
-    timesteps = jnp.asarray(ddpm.inference_timesteps(n_steps))
     # third reference quirk: the reference's beta_start is a typo (0.000085
     # vs CompVis 0.00085, ref ddpm.py:30) — reproduce it only in quirk mode
     schedule = ddpm.make_schedule(
         beta_start=ddpm.REFERENCE_BETA_START if cfg.reference_quirks
         else ddpm.BETA_START)
+    if timestep_spacing == "karras":
+        ts_np = ddpm.karras_timesteps(schedule, n_steps)
+    elif timestep_spacing == "uniform":
+        ts_np = ddpm.inference_timesteps(n_steps)
+    else:
+        raise ValueError(f"unknown timestep_spacing {timestep_spacing!r}")
+    timesteps = jnp.asarray(ts_np)
+    # explicit next-step timestep per index (-1 past the end): identical to
+    # the samplers' internal t - T//n on the uniform grid, required for the
+    # non-uniform Karras grid
+    prev_timesteps = jnp.asarray(np.append(ts_np[1:], -1).astype(np.int32))
     policy: Policy = cfg.policy
     lc = cfg.vae.latent_channels
 
@@ -392,7 +403,8 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                 lat = inpaint_blend(step_i, lat)
                 eps, t = eps_at(step_i, lat)
                 new_lat, st = mod.step(schedule, t, lat, eps, st,
-                                       num_inference_steps=n_steps)
+                                       num_inference_steps=n_steps,
+                                       prev_t=prev_timesteps[step_i])
                 return new_lat.astype(jnp.float32), st
 
             latents, _ = jax.lax.fori_loop(
@@ -407,12 +419,14 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                 latents = inpaint_blend(step_i, latents)
                 eps, t = eps_at(step_i, latents)
                 lat32 = latents.astype(jnp.float32)
+                prev = prev_timesteps[step_i]
                 pred = euler.step(schedule, t, lat32, eps, None,
-                                  num_inference_steps=n_steps)
+                                  num_inference_steps=n_steps, prev_t=prev)
                 eps2, _ = eps_at(jnp.minimum(step_i + 1, n_steps - 1), pred)
                 return euler.step_heun_correct(
                     schedule, t, lat32, eps, eps2,
-                    num_inference_steps=n_steps).astype(jnp.float32)
+                    num_inference_steps=n_steps,
+                    prev_t=prev).astype(jnp.float32)
 
             latents = jax.lax.fori_loop(start_step, n_steps, body,
                                         latents.astype(jnp.float32))
@@ -422,19 +436,23 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                 eps, t = eps_at(step_i, latents)
                 noise = step_noises[step_i]
                 lat32 = latents.astype(jnp.float32)
+                prev = prev_timesteps[step_i]
                 if sampler == "ddim":
                     new_latents = ddim.step(schedule, t, lat32, eps, noise,
-                                            num_inference_steps=n_steps, eta=eta)
+                                            num_inference_steps=n_steps,
+                                            eta=eta, prev_t=prev)
                 elif sampler == "euler":
                     new_latents = euler.step(schedule, t, lat32, eps, noise,
-                                             num_inference_steps=n_steps)
+                                             num_inference_steps=n_steps,
+                                             prev_t=prev)
                 elif sampler == "euler_a":
                     new_latents = euler.step_ancestral(
                         schedule, t, lat32, eps, noise,
-                        num_inference_steps=n_steps)
+                        num_inference_steps=n_steps, prev_t=prev)
                 else:
                     new_latents = ddpm.step(schedule, t, lat32, eps, noise,
-                                            num_inference_steps=n_steps)
+                                            num_inference_steps=n_steps,
+                                            prev_t=prev)
                 return new_latents.astype(jnp.float32)
 
             latents = jax.lax.fori_loop(start_step, n_steps, body,
@@ -492,6 +510,7 @@ def _run_generate(
     sequence_parallel: bool = False,
     long_prompts: bool = False,
     guidance_rescale: float = 0.0,
+    timestep_spacing: str = "uniform",
     _device_output: bool = False,
     _key: Optional[jax.Array] = None,
 ):
@@ -648,7 +667,7 @@ def _run_generate(
                             h_lat, w_lat, img2img, use_fixed, progress,
                             sampler_name, float(ddim_eta), decode_tile,
                             sp_mesh, inpaint, use_control,
-                            float(guidance_rescale))
+                            float(guidance_rescale), timestep_spacing)
     cond_tokens = jnp.asarray(cond_tokens)
     uncond_tokens = jnp.asarray(uncond_tokens)
     image = jnp.asarray(image)

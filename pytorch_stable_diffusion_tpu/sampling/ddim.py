@@ -18,12 +18,13 @@ from .ddpm import DDPMSchedule, _alpha_bar_prev
 
 
 def step(schedule: DDPMSchedule, t, latents, eps, noise, *,
-         num_inference_steps: int, eta: float = 0.0):
+         num_inference_steps: int, eta: float = 0.0, prev_t=None):
     """One DDIM step; ``t`` may be traced.  Shapes as ddpm.step."""
     dt = latents.dtype
     lat = latents.astype(jnp.float32)
     eps = eps.astype(jnp.float32)
-    prev_t = t - schedule.num_train_timesteps // num_inference_steps
+    if prev_t is None:  # uniform grid (identical to timesteps[i+1])
+        prev_t = t - schedule.num_train_timesteps // num_inference_steps
 
     a_t = schedule.alphas_cumprod[t]
     a_prev = _alpha_bar_prev(schedule, prev_t)
@@ -34,5 +35,7 @@ def step(schedule: DDPMSchedule, t, latents, eps, noise, *,
     dir_xt = jnp.sqrt(jnp.clip(1.0 - a_prev - sigma**2, min=0.0)) * eps
     out = jnp.sqrt(a_prev) * x0 + dir_xt
     if eta != 0.0:
-        out = out + jnp.where(t > 0, sigma, 0.0) * noise.astype(jnp.float32)
+        # final-step gate: prev_t >= 0 == (t > 0) on the uniform grid, and
+        # stays correct on Karras grids whose last timestep is > 0
+        out = out + jnp.where(prev_t >= 0, sigma, 0.0) * noise.astype(jnp.float32)
     return out.astype(dt)

@@ -80,6 +80,39 @@ def inference_timesteps(num_inference_steps: int,
     return ts.astype(np.int32)
 
 
+def karras_timesteps(schedule: "DDPMSchedule", num_inference_steps: int,
+                     rho: float = 7.0) -> np.ndarray:
+    """Descending int32 timesteps on the Karras et al. 2022 sigma grid.
+
+    sigma_i = (s_max^(1/rho) + i/(n-1) (s_min^(1/rho) - s_max^(1/rho)))^rho
+    over the schedule's own sigma range, each mapped to the nearest
+    training timestep in log-sigma (then forced strictly descending).  The
+    quantization to integer timesteps keeps every sampler's
+    integer-indexed schedule lookups exact; at n <= ~200 steps over 1000
+    training timesteps the nearest-neighbor error is < half a timestep.
+    Denser steps at low sigma — the spacing k-diffusion/A1111 "Karras"
+    samplers use.
+    """
+    abar = np.asarray(schedule.alphas_cumprod, np.float64)
+    sigmas_all = np.sqrt((1.0 - abar) / abar)  # ascending in t
+    s_min, s_max = sigmas_all[0], sigmas_all[-1]
+    ramp = np.linspace(0.0, 1.0, num_inference_steps)
+    inv = 1.0 / rho
+    sigmas = (s_max**inv + ramp * (s_min**inv - s_max**inv)) ** rho  # desc
+    log_all = np.log(sigmas_all)
+    out = [int(np.abs(log_all - np.log(s)).argmin()) for s in sigmas]
+    # enforce strictly descending after quantization: forward pass caps at
+    # prev-1 (may dip below 0 near the tail), backward pass lifts the tail
+    # onto ..., 2, 1, 0
+    prev = schedule.num_train_timesteps
+    for i, t in enumerate(out):
+        out[i] = prev = min(t, prev - 1)
+    out[-1] = max(out[-1], 0)
+    for i in range(len(out) - 2, -1, -1):
+        out[i] = max(out[i], out[i + 1] + 1)
+    return np.asarray(out, np.int32)
+
+
 def start_step_for_strength(num_inference_steps: int, strength: float) -> int:
     """ddpm.py:90-99: skip the first n*(1-strength) steps."""
     return num_inference_steps - int(num_inference_steps * strength)
@@ -107,7 +140,7 @@ def to_epsilon(schedule: DDPMSchedule, t, latents, model_output,
 
 
 def step(schedule: DDPMSchedule, t, latents, eps, noise, *,
-         num_inference_steps: int):
+         num_inference_steps: int, prev_t=None):
     """One ancestral DDPM step (ddpm.py:102-139).  ``t`` may be traced.
 
     latents/eps: (..., C); noise: same shape, standard normal (used iff t>0).
@@ -115,7 +148,8 @@ def step(schedule: DDPMSchedule, t, latents, eps, noise, *,
     dt = latents.dtype
     lat = latents.astype(jnp.float32)
     eps = eps.astype(jnp.float32)
-    prev_t = t - schedule.num_train_timesteps // num_inference_steps
+    if prev_t is None:  # uniform grid (identical to timesteps[i+1])
+        prev_t = t - schedule.num_train_timesteps // num_inference_steps
 
     a_t = schedule.alphas_cumprod[t]
     a_prev = _alpha_bar_prev(schedule, prev_t)
@@ -130,7 +164,11 @@ def step(schedule: DDPMSchedule, t, latents, eps, noise, *,
     mean = coeff_x0 * x0 + coeff_xt * lat
 
     var = jnp.clip(b_prev / b_t * cur_beta, min=1e-20)        # ddpm.py:72-87
-    std = jnp.where(t > 0, jnp.sqrt(var), 0.0)
+    # no noise on the final step.  The reference gates on t > 0
+    # (ddpm.py:129-137); prev_t >= 0 is the identical set on the uniform
+    # grid (last t is 0) and stays correct on non-uniform (Karras) grids
+    # whose last timestep may be > 0.
+    std = jnp.where(prev_t >= 0, jnp.sqrt(var), 0.0)
     return (mean + std * noise.astype(jnp.float32)).astype(dt)
 
 

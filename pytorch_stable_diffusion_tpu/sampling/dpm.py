@@ -41,12 +41,13 @@ def init_state(latents_shape, dtype=jnp.float32) -> Dict[str, jax.Array]:
 
 
 def step(schedule: DDPMSchedule, t, latents, eps, state, *,
-         num_inference_steps: int) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+         num_inference_steps: int, prev_t=None) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """One DPM-Solver++(2M) step; ``t`` may be traced."""
     dt = latents.dtype
     x = latents.astype(jnp.float32)
     eps = eps.astype(jnp.float32)
-    prev_t = t - schedule.num_train_timesteps // num_inference_steps
+    if prev_t is None:  # uniform grid (identical to timesteps[i+1])
+        prev_t = t - schedule.num_train_timesteps // num_inference_steps
 
     a_t = schedule.alphas_cumprod[t]
     a_n = _alpha_bar_prev(schedule, prev_t)

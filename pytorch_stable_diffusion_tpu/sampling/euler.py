@@ -39,14 +39,15 @@ def _sigmas(schedule: DDPMSchedule, t, prev_t):
 
 
 def step(schedule: DDPMSchedule, t, latents, eps, noise, *,
-         num_inference_steps: int):
+         num_inference_steps: int, prev_t=None):
     """One deterministic Euler step; ``t`` may be traced.  ``noise`` is
     accepted for samplers-API uniformity and ignored."""
     del noise
     dt = latents.dtype
     lat = latents.astype(jnp.float32)
     eps = eps.astype(jnp.float32)
-    prev_t = t - schedule.num_train_timesteps // num_inference_steps
+    if prev_t is None:  # uniform grid (identical to timesteps[i+1])
+        prev_t = t - schedule.num_train_timesteps // num_inference_steps
 
     a_t, a_next, sigma, sigma_next = _sigmas(schedule, t, prev_t)
     x_karras = lat / jnp.sqrt(a_t)
@@ -55,7 +56,7 @@ def step(schedule: DDPMSchedule, t, latents, eps, noise, *,
 
 
 def step_heun_correct(schedule: DDPMSchedule, t, latents, eps, eps2, *,
-                      num_inference_steps: int):
+                      num_inference_steps: int, prev_t=None):
     """Second-order (Heun / improved-Euler) correction step.
 
     ``eps`` is the model's prediction at ``(latents, t)``; ``eps2`` its
@@ -70,7 +71,8 @@ def step_heun_correct(schedule: DDPMSchedule, t, latents, eps, eps2, *,
     """
     dt = latents.dtype
     lat = latents.astype(jnp.float32)
-    prev_t = t - schedule.num_train_timesteps // num_inference_steps
+    if prev_t is None:  # uniform grid (identical to timesteps[i+1])
+        prev_t = t - schedule.num_train_timesteps // num_inference_steps
 
     a_t, a_next, sigma, sigma_next = _sigmas(schedule, t, prev_t)
     x_karras = lat / jnp.sqrt(a_t)
@@ -81,12 +83,13 @@ def step_heun_correct(schedule: DDPMSchedule, t, latents, eps, eps2, *,
 
 
 def step_ancestral(schedule: DDPMSchedule, t, latents, eps, noise, *,
-                   num_inference_steps: int):
+                   num_inference_steps: int, prev_t=None):
     """One Euler-ancestral step; ``t`` may be traced.  Shapes as ddpm.step."""
     dt = latents.dtype
     lat = latents.astype(jnp.float32)
     eps = eps.astype(jnp.float32)
-    prev_t = t - schedule.num_train_timesteps // num_inference_steps
+    if prev_t is None:  # uniform grid (identical to timesteps[i+1])
+        prev_t = t - schedule.num_train_timesteps // num_inference_steps
 
     a_t, a_next, sigma, sigma_next = _sigmas(schedule, t, prev_t)
     var_up = sigma_next**2 * jnp.clip(sigma**2 - sigma_next**2, min=0.0) \
@@ -96,7 +99,8 @@ def step_ancestral(schedule: DDPMSchedule, t, latents, eps, noise, *,
 
     x_karras = lat / jnp.sqrt(a_t)
     x_karras = x_karras + (sigma_down - sigma) * eps
-    # noise only while t > 0 (the final step is deterministic: sigma_next=0)
-    x_karras = x_karras + jnp.where(t > 0, sigma_up, 0.0) \
+    # noise only before the final step (sigma_next=0 there); prev_t >= 0
+    # == (t > 0) on the uniform grid, correct on Karras grids too
+    x_karras = x_karras + jnp.where(prev_t >= 0, sigma_up, 0.0) \
         * noise.astype(jnp.float32)
     return (jnp.sqrt(a_next) * x_karras).astype(dt)

@@ -122,7 +122,7 @@ def _correct(last_sample, m0, m1, m_t, sigma_t0, alpha_t, sigma_t, h, u,
 
 
 def step(schedule: DDPMSchedule, t, latents, eps, state, *,
-         num_inference_steps: int) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+         num_inference_steps: int, prev_t=None) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """One UniPC step: correct the arrival at ``t`` (if history exists), then
     predict the sample at the next timestep.  ``t`` may be traced.  ``eps``
     is the model output at (``latents``, ``t``) — the *uncorrected* sample,
@@ -130,7 +130,8 @@ def step(schedule: DDPMSchedule, t, latents, eps, state, *,
     dt = latents.dtype
     x = latents.astype(jnp.float32)
     eps = eps.astype(jnp.float32)
-    prev_t = t - schedule.num_train_timesteps // num_inference_steps
+    if prev_t is None:  # uniform grid (identical to timesteps[i+1])
+        prev_t = t - schedule.num_train_timesteps // num_inference_steps
 
     alpha_t, sigma_t, alpha_n, sigma_n, h, exp_neg_h = _coeffs(
         schedule, t, prev_t)

@@ -320,3 +320,97 @@ def load_diffusers_pipeline(root: str, cfg: SDConfig, dtype=None):
                       ["model.safetensors", "pytorch_model.bin"])
     return convert_diffusers(unet_sd, vae_sd, te_sd, cfg, dtype,
                              text_encoder_2_sd=te2_sd)
+
+
+# -------------------------------------------------------------- ControlNet
+def controlnet_rules(cfg: SDConfig) -> List[Rule]:
+    """Diffusers ``ControlNetModel`` layout (standalone controlnet dirs):
+    the UNet encoder/mid key names plus ``controlnet_cond_embedding``
+    (conv_in / blocks.{i} / conv_out — exactly our hint plan),
+    ``controlnet_down_blocks.{i}`` (zero convs) and
+    ``controlnet_mid_block``."""
+    from ..models import controlnet as controlnet_mod
+
+    u = cfg.unet
+    rules: List[Rule] = []
+    _linear(rules, "time_embedding.linear_1", "time_embed/fc1")
+    _linear(rules, "time_embedding.linear_2", "time_embed/fc2")
+    _conv(rules, "conv_in", "conv_in")
+
+    res_i = {l: 0 for l in range(len(u.ch_mults))}
+    level = 0
+    for i, st in enumerate(unet_mod.encoder_plan(u)[1:]):
+        dst = f"encoder/{i}"
+        if st["kind"] == "down":
+            _conv(rules, f"down_blocks.{level}.downsamplers.0.conv", f"{dst}/down")
+            level += 1
+        else:
+            r = res_i[level]
+            _res_rules(rules, f"down_blocks.{level}.resnets.{r}", f"{dst}/res",
+                       st["c_in"], st["c_out"])
+            if st["attn"]:
+                _tx_rules(rules, f"down_blocks.{level}.attentions.{r}",
+                          f"{dst}/attn", depth=st.get("depth", 1))
+            res_i[level] += 1
+
+    c_mid = u.level_channels[-1]
+    _res_rules(rules, "mid_block.resnets.0", "bottleneck/res1", c_mid, c_mid)
+    _tx_rules(rules, "mid_block.attentions.0", "bottleneck/attn",
+              depth=u.depth_for(len(u.ch_mults) - 1))
+    _res_rules(rules, "mid_block.resnets.1", "bottleneck/res2", c_mid, c_mid)
+
+    plan = controlnet_mod.hint_plan(u, cfg.vae.downsample_factor)
+    _conv(rules, "controlnet_cond_embedding.conv_in", "hint_block/0")
+    for j in range(1, len(plan) - 1):
+        _conv(rules, f"controlnet_cond_embedding.blocks.{j - 1}",
+              f"hint_block/{j}")
+    _conv(rules, "controlnet_cond_embedding.conv_out",
+          f"hint_block/{len(plan) - 1}")
+
+    n_skips = len(unet_mod.encoder_plan(u))
+    for i in range(n_skips):
+        _conv(rules, f"controlnet_down_blocks.{i}", f"zero_convs/{i}")
+    _conv(rules, "controlnet_mid_block", "mid_out")
+
+    if u.add_embed_dim:
+        _linear(rules, "add_embedding.linear_1", "add_embed/fc1")
+        _linear(rules, "add_embedding.linear_2", "add_embed/fc2")
+    return rules
+
+
+def convert_controlnet_diffusers(sd: Dict[str, np.ndarray], cfg: SDConfig,
+                                 dtype=None):
+    """Diffusers ControlNetModel state dict -> ControlNet pytree, exact
+    coverage both ways."""
+    dtype = dtype or cfg.policy.param_dtype
+    tree, used = _convert_one(sd, controlnet_rules, cfg, dtype, "controlnet")
+    leftover = [k for k in sd if k not in used and k not in _IGNORE]
+    if leftover:
+        raise KeyError(f"[controlnet] {len(leftover)} unconsumed diffusers "
+                       f"keys (first 10): {sorted(leftover)[:10]}")
+    return tree
+
+
+def deconvert_controlnet_diffusers(params, cfg: SDConfig) -> Dict[str, np.ndarray]:
+    from ..core.pytree import flatten
+
+    flat = flatten(params)
+    sd: Dict[str, np.ndarray] = {}
+    for src_key, dst_path, kind in controlnet_rules(cfg):
+        sd[src_key] = _INV[kind](np.asarray(flat[dst_path]))
+    return sd
+
+
+def load_diffusers_controlnet(root: str, cfg: SDConfig, dtype=None):
+    """Load a standalone diffusers controlnet directory
+    (root/diffusion_pytorch_model.safetensors)."""
+    import os
+
+    from .convert import load_state_dict
+
+    for n in ["diffusion_pytorch_model.safetensors",
+              "diffusion_pytorch_model.bin"]:
+        p = os.path.join(root, n)
+        if os.path.exists(p):
+            return convert_controlnet_diffusers(load_state_dict(p), cfg, dtype)
+    raise FileNotFoundError(f"no controlnet weight file under {root}")

@@ -179,3 +179,40 @@ def test_controlnet_sdxl_topology_roundtrip():
     assert len(a) == len(b)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_controlnet_diffusers_layout_roundtrip(tiny_cfg, ctrl_params, tmp_path):
+    """Diffusers ControlNetModel layout: round-trip AND cross-layout
+    equivalence with the CompVis path, plus directory loading."""
+    from safetensors.numpy import save_file
+
+    from pytorch_stable_diffusion_tpu.weights import diffusers as dif
+
+    sd = dif.deconvert_controlnet_diffusers(ctrl_params, tiny_cfg)
+    assert "controlnet_cond_embedding.conv_in.weight" in sd
+    assert "controlnet_down_blocks.0.weight" in sd
+    assert "controlnet_mid_block.weight" in sd
+    back = dif.convert_controlnet_diffusers(sd, tiny_cfg)
+    for a, b in zip(jax.tree_util.tree_leaves(ctrl_params),
+                    jax.tree_util.tree_leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # cross-layout: CompVis deconvert -> convert == diffusers round-trip
+    cv = convert.convert_controlnet(
+        convert.deconvert_controlnet(ctrl_params, tiny_cfg), tiny_cfg)
+    for a, b in zip(jax.tree_util.tree_leaves(cv),
+                    jax.tree_util.tree_leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # directory loader + api dispatch
+    d = tmp_path / "cn"
+    d.mkdir()
+    # deconvert returns transpose VIEWS; safetensors serializes the raw
+    # buffer, so contiguity is the saver's job (weights/save.py does the
+    # same for its own exports)
+    save_file({k: np.ascontiguousarray(v) for k, v in sd.items()},
+              str(d / "diffusion_pytorch_model.safetensors"))
+    loaded = dif.load_diffusers_controlnet(str(d), tiny_cfg)
+    for a, b in zip(jax.tree_util.tree_leaves(ctrl_params),
+                    jax.tree_util.tree_leaves(loaded)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
