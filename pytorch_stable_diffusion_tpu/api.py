@@ -120,20 +120,25 @@ class StableDiffusion:
 
         ``controlnet`` is a checkpoint path (CompVis ``control_model.*``
         file, standalone or merged), a diffusers ControlNetModel directory,
-        or an already-converted pytree.  Generation kwargs then accept
+        an already-converted pytree, or a LIST of those (multi-ControlNet:
+        residuals sum; pass matching lists as ``control_image`` /
+        ``controlnet_scale``).  Generation kwargs then accept
         ``control_image`` (+ ``controlnet_scale``)."""
-        if isinstance(controlnet, str):
+        def _load(cn):
+            if not isinstance(cn, str):
+                return cn
             import os
 
-            if os.path.isdir(controlnet):
+            if os.path.isdir(cn):
                 from .weights.diffusers import load_diffusers_controlnet
 
-                controlnet = load_diffusers_controlnet(
-                    controlnet, config or self.config)
-            else:
-                from .weights.convert import load_controlnet
+                return load_diffusers_controlnet(cn, config or self.config)
+            from .weights.convert import load_controlnet
 
-                controlnet = load_controlnet(controlnet, config or self.config)
+            return load_controlnet(cn, config or self.config)
+
+        controlnet = [_load(c) for c in controlnet] \
+            if isinstance(controlnet, (list, tuple)) else _load(controlnet)
         out = type(self).__new__(type(self))
         out.models = dict(self.models, controlnet=controlnet)
         out.tokenizer, out.config, out.mesh = \

@@ -260,6 +260,14 @@ def sdxl_config(policy: Policy = FP32, **kw) -> SDConfig:
     )
 
 
+def sdxl_inpaint_config(policy: Policy = FP32, **kw) -> SDConfig:
+    """SDXL inpainting (diffusers sdxl-inpainting-0.1): the SDXL-base
+    architecture with the 9-channel inpaint conv_in."""
+    base = sdxl_config(policy=policy, **kw)
+    return dataclasses.replace(
+        base, unet=dataclasses.replace(base.unet, in_channels=9))
+
+
 def sdxl_refiner_config(policy: Policy = FP32, **kw) -> SDConfig:
     """SDXL-refiner architecture preset (elective family tier).
 

@@ -328,10 +328,18 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
 
         if use_control:
             from .models import controlnet as controlnet_mod
-            hf = controlnet_mod.encode_hint(
-                params["controlnet"], noises["control_hint"], cfg.unet,
-                factor, policy)
-            hint_feats = jnp.concatenate([hf, hf], axis=0) if do_cfg else hf
+
+            # params["controlnet"] is one pytree or a list of them
+            # (multi-ControlNet); hints ride stacked as (N, B, H, W, 3) and
+            # scales as (N,).  Each side net's hint encoder runs once.
+            nets = params["controlnet"]
+            nets = nets if isinstance(nets, (list, tuple)) else [nets]
+            hint_feats = []
+            for ci, net in enumerate(nets):
+                hf = controlnet_mod.encode_hint(
+                    net, noises["control_hint"][ci], cfg.unet, factor, policy)
+                hint_feats.append(
+                    jnp.concatenate([hf, hf], axis=0) if do_cfg else hf)
             ctrl_scale = noises["control_scale"]
 
         if sp_mesh is not None:
@@ -354,12 +362,23 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
             if use_control:
                 ctrl_in = jnp.concatenate([lat_c, lat_c], axis=0) \
                     if do_cfg else lat_c
-                control = controlnet_mod.apply(
-                    params["controlnet"], ctrl_in, context, t, hint_feats,
-                    cfg.unet, policy,
-                    attention_backend=cfg.attention_backend,
-                    fuse_qkv=cfg.fuse_qkv,
-                    conditioning_scale=ctrl_scale, add_cond=add_cond)
+                nets = params["controlnet"]
+                nets = nets if isinstance(nets, (list, tuple)) else [nets]
+                for ci, net in enumerate(nets):
+                    c_i = controlnet_mod.apply(
+                        net, ctrl_in, context, t, hint_feats[ci],
+                        cfg.unet, policy,
+                        attention_backend=cfg.attention_backend,
+                        fuse_qkv=cfg.fuse_qkv,
+                        conditioning_scale=ctrl_scale[ci],
+                        add_cond=add_cond)
+                    if control is None:
+                        control = c_i
+                    else:  # multi-ControlNet: residuals sum
+                        control = {
+                            "mid": control["mid"] + c_i["mid"],
+                            "down": [a + b for a, b in
+                                     zip(control["down"], c_i["down"])]}
             eps = unet_mod.apply(
                 params["diffusion"], model_in, context, t, cfg.unet, policy,
                 attention_backend=cfg.attention_backend,
@@ -631,10 +650,25 @@ def _run_generate(
             raise ValueError("control_image given but models has no "
                              "'controlnet' entry (weights/convert.py "
                              "load_controlnet)")
-        # ControlNet hint convention: [0, 1] range (not [-1, 1])
-        hint = rescale(_prepare_image(control_image, width, height),
-                       (-1.0, 1.0), (0.0, 1.0))
-        hint = np.broadcast_to(hint, (batch, height, width, 3)).copy()
+        nets = models["controlnet"]
+        n_nets = len(nets) if isinstance(nets, (list, tuple)) else 1
+        imgs = control_image if isinstance(control_image, (list, tuple)) \
+            else [control_image]
+        if len(imgs) != n_nets:
+            raise ValueError(f"{len(imgs)} control images for {n_nets} "
+                             "controlnets")
+        # ControlNet hint convention: [0, 1] range (not [-1, 1]);
+        # stacked (N, B, H, W, 3) — one hint per side net
+        hint = np.stack([
+            np.broadcast_to(
+                rescale(_prepare_image(im, width, height), (-1.0, 1.0),
+                        (0.0, 1.0)),
+                (batch, height, width, 3)) for im in imgs])
+        scales = controlnet_scale if isinstance(
+            controlnet_scale, (list, tuple)) else [controlnet_scale] * n_nets
+        if len(scales) != n_nets:
+            raise ValueError(f"{len(scales)} controlnet scales for "
+                             f"{n_nets} controlnets")
 
     lat_shape = (batch, h_lat, w_lat, cfg.vae.latent_channels)
     use_fixed = fixed_noise is not None
@@ -658,8 +692,8 @@ def _run_generate(
     if inpaint is not None:
         noises["mask"] = jnp.asarray(mask)
     if use_control:
-        noises["control_hint"] = jnp.asarray(hint)
-        noises["control_scale"] = jnp.float32(controlnet_scale)
+        noises["control_hint"] = jnp.asarray(hint, jnp.float32)
+        noises["control_scale"] = jnp.asarray(scales, jnp.float32)
 
     key = jax.random.PRNGKey(0 if seed is None else seed) if _key is None \
         else _key

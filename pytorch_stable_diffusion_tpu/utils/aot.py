@@ -65,8 +65,11 @@ def export_pipeline(cfg: SDConfig, models, *, n_steps: int = 50, batch: int = 1,
     if inpaint is not None:
         aux["mask"] = jnp.zeros((batch, height, width, 1), jnp.float32)
     if use_control:
-        aux["control_hint"] = jnp.zeros((batch, height, width, 3), jnp.float32)
-        aux["control_scale"] = jnp.float32(1.0)
+        nets = models["controlnet"]
+        n_nets = len(nets) if isinstance(nets, (list, tuple)) else 1
+        aux["control_hint"] = jnp.zeros((n_nets, batch, height, width, 3),
+                                        jnp.float32)
+        aux["control_scale"] = jnp.ones((n_nets,), jnp.float32)
     args = (
         models,
         jnp.zeros((batch, cfg.clip.max_len), jnp.int32),
@@ -136,8 +139,9 @@ class LoadedPipeline:
             if control_hint is None:
                 raise ValueError("this artifact needs control_hint")
             aux["control_hint"] = jnp.asarray(control_hint, jnp.float32) \
-                .reshape(b, h, w, 3)
-            aux["control_scale"] = jnp.float32(control_scale)
+                .reshape(-1, b, h, w, 3)
+            aux["control_scale"] = jnp.atleast_1d(
+                jnp.asarray(control_scale, jnp.float32))
         out = self._exported.call(
             models, jnp.asarray(cond_tokens, jnp.int32),
             jnp.asarray(uncond_tokens, jnp.int32), key,

@@ -216,3 +216,35 @@ def test_controlnet_diffusers_layout_roundtrip(tiny_cfg, ctrl_params, tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(ctrl_params),
                     jax.tree_util.tree_leaves(loaded)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
+def test_multi_controlnet_additivity(tiny_cfg, tiny_models, tiny_tokenizer,
+                                     ctrl_params, hint_image):
+    """Two side nets: a fresh (zero) net adds nothing, so [nontrivial,
+    fresh] == [nontrivial]; per-net scales are respected."""
+    nt = _nontrivial(ctrl_params)
+    single = dict(tiny_models, controlnet=nt)
+    _, lat_single = _gen(single, tiny_tokenizer, tiny_cfg,
+                         control_image=hint_image)
+
+    both = dict(tiny_models, controlnet=[nt, ctrl_params])
+    zero_hint = np.zeros((H, W, 3), np.float32)
+    _, lat_both = _gen(both, tiny_tokenizer, tiny_cfg,
+                       control_image=[hint_image, zero_hint])
+    np.testing.assert_allclose(np.asarray(lat_both), np.asarray(lat_single),
+                               rtol=0, atol=1e-5)
+
+    # scale vector: zeroing the nontrivial net restores the baseline
+    _, base_lat = _gen(tiny_models, tiny_tokenizer, tiny_cfg)
+    _, lat_scaled = _gen(both, tiny_tokenizer, tiny_cfg,
+                         control_image=[hint_image, zero_hint],
+                         controlnet_scale=[0.0, 1.0])
+    np.testing.assert_allclose(np.asarray(lat_scaled), np.asarray(base_lat),
+                               rtol=0, atol=1e-5)
+
+    with pytest.raises(ValueError, match="control images"):
+        _gen(both, tiny_tokenizer, tiny_cfg, control_image=[hint_image])
+    with pytest.raises(ValueError, match="scales"):
+        _gen(both, tiny_tokenizer, tiny_cfg,
+             control_image=[hint_image, zero_hint],
+             controlnet_scale=[1.0, 1.0, 1.0])

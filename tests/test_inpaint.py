@@ -205,3 +205,11 @@ def test_inpaint_config_presets():
     assert (c2.unet.in_channels == 9 and c2.unet.d_context == 1024
             and c2.prediction_type == "epsilon"
             and c2.clip.layout == "open_clip")
+
+
+def test_sdxl_inpaint_config_preset():
+    from pytorch_stable_diffusion_tpu.models.config import sdxl_inpaint_config
+
+    c = sdxl_inpaint_config()
+    assert c.unet.in_channels == 9 and c.clip2 is not None
+    assert c.unet.add_embed_dim == 2816
