@@ -26,13 +26,17 @@ def fetch(x):
     return float(jnp.ravel(x)[0])
 
 
-def bench_chain(fn, x0, iters=3):
-    run = jax.jit(lambda x: jax.lax.fori_loop(0, R, lambda i, y: fn(y), x))
-    fetch(run(x0))
+def bench_chain(fn, params, x0, iters=3):
+    # params ride as a jit argument (NOT a closure constant — an SDXL UNet
+    # captured as constants is 5.1 GB of baked-in literals and stalls
+    # lowering; observed 17 Aug)
+    run = jax.jit(lambda p, x: jax.lax.fori_loop(
+        0, R, lambda i, y: fn(p, y), x))
+    fetch(run(params, x0))
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        fetch(run(x0))
+        fetch(run(params, x0))
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts)) / R
 
@@ -57,14 +61,14 @@ def main():
         add = None if add_dim is None else jax.random.normal(
             jax.random.fold_in(key, 2), (2, add_dim), jnp.float32)
 
-        def fwd(lat):
-            return unet.apply(up, lat, ctx, jnp.float32(500.0), cfg.unet,
+        def fwd(p, lat):
+            return unet.apply(p, lat, ctx, jnp.float32(500.0), cfg.unet,
                               BF16, attention_backend="pallas",
                               add_cond=add).astype(jnp.bfloat16)
 
         lat0 = jax.random.normal(jax.random.fold_in(key, 4),
                                  (2, h_lat, w_lat, 4), jnp.bfloat16)
-        return fwd, lat0
+        return fwd, up, lat0
 
     def bsc512(q, k, v, *, n_heads, block_q=256, chunk=None):
         return orig_bsc(q, k, v, n_heads=n_heads, block_q=512, chunk=1024)
@@ -75,12 +79,12 @@ def main():
         ("sd15_512", lambda: make_fwd(sd15_config(policy=BF16), 64, 64,
                                       768, None)),
     ):
-        fwd, lat0 = mk()
+        fwd, up, lat0 = mk()
         fa.flash_attention_bsc = orig_bsc
-        t_a = bench_chain(fwd, lat0)
+        t_a = bench_chain(fwd, up, lat0)
         fa.flash_attention_bsc = bsc512
         try:
-            t_b = bench_chain(fwd, lat0)
+            t_b = bench_chain(fwd, up, lat0)
         except Exception as e:  # VMEM overflow etc. — record and move on
             t_b = None
             print(json.dumps({"family": fam, "bsc512_error": str(e)[:200]}),

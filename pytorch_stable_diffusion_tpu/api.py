@@ -101,13 +101,21 @@ class StableDiffusion:
         (weights/textual_inversion.py).
 
         ``embedding`` is a ``.pt``/``.safetensors`` path or a ready
-        ``{trigger: (n, d)}`` dict; ``token`` overrides the trigger word.
+        ``{trigger: (n, d)}`` dict (SDXL: ``{trigger: {"clip_l": (n, 768),
+        "clip_g": (n, 1280)}}``); ``token`` overrides the trigger word.
         The trigger then works in any prompt: ``sd.txt2img("a photo of
         <my-style>")``."""
         from .weights import textual_inversion as ti
 
-        embs = ti.load_embedding(embedding, token) if isinstance(embedding, str) \
-            else ({token: embedding} if token is not None else dict(embedding))
+        if isinstance(embedding, str):
+            embs = ti.load_embedding(embedding, token)
+        elif isinstance(embedding, dict) and \
+                set(embedding) >= {"clip_l", "clip_g"}:
+            if token is None:
+                raise ValueError("a dual-tower embedding dict needs token=")
+            embs = {token: embedding}
+        else:
+            embs = {token: embedding} if token is not None else dict(embedding)
         models, tok, cfg = ti.add_embeddings(self.models, self.tokenizer,
                                              self.config, embs)
         out = type(self).__new__(type(self))

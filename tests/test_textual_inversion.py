@@ -151,3 +151,97 @@ def test_long_prompts_rejects_dual_tower(tiny_cfg, tiny_models, tiny_tokenizer):
                      tokenizer=tiny_tokenizer, config=cfg,
                      n_inference_steps=N_STEPS, height=H, width=W,
                      long_prompts=True)
+
+
+# ------------------------------------------------------- SDXL dual tower
+@pytest.fixture(scope="module")
+def xl_bundle():
+    import jax
+
+    from pytorch_stable_diffusion_tpu.models import clip as clip_mod
+    from pytorch_stable_diffusion_tpu.models import unet as unet_mod
+    from pytorch_stable_diffusion_tpu.models import vae as vae_mod
+    from test_sdxl import tiny_sdxl_config
+
+    cfg = tiny_sdxl_config()
+    key = jax.random.PRNGKey(11)
+    models = {
+        "clip": clip_mod.init(jax.random.fold_in(key, 0), cfg.clip),
+        "clip2": clip_mod.init(jax.random.fold_in(key, 4), cfg.clip2),
+        "encoder": vae_mod.init_encoder(jax.random.fold_in(key, 1), cfg.vae),
+        "decoder": vae_mod.init_decoder(jax.random.fold_in(key, 2), cfg.vae),
+        "diffusion": unet_mod.init(jax.random.fold_in(key, 3), cfg.unet),
+    }
+    return cfg, models
+
+
+def test_load_embedding_sdxl_safetensors(tmp_path):
+    from safetensors.numpy import save_file
+
+    rng = np.random.RandomState(4)
+    l, g = rng.randn(2, 768).astype(np.float32), \
+        rng.randn(2, 1280).astype(np.float32)
+    path = str(tmp_path / "xlsty.safetensors")
+    save_file({"clip_l": l, "clip_g": g}, path)
+    out = ti.load_embedding(path)
+    assert list(out) == ["xlsty"]
+    np.testing.assert_allclose(out["xlsty"]["clip_l"], l)
+    np.testing.assert_allclose(out["xlsty"]["clip_g"], g)
+
+    save_file({"clip_l": l, "clip_g": g[:1]}, path)
+    with pytest.raises(ValueError, match="mismatched vector counts"):
+        ti.load_embedding(path)
+
+
+def test_sdxl_dual_tower_add_and_generate(xl_bundle, tiny_tokenizer):
+    cfg, models = xl_bundle
+    d1, d2 = cfg.clip.d_model, cfg.clip2.d_model
+    rng = np.random.RandomState(5)
+    pair = {"clip_l": rng.randn(2, d1).astype(np.float32),
+            "clip_g": rng.randn(2, d2).astype(np.float32)}
+    out_models, tok, out_cfg = ti.add_embeddings(
+        models, tiny_tokenizer, cfg, {"<xl-sty>": pair})
+
+    base = np.asarray(models["clip"]["token_embedding"]).shape[0]
+    assert np.asarray(out_models["clip"]["token_embedding"]).shape == \
+        (base + 2, d1)
+    assert np.asarray(out_models["clip2"]["token_embedding"]).shape == \
+        (base + 2, d2)
+    assert out_cfg.clip.vocab_size == out_cfg.clip2.vocab_size == base + 2
+    assert tok.tokenize("<xl-sty>") == [base, base + 1]
+
+    img1 = sdt.generate("a photo of <xl-sty>", "", models=out_models,
+                        tokenizer=tok, config=out_cfg,
+                        n_inference_steps=N_STEPS, height=H, width=W, seed=0)
+    img2 = sdt.generate("a photo of", "", models=out_models, tokenizer=tok,
+                        config=out_cfg, n_inference_steps=N_STEPS,
+                        height=H, width=W, seed=0)
+    assert img1.shape == (H, W, 3)
+    assert np.abs(img1.astype(np.int32) - img2.astype(np.int32)).max() > 0
+
+
+def test_sdxl_rejects_single_tower_embedding(xl_bundle, tiny_tokenizer):
+    cfg, models = xl_bundle
+    with pytest.raises(ValueError, match="dual-tower"):
+        ti.add_embeddings(models, tiny_tokenizer, cfg,
+                          {"x": np.zeros((1, cfg.clip.d_model), np.float32)})
+
+
+def test_single_tower_rejects_dual_embedding(tiny_cfg, tiny_models,
+                                             tiny_tokenizer):
+    pair = {"clip_l": np.zeros((1, 768), np.float32),
+            "clip_g": np.zeros((1, 1280), np.float32)}
+    with pytest.raises(ValueError, match="single text tower"):
+        ti.add_embeddings(tiny_models, tiny_tokenizer, tiny_cfg,
+                          {"<x>": pair})
+
+
+def test_api_dual_dict_needs_token(xl_bundle, tiny_tokenizer):
+    cfg, models = xl_bundle
+    sd = sdt.StableDiffusion(models, tiny_tokenizer, cfg)
+    pair = {"clip_l": np.zeros((1, cfg.clip.d_model), np.float32),
+            "clip_g": np.zeros((1, cfg.clip2.d_model), np.float32)}
+    with pytest.raises(ValueError, match="token="):
+        sd.with_textual_inversion(pair)
+    sd2 = sd.with_textual_inversion(pair, token="<s>")
+    assert "<s>" in sd2.tokenizer.placeholders
