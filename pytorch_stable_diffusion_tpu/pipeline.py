@@ -201,20 +201,32 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
         3-D tokens (B, k, L) are long prompts: k independent 77-token
         windows encoded in one batched CLIP call, hiddens concatenated to a
         (B, k*L, d) cross-attention context (the community long-prompt
-        scheme; single-tower families only — _run_generate validates)."""
+        scheme).  Pooled-conditioning families (SDXL/refiner) pool from
+        window 0 only — the A1111/sd_embed convention."""
+        win_k = None
+        if tokens.ndim == 3:
+            b, win_k, L = tokens.shape
+            tokens = tokens.reshape(b * win_k, L)
+
+        def _windows(h):
+            # (b*k, L, d) -> (b, k*L, d)
+            return h if win_k is None else \
+                h.reshape(b, win_k * h.shape[1], h.shape[2])
+
+        def _pool0(p):
+            # (b*k, d) -> (b, d): window-0 pooled only
+            return p if win_k is None else p.reshape(b, win_k, -1)[:, 0]
+
         if cfg.clip2 is None and cfg.unet.add_embed_dim is None:
-            if tokens.ndim == 3:
-                b, k, L = tokens.shape
-                h = clip_mod.apply(params["clip"], tokens.reshape(b * k, L),
-                                   cfg.clip, policy, fuse_qkv=cfg.fuse_qkv)
-                return h.reshape(b, k * L, h.shape[-1]), None
-            return clip_mod.apply(params["clip"], tokens, cfg.clip, policy,
-                                  fuse_qkv=cfg.fuse_qkv), None
+            h = clip_mod.apply(params["clip"], tokens, cfg.clip, policy,
+                               fuse_qkv=cfg.fuse_qkv)
+            return _windows(h), None
         if cfg.clip2 is None:  # refiner: single tower + added conditioning
             hidden, pooled = clip_mod.apply_with_pooled(
                 params["clip"], tokens, cfg.clip, policy,
                 fuse_qkv=cfg.fuse_qkv)
-            context = hidden.astype(policy.compute_dtype)
+            context = _windows(hidden.astype(policy.compute_dtype))
+            pooled = _pool0(pooled)
             pooled_dim = cfg.clip.d_model
         else:
             hidden = clip_mod.apply(params["clip"], tokens, cfg.clip, policy,
@@ -223,8 +235,9 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                 params["clip2"], tokens, cfg.clip2, policy,
                 fuse_qkv=cfg.fuse_qkv)
             context = jnp.concatenate(
-                [hidden.astype(policy.compute_dtype),
-                 hidden2.astype(policy.compute_dtype)], axis=-1)
+                [_windows(hidden.astype(policy.compute_dtype)),
+                 _windows(hidden2.astype(policy.compute_dtype))], axis=-1)
+            pooled = _pool0(pooled)
             pooled_dim = cfg.clip2.d_model
         # add_time_ids, each sinusoidally embedded at
         # (add_embed_dim - pooled_dim)/n dims (SDXL: (2816-1280)/6 = 256):
@@ -570,9 +583,6 @@ def _run_generate(
         if not hasattr(tokenizer, "encode_windows"):
             raise ValueError("long_prompts requires the built-in "
                              "CLIPTokenizer (encode_windows)")
-        if cfg.clip2 is not None or cfg.unet.add_embed_dim is not None:
-            raise NotImplementedError("long_prompts is single-tower only "
-                                      "(SD-1.x/2.x)")
         cw = [tokenizer.encode_windows(t) for t in prompts]
         uw = [tokenizer.encode_windows(t) for t in uncond]
         k = max(len(w) for w in cw + uw)

@@ -142,15 +142,24 @@ def test_long_prompts_short_is_identical(tiny_cfg, tiny_models, tiny_tokenizer):
     np.testing.assert_array_equal(a, b)  # k == 1 squeezes to the plain path
 
 
-def test_long_prompts_rejects_dual_tower(tiny_cfg, tiny_models, tiny_tokenizer):
-    import dataclasses
-
-    cfg = dataclasses.replace(tiny_cfg, clip2=tiny_cfg.clip)
-    with pytest.raises(NotImplementedError):
-        sdt.generate("a cat", "", models=tiny_models,
-                     tokenizer=tiny_tokenizer, config=cfg,
-                     n_inference_steps=N_STEPS, height=H, width=W,
-                     long_prompts=True)
+def test_long_prompts_sdxl(xl_bundle, tiny_tokenizer):
+    """Dual-tower long prompts: window-concat context from BOTH towers,
+    pooled conditioning from window 0 (A1111/sd_embed convention)."""
+    cfg, models = xl_bundle
+    L = cfg.clip.max_len
+    long_text = " ".join(["cat"] * (L + 5))  # 2 windows
+    kw = dict(models=models, tokenizer=tiny_tokenizer, config=cfg,
+              n_inference_steps=N_STEPS, height=H, width=W, seed=0)
+    img_long = sdt.generate(long_text, "a dog", long_prompts=True, **kw)
+    img_trunc = sdt.generate(long_text, "a dog", **kw)
+    assert img_long.shape == (H, W, 3)
+    # the spilled tokens condition the image
+    assert np.abs(img_long.astype(np.int32)
+                  - img_trunc.astype(np.int32)).max() > 0
+    # short prompts through the window path squeeze to the plain path
+    a = sdt.generate("a cat", "a dog", long_prompts=True, **kw)
+    b = sdt.generate("a cat", "a dog", **kw)
+    np.testing.assert_array_equal(a, b)
 
 
 # ------------------------------------------------------- SDXL dual tower
