@@ -313,7 +313,13 @@ def load_diffusers_pipeline(root: str, cfg: SDConfig, dtype=None):
                             "diffusion_pytorch_model.bin"])
     vae_sd = find("vae", ["diffusion_pytorch_model.safetensors",
                           "diffusion_pytorch_model.bin"])
-    te_sd = find("text_encoder", ["model.safetensors", "pytorch_model.bin"])
+    te_names = ["model.safetensors", "pytorch_model.bin"]
+    if cfg.clip2 is None and not os.path.isdir(
+            os.path.join(root, "text_encoder")):
+        # SDXL-refiner dirs ship ONLY the bigG tower, as text_encoder_2/
+        te_sd = find("text_encoder_2", te_names)
+    else:
+        te_sd = find("text_encoder", te_names)
     te2_sd = None
     if cfg.clip2 is not None:
         te2_sd = find("text_encoder_2",

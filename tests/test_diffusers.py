@@ -126,3 +126,42 @@ def test_sdxl_diffusers_round_trip(tmp_path):
     for k in a:
         np.testing.assert_allclose(np.asarray(a[k]), np.asarray(loaded[k]),
                                    rtol=1e-6, atol=1e-7, err_msg=k)
+
+
+# ---------------------------------------------------------------- refiner
+def test_refiner_diffusers_dir_text_encoder_2_only(tmp_path):
+    """SDXL-refiner diffusers dirs ship the single bigG tower as
+    text_encoder_2/ (NO text_encoder/); the directory loader falls back."""
+    from safetensors.numpy import save_file
+
+    from tests.test_sdxl_refiner import tiny_refiner_config
+    import jax
+
+    from pytorch_stable_diffusion_tpu.models import clip as clip_mod
+    from pytorch_stable_diffusion_tpu.models import unet as unet_mod
+    from pytorch_stable_diffusion_tpu.models import vae as vae_mod
+
+    cfg = tiny_refiner_config()
+    key = jax.random.PRNGKey(13)
+    models = {
+        "clip": clip_mod.init(jax.random.fold_in(key, 0), cfg.clip),
+        "encoder": vae_mod.init_encoder(jax.random.fold_in(key, 1), cfg.vae),
+        "decoder": vae_mod.init_decoder(jax.random.fold_in(key, 2), cfg.vae),
+        "diffusion": unet_mod.init(jax.random.fold_in(key, 3), cfg.unet),
+    }
+    unet_sd, vae_sd, te_sd = diffusers.deconvert_diffusers(models, cfg)
+    assert "text_projection.weight" in te_sd  # bigG projection tower
+    for sub, sd, fname in (
+            ("unet", unet_sd, "diffusion_pytorch_model.safetensors"),
+            ("vae", vae_sd, "diffusion_pytorch_model.safetensors"),
+            ("text_encoder_2", te_sd, "model.safetensors")):
+        d = tmp_path / sub
+        d.mkdir()
+        save_file({k: np.ascontiguousarray(v) for k, v in sd.items()},
+                  str(d / fname))
+    params = diffusers.load_diffusers_pipeline(str(tmp_path), cfg)
+    a, b = flatten(models), flatten(params)
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                   rtol=1e-6, atol=1e-7, err_msg=k)
