@@ -57,6 +57,17 @@ cn = run("controlnet txt2img 512/20", lambda: sdt.generate(
     seed=1337, n_inference_steps=STEPS, config=cfg, control_image=hint))
 print(f"  controlnet overhead: +{(cn / base - 1) * 100:.0f}%", flush=True)
 
+# ---- multi-ControlNet: two side nets, residuals summed
+ctrl2 = controlnet_mod.init(jax.random.PRNGKey(10), cfg.unet,
+                            downsample_factor=8, dtype=cfg.policy.param_dtype)
+mmodels = dict(models, controlnet=[ctrl, ctrl2])
+hint2 = (rng.rand(512, 512, 3) * 255).astype(np.uint8)
+mc = run("2x controlnet txt2img 512/20", lambda: sdt.generate(
+    "a photo of a golden dog", "a cat", models=mmodels, tokenizer=tok,
+    seed=1337, n_inference_steps=STEPS, config=cfg,
+    control_image=[hint, hint2], controlnet_scale=[1.0, 0.5]))
+print(f"  2x controlnet overhead: +{(mc / base - 1) * 100:.0f}%", flush=True)
+
 # ---- latent-blend inpaint (plain checkpoint)
 bl = run("blend inpaint 512/20", lambda: sdt.generate(
     "a photo of a golden dog", "a cat", models=models, tokenizer=tok,

@@ -63,11 +63,14 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar="PATH[:TOKEN]",
                    help="textual-inversion embedding (.pt/.safetensors); "
                         "repeatable; optional :token overrides the trigger")
-    p.add_argument("--controlnet", default=None,
-                   help="ControlNet checkpoint (control_model.* layout)")
-    p.add_argument("--control-image", default=None,
-                   help="conditioning image for --controlnet")
-    p.add_argument("--controlnet-scale", type=float, default=1.0)
+    p.add_argument("--controlnet", action="append", default=[],
+                   help="ControlNet checkpoint (control_model.* layout or "
+                        "diffusers dir); repeatable for multi-ControlNet "
+                        "(residuals sum; pair each with a --control-image)")
+    p.add_argument("--control-image", action="append", default=[],
+                   help="conditioning image for --controlnet; repeatable")
+    p.add_argument("--controlnet-scale", type=float, action="append",
+                   default=[], help="per-net scale (default 1.0); repeatable")
     p.add_argument("--lora", action="append", default=[], metavar="PATH[:SCALE]",
                    help="merge a LoRA adapter (kohya or PEFT .safetensors); "
                         "repeatable; optional :scale suffix (default 1.0)")
@@ -135,7 +138,9 @@ def main(argv=None) -> int:
               + (f" as {tok_name}" if tok_name else ""), flush=True)
 
     if args.controlnet:
-        sd = sd.with_controlnet(args.controlnet)
+        nets = args.controlnet if len(args.controlnet) > 1 \
+            else args.controlnet[0]
+        sd = sd.with_controlnet(nets)
         print(f"[cli] attached controlnet {args.controlnet}", flush=True)
 
     kw = dict(seed=args.seed, n_inference_steps=args.steps,
@@ -149,8 +154,16 @@ def main(argv=None) -> int:
 
         if not args.controlnet:
             raise SystemExit("--control-image requires --controlnet")
-        kw["control_image"] = Image.open(args.control_image).convert("RGB")
-        kw["controlnet_scale"] = args.controlnet_scale
+        if len(args.control_image) != len(args.controlnet):
+            raise SystemExit(f"{len(args.control_image)} --control-image for "
+                             f"{len(args.controlnet)} --controlnet")
+        imgs = [Image.open(p).convert("RGB") for p in args.control_image]
+        scales = args.controlnet_scale or [1.0] * len(imgs)
+        if len(scales) != len(imgs):
+            raise SystemExit(f"{len(scales)} --controlnet-scale for "
+                             f"{len(imgs)} --controlnet")
+        kw["control_image"] = imgs if len(imgs) > 1 else imgs[0]
+        kw["controlnet_scale"] = scales if len(scales) > 1 else scales[0]
     t0 = time.time()
     if args.mask:
         from PIL import Image

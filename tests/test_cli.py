@@ -146,3 +146,47 @@ def test_cli_family_presets_exposed():
     a = p.parse_args(["--ckpt", "x", "--vocab", "v", "--merges", "m",
                       "--prompt", "p", "--config-preset", "sdxl_refiner"])
     assert a.config_preset == "sdxl_refiner"
+
+
+def test_cli_multi_controlnet(assets, tiny_cfg):
+    """Two --controlnet/--control-image/--controlnet-scale triples drive
+    the multi-ControlNet path file-to-PNG."""
+    import jax
+    from safetensors.numpy import save_file
+
+    from pytorch_stable_diffusion_tpu.models import controlnet
+    from pytorch_stable_diffusion_tpu.weights.convert import (
+        deconvert_controlnet)
+
+    d, ckpt, vocab, merges = assets
+    cn_paths, img_paths = [], []
+    for i in range(2):
+        p = controlnet.init(jax.random.PRNGKey(20 + i), tiny_cfg.unet,
+                            downsample_factor=tiny_cfg.vae.downsample_factor)
+        sd = deconvert_controlnet(p, tiny_cfg)
+        path = os.path.join(d, f"cn{i}.safetensors")
+        save_file({k: np.ascontiguousarray(v) for k, v in sd.items()}, path)
+        cn_paths.append(path)
+        img = os.path.join(d, f"hint{i}.png")
+        Image.fromarray(np.random.RandomState(30 + i).randint(
+            0, 256, (16, 16, 3)).astype(np.uint8)).save(img)
+        img_paths.append(img)
+
+    out = os.path.join(d, "mc.png")
+    rc = main(["--ckpt", ckpt, "--vocab", vocab, "--merges", merges,
+               "--prompt", "a cat", "--steps", "2", "--seed", "3",
+               "--width", "16", "--height", "16", "--config-preset", "tiny",
+               "--controlnet", cn_paths[0], "--controlnet", cn_paths[1],
+               "--control-image", img_paths[0],
+               "--control-image", img_paths[1],
+               "--controlnet-scale", "1.0", "--controlnet-scale", "0.5",
+               "--out", out])
+    assert rc == 0 and os.path.exists(out)
+    assert np.asarray(Image.open(out)).shape == (16, 16, 3)
+
+    # mismatched counts fail loudly
+    with pytest.raises(SystemExit):
+        main(["--ckpt", ckpt, "--vocab", vocab, "--merges", merges,
+              "--prompt", "a cat", "--config-preset", "tiny",
+              "--controlnet", cn_paths[0], "--controlnet", cn_paths[1],
+              "--control-image", img_paths[0], "--out", out])

@@ -213,3 +213,35 @@ def test_sdxl_inpaint_config_preset():
     c = sdxl_inpaint_config()
     assert c.unet.in_channels == 9 and c.clip2 is not None
     assert c.unet.add_embed_dim == 2816
+
+
+def test_sdxl_unet9_inpaint_e2e(tiny_tokenizer, image, half_mask):
+    """9-channel conditioning composes with SDXL's dual-tower/add_cond
+    path: masked-image concat + pooled conditioning in one compiled step."""
+    from test_sdxl import tiny_sdxl_config
+
+    from pytorch_stable_diffusion_tpu.models import clip as clip_mod
+
+    base = tiny_sdxl_config()
+    cfg = dataclasses.replace(
+        base, unet=dataclasses.replace(base.unet, in_channels=9))
+    key = jax.random.PRNGKey(17)
+    models = {
+        "clip": clip_mod.init(jax.random.fold_in(key, 0), cfg.clip),
+        "clip2": clip_mod.init(jax.random.fold_in(key, 4), cfg.clip2),
+        "encoder": vae.init_encoder(jax.random.fold_in(key, 1), cfg.vae),
+        "decoder": vae.init_decoder(jax.random.fold_in(key, 2), cfg.vae),
+        "diffusion": unet.init(jax.random.fold_in(key, 3), cfg.unet),
+    }
+    img = sdt.generate("a cat", "a dog", models=models,
+                       tokenizer=tiny_tokenizer, config=cfg,
+                       n_inference_steps=N_STEPS, height=H, width=W, seed=0,
+                       input_image=image, mask_image=half_mask, strength=1.0)
+    assert img.shape == (H, W, 3) and np.isfinite(img.astype(np.float32)).all()
+    # the mask conditions the result
+    inv = 1.0 - half_mask
+    img2 = sdt.generate("a cat", "a dog", models=models,
+                        tokenizer=tiny_tokenizer, config=cfg,
+                        n_inference_steps=N_STEPS, height=H, width=W, seed=0,
+                        input_image=image, mask_image=inv, strength=1.0)
+    assert np.abs(img.astype(np.int32) - img2.astype(np.int32)).max() > 0
