@@ -194,3 +194,41 @@ def test_export_controlnet_roundtrip(tiny_cfg, tiny_models, tiny_tokenizer):
 
     with pytest.raises(ValueError, match="control_hint"):
         loaded(models, toks, un, jax.random.PRNGKey(5), 7.5)
+
+
+def test_export_multi_controlnet_roundtrip(tiny_cfg, tiny_models,
+                                           tiny_tokenizer):
+    """Multi-ControlNet export: stacked (N, B, H, W, 3) hints and an (N,)
+    scale vector ride the aux dict; artifact bit-matches live."""
+    from pytorch_stable_diffusion_tpu.models import controlnet
+
+    def nontrivial(seed):
+        p = controlnet.init(jax.random.PRNGKey(seed), tiny_cfg.unet,
+                            downsample_factor=tiny_cfg.vae.downsample_factor)
+        p["mid_out"] = {
+            "kernel": jnp.full_like(p["mid_out"]["kernel"], 0.05),
+            "bias": jnp.full_like(p["mid_out"]["bias"], 0.01)}
+        return p
+
+    models = dict(tiny_models, controlnet=[nontrivial(5), nontrivial(6)])
+    blob = aot.export_pipeline(tiny_cfg, models, n_steps=N_STEPS,
+                               height=H, width=W, use_control=True)
+    loaded = aot.load_pipeline(blob)
+
+    rng = np.random.RandomState(8)
+    hints = rng.randint(0, 256, size=(2, H, W, 3)).astype(np.float32)
+
+    import pytorch_stable_diffusion_tpu as sdt
+
+    live = sdt.generate("a cat", "", models=models, tokenizer=tiny_tokenizer,
+                        seed=5, n_inference_steps=N_STEPS, config=tiny_cfg,
+                        height=H, width=W,
+                        control_image=[hints[0], hints[1]],
+                        controlnet_scale=[0.7, 0.3])
+
+    toks = np.asarray([tiny_tokenizer.encode("a cat")], np.int32)
+    un = np.asarray([tiny_tokenizer.encode("")], np.int32)
+    images, _ = loaded(models, toks, un, jax.random.PRNGKey(5), 7.5,
+                       control_hint=(hints / 255.0)[:, None],
+                       control_scale=[0.7, 0.3])
+    np.testing.assert_array_equal(images[0], live)
