@@ -71,6 +71,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="conditioning image for --controlnet; repeatable")
     p.add_argument("--controlnet-scale", type=float, action="append",
                    default=[], help="per-net scale (default 1.0); repeatable")
+    p.add_argument("--emphasis", action="store_true",
+                   help="parse A1111 emphasis syntax in prompts: (word:1.3) "
+                        "up-weights, [word] down-weights, \\( escapes")
+    p.add_argument("--long-prompts", action="store_true",
+                   help=">77-token prompts via window-concat context "
+                        "instead of truncation")
     p.add_argument("--lora", action="append", default=[], metavar="PATH[:SCALE]",
                    help="merge a LoRA adapter (kohya or PEFT .safetensors); "
                         "repeatable; optional :scale suffix (default 1.0)")
@@ -148,6 +154,7 @@ def main(argv=None) -> int:
               sampler_name=args.sampler, height=args.height,
               width=args.width, decode_tile=args.decode_tile,
               guidance_rescale=args.guidance_rescale,
+              long_prompts=args.long_prompts, emphasis=args.emphasis,
               timestep_spacing=args.spacing)
     if args.control_image:
         from PIL import Image

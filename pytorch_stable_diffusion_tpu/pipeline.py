@@ -144,7 +144,8 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                       inpaint: Optional[str] = None,
                       use_control: bool = False,
                       guidance_rescale: float = 0.0,
-                      timestep_spacing: str = "uniform"):
+                      timestep_spacing: str = "uniform",
+                      emphasis: bool = False):
     """Build + jit the full generate computation for one static shape.
 
     ``fixed_noise=True`` compiles a variant whose latent-init / encoder /
@@ -170,6 +171,13 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
     strength in ``noises["control_scale"]`` (traced — no recompile per
     scale).  The hint encoder runs ONCE per generation; per step the side
     network's zero-conv residuals are added to the UNet skips/bottleneck.
+
+    ``emphasis``: A1111 prompt-emphasis weighting — per-token weights ride
+    in ``noises["cond_weights"]``/``noises["uncond_weights"]`` ((B, L) or
+    (B, k, L) float, traced) and scale the encoder hidden states with the
+    original per-row mean restored (the A1111 renormalization; each
+    long-prompt window renormalizes independently, as A1111 processes
+    chunks independently).
     """
     # third reference quirk: the reference's beta_start is a typo (0.000085
     # vs CompVis 0.00085, ref ddpm.py:30) — reproduce it only in quirk mode
@@ -190,7 +198,31 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
     policy: Policy = cfg.policy
     lc = cfg.vae.latent_channels
 
-    def encode_text(params, tokens):
+    def _emphasize(h, w):
+        # A1111 emphasis: scale each token's hidden state by its weight,
+        # then restore the row's original mean (keeps CFG magnitudes sane).
+        # The weighted mean is computed in DELTA form: the naive
+        # mean(h*w)/mean(h) ratio is a quotient of two near-zero sums (the
+        # final-LayerNorm output mean is ~0), where mere reduction-order
+        # differences between compiled programs blow up the ratio; with
+        # the delta form w == 1 contributes an exact zero, so no-emphasis
+        # is bitwise-identical to the unweighted path.
+        hf = h.astype(jnp.float32)
+        wf = w[:, :, None]
+        m0 = hf.mean(axis=(1, 2), keepdims=True)
+        delta = (hf * (wf - 1.0)).mean(axis=(1, 2), keepdims=True)
+        # The restore ratio is meaningful only when the means stand clear
+        # of f32 cancellation noise (|mean| >> eps * mean|h|); a zero-mean
+        # hidden (random-weight tests; LN bias 0) would otherwise divide
+        # two rounding artifacts — possibly 0/0.  Degenerate rows skip the
+        # restore (ratio 1), which also pins w == 1 to an exact no-op.
+        scale = jnp.abs(hf).mean(axis=(1, 2), keepdims=True)
+        den = m0 + delta
+        ok = (jnp.abs(den) > 1e-6 * scale) & (jnp.abs(m0) > 1e-6 * scale)
+        ratio = jnp.where(ok, m0 / jnp.where(ok, den, 1.0), 1.0)
+        return (hf * wf * ratio).astype(h.dtype)
+
+    def encode_text(params, tokens, weights=None):
         """-> (context, add_cond).  Single tower: (hidden, None).  SDXL
         dual tower: concat CLIP-L + bigG penultimate hiddens on features,
         and the bigG pooled embedding + 6x256 size embeddings through the
@@ -207,6 +239,11 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
         if tokens.ndim == 3:
             b, win_k, L = tokens.shape
             tokens = tokens.reshape(b * win_k, L)
+        if weights is not None and weights.ndim == 3:
+            weights = weights.reshape(tokens.shape)
+
+        def _weighted(h):
+            return h if weights is None else _emphasize(h, weights)
 
         def _windows(h):
             # (b*k, L, d) -> (b, k*L, d)
@@ -220,12 +257,12 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
         if cfg.clip2 is None and cfg.unet.add_embed_dim is None:
             h = clip_mod.apply(params["clip"], tokens, cfg.clip, policy,
                                fuse_qkv=cfg.fuse_qkv)
-            return _windows(h), None
+            return _windows(_weighted(h)), None
         if cfg.clip2 is None:  # refiner: single tower + added conditioning
             hidden, pooled = clip_mod.apply_with_pooled(
                 params["clip"], tokens, cfg.clip, policy,
                 fuse_qkv=cfg.fuse_qkv)
-            context = _windows(hidden.astype(policy.compute_dtype))
+            context = _windows(_weighted(hidden).astype(policy.compute_dtype))
             pooled = _pool0(pooled)
             pooled_dim = cfg.clip.d_model
         else:
@@ -235,8 +272,9 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                 params["clip2"], tokens, cfg.clip2, policy,
                 fuse_qkv=cfg.fuse_qkv)
             context = jnp.concatenate(
-                [_windows(hidden.astype(policy.compute_dtype)),
-                 _windows(hidden2.astype(policy.compute_dtype))], axis=-1)
+                [_windows(_weighted(hidden).astype(policy.compute_dtype)),
+                 _windows(_weighted(hidden2).astype(policy.compute_dtype))],
+                axis=-1)
             pooled = _pool0(pooled)
             pooled_dim = cfg.clip2.d_model
         # add_time_ids, each sinusoidally embedded at
@@ -261,9 +299,13 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
 
     def run(params: Dict[str, Any], cond_tokens, uncond_tokens, key,
             cfg_scale, start_step, init_image, noises):
-        context, add_cond = encode_text(params, cond_tokens)
+        context, add_cond = encode_text(
+            params, cond_tokens,
+            noises["cond_weights"] if emphasis else None)
         if do_cfg:
-            uncond_ctx, uncond_add = encode_text(params, uncond_tokens)
+            uncond_ctx, uncond_add = encode_text(
+                params, uncond_tokens,
+                noises["uncond_weights"] if emphasis else None)
             context = jnp.concatenate([context, uncond_ctx], axis=0)
             if add_cond is not None:
                 add_cond = jnp.concatenate([add_cond, uncond_add], axis=0)
@@ -541,6 +583,7 @@ def _run_generate(
     decode_tile: Optional[int] = None,
     sequence_parallel: bool = False,
     long_prompts: bool = False,
+    emphasis: bool = False,
     guidance_rescale: float = 0.0,
     timestep_spacing: str = "uniform",
     _device_output: bool = False,
@@ -577,26 +620,49 @@ def _run_generate(
         uncond = uncond * len(prompts)
     batch = len(prompts)
 
+    cond_w = uncond_w = None
+    if emphasis and not hasattr(tokenizer, "encode_weighted"):
+        raise ValueError("emphasis requires the built-in CLIPTokenizer "
+                         "(encode_weighted)")
     if long_prompts:
         # community long-prompt scheme: >75-token prompts split into
         # 77-token windows whose hiddens concatenate into one long context
         if not hasattr(tokenizer, "encode_windows"):
             raise ValueError("long_prompts requires the built-in "
                              "CLIPTokenizer (encode_windows)")
-        cw = [tokenizer.encode_windows(t) for t in prompts]
-        uw = [tokenizer.encode_windows(t) for t in uncond]
+        if emphasis:
+            cw, cww = zip(*[tokenizer.encode_windows_weighted(t)
+                            for t in prompts])
+            uw, uww = zip(*[tokenizer.encode_windows_weighted(t)
+                            for t in uncond])
+            cw, cww, uw, uww = list(cw), list(cww), list(uw), list(uww)
+        else:
+            cw = [tokenizer.encode_windows(t) for t in prompts]
+            uw = [tokenizer.encode_windows(t) for t in uncond]
         k = max(len(w) for w in cw + uw)
         L = cfg.clip.max_len
         pad_win = [tokenizer.sot] + [tokenizer.eot] * (L - 1)
 
-        def _stack(wins):
-            return np.asarray([w + [pad_win] * (k - len(w)) for w in wins],
-                              np.int32)
+        def _stack(wins, pad=pad_win, dt=np.int32):
+            return np.asarray([w + [pad] * (k - len(w)) for w in wins], dt)
 
         cond_tokens, uncond_tokens = _stack(cw), _stack(uw)
+        if emphasis:
+            ones = [1.0] * L
+            cond_w = _stack(cww, pad=ones, dt=np.float32)
+            uncond_w = _stack(uww, pad=ones, dt=np.float32)
         if k == 1:
             cond_tokens = cond_tokens[:, 0]
             uncond_tokens = uncond_tokens[:, 0]
+            if emphasis:
+                cond_w, uncond_w = cond_w[:, 0], uncond_w[:, 0]
+    elif emphasis:
+        cw_pairs = [tokenizer.encode_weighted(t) for t in prompts]
+        uw_pairs = [tokenizer.encode_weighted(t) for t in uncond]
+        cond_tokens = np.asarray([p[0] for p in cw_pairs], np.int32)
+        uncond_tokens = np.asarray([p[0] for p in uw_pairs], np.int32)
+        cond_w = np.asarray([p[1] for p in cw_pairs], np.float32)
+        uncond_w = np.asarray([p[1] for p in uw_pairs], np.float32)
     else:
         cond_tokens = _encode_tokens(tokenizer, prompts, cfg.clip.max_len)
         uncond_tokens = _encode_tokens(tokenizer, uncond, cfg.clip.max_len)
@@ -704,6 +770,9 @@ def _run_generate(
     if use_control:
         noises["control_hint"] = jnp.asarray(hint, jnp.float32)
         noises["control_scale"] = jnp.asarray(scales, jnp.float32)
+    if emphasis:
+        noises["cond_weights"] = jnp.asarray(cond_w)
+        noises["uncond_weights"] = jnp.asarray(uncond_w)
 
     key = jax.random.PRNGKey(0 if seed is None else seed) if _key is None \
         else _key
@@ -711,7 +780,8 @@ def _run_generate(
                             h_lat, w_lat, img2img, use_fixed, progress,
                             sampler_name, float(ddim_eta), decode_tile,
                             sp_mesh, inpaint, use_control,
-                            float(guidance_rescale), timestep_spacing)
+                            float(guidance_rescale), timestep_spacing,
+                            emphasis)
     cond_tokens = jnp.asarray(cond_tokens)
     uncond_tokens = jnp.asarray(uncond_tokens)
     image = jnp.asarray(image)

@@ -56,6 +56,64 @@ def bytes_to_unicode() -> Dict[int, str]:
     return dict(zip(bs, [chr(c) for c in cs]))
 
 
+#: A1111 emphasis grammar tokens: escapes, brackets, ``:<number>)``
+#: closers, and plain runs.  Works with both stdlib re and the regex pkg.
+_EMPH_PAT = None
+
+
+def parse_prompt_attention(text: str) -> List[List[object]]:
+    """Parse the community (A1111) prompt-emphasis syntax.
+
+    Returns ``[[fragment, weight], ...]`` with adjacent equal-weight
+    fragments merged.  ``(x)`` multiplies by 1.1, ``[x]`` by 1/1.1,
+    ``(x:w)`` sets an explicit multiplier for the bracketed span, nesting
+    multiplies, and ``\\(`` ``\\)`` ``\\[`` ``\\]`` escape literals.
+    Unbalanced openers apply to the rest of the prompt."""
+    global _EMPH_PAT
+    if _EMPH_PAT is None:
+        import re as _stdre
+
+        _EMPH_PAT = _stdre.compile(
+            r"\\[()\[\]\\]|\(|\[|:\s*([+-]?[\d.]+)\s*\)|\)|\]|[^\\()\[\]:]+|:")
+    out: List[List[object]] = []
+    round_open: List[int] = []
+    square_open: List[int] = []
+
+    def scale_from(start: int, mult: float) -> None:
+        for item in out[start:]:
+            item[1] *= mult
+
+    for m in _EMPH_PAT.finditer(text):
+        tok, weight = m.group(0), m.group(1)
+        if tok.startswith("\\"):
+            out.append([tok[1:], 1.0])
+        elif tok == "(":
+            round_open.append(len(out))
+        elif tok == "[":
+            square_open.append(len(out))
+        elif weight is not None and round_open:
+            scale_from(round_open.pop(), float(weight))
+        elif tok == ")" and round_open:
+            scale_from(round_open.pop(), 1.1)
+        elif tok == "]" and square_open:
+            scale_from(square_open.pop(), 1.0 / 1.1)
+        else:
+            out.append([tok, 1.0])
+    for start in round_open:
+        scale_from(start, 1.1)
+    for start in square_open:
+        scale_from(start, 1.0 / 1.1)
+    if not out:
+        return [["", 1.0]]
+    merged: List[List[object]] = [out[0]]
+    for frag, w in out[1:]:
+        if w == merged[-1][1]:
+            merged[-1][0] += frag
+        else:
+            merged.append([frag, w])
+    return merged
+
+
 def _whitespace_clean(text: str) -> str:
     global _WS
     if _WS is None:
@@ -217,6 +275,51 @@ class CLIPTokenizer:
             full.extend([self.eot] * (self.max_len - len(full)))
             out.append(full)
         return out
+
+    # ---------------------------------------------------- emphasis syntax
+    def tokenize_weighted(self, text: str) -> Tuple[List[int], List[float]]:
+        """A1111 emphasis syntax -> (bpe ids, per-token weights).
+
+        ``(x)`` ×1.1, ``[x]`` ÷1.1, ``(x:1.5)`` explicit, nesting
+        multiplies, ``\\(`` escapes a literal bracket.  Fragments are
+        tokenized independently (the community convention — BPE merges
+        never span an emphasis boundary)."""
+        ids: List[int] = []
+        ws: List[float] = []
+        for frag, w in parse_prompt_attention(text):
+            t = self.tokenize(frag)
+            ids.extend(t)
+            ws.extend([w] * len(t))
+        return ids, ws
+
+    def encode_weighted(self, text: str) -> Tuple[List[int], List[float]]:
+        """Framed/padded like :meth:`encode`, plus aligned weights
+        (sot/eot/pad carry weight 1.0)."""
+        ids, ws = self.tokenize_weighted(text)
+        ids, ws = ids[: self.max_len - 2], ws[: self.max_len - 2]
+        full = [self.sot] + ids + [self.eot]
+        wfull = [1.0] + ws + [1.0]
+        full.extend([self.eot] * (self.max_len - len(full)))
+        wfull.extend([1.0] * (self.max_len - len(wfull)))
+        return full, wfull
+
+    def encode_windows_weighted(
+            self, text: str) -> Tuple[List[List[int]], List[List[float]]]:
+        """Long-prompt + emphasis: :meth:`encode_windows` with aligned
+        per-window weight rows."""
+        ids, ws = self.tokenize_weighted(text)
+        cap = self.max_len - 2
+        spans = [(i, min(i + cap, len(ids)))
+                 for i in range(0, len(ids), cap)] or [(0, 0)]
+        wins, wws = [], []
+        for a, b in spans:
+            full = [self.sot] + ids[a:b] + [self.eot]
+            wfull = [1.0] + ws[a:b] + [1.0]
+            full.extend([self.eot] * (self.max_len - len(full)))
+            wfull.extend([1.0] * (self.max_len - len(wfull)))
+            wins.append(full)
+            wws.append(wfull)
+        return wins, wws
 
     # ------------------------------------------------------------- decoding
     def decode(self, ids: Sequence[int]) -> str:
