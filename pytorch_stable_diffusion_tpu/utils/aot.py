@@ -34,7 +34,8 @@ def export_pipeline(cfg: SDConfig, models, *, n_steps: int = 50, batch: int = 1,
                     ddim_eta: float = 0.0,
                     decode_tile: Optional[int] = None,
                     inpaint: Optional[str] = None,
-                    use_control: bool = False) -> bytes:
+                    use_control: bool = False,
+                    emphasis: bool = False) -> bytes:
     """Serialize the full generation program for one static configuration.
 
     ``models`` supplies only shapes/dtypes for the export signature; the
@@ -46,6 +47,8 @@ def export_pipeline(cfg: SDConfig, models, *, n_steps: int = 50, batch: int = 1,
     ``inpaint`` ("unet9"/"blend") and ``use_control`` export the inpaint /
     ControlNet graphs (round 3); their runtime inputs (mask, hint,
     conditioning scale) ride in the aux dict like the live pipeline's.
+    ``emphasis`` exports the A1111 prompt-weighting graph; per-token
+    weight rows (from ``tokenizer.encode_weighted``) ride in the aux dict.
     """
     f = cfg.vae.downsample_factor
     if height % f or width % f:
@@ -59,7 +62,8 @@ def export_pipeline(cfg: SDConfig, models, *, n_steps: int = 50, batch: int = 1,
     h_lat, w_lat = height // f, width // f
     run = _compiled_txt2img(cfg, n_steps, do_cfg, batch, h_lat, w_lat,
                             img2img, False, False, sampler, float(ddim_eta),
-                            decode_tile, None, inpaint, use_control)
+                            decode_tile, None, inpaint, use_control,
+                            0.0, "uniform", emphasis)
 
     aux = {"latent_init": jnp.zeros((1,), jnp.float32)}
     if inpaint is not None:
@@ -70,6 +74,10 @@ def export_pipeline(cfg: SDConfig, models, *, n_steps: int = 50, batch: int = 1,
         aux["control_hint"] = jnp.zeros((n_nets, batch, height, width, 3),
                                         jnp.float32)
         aux["control_scale"] = jnp.ones((n_nets,), jnp.float32)
+    if emphasis:
+        aux["cond_weights"] = jnp.ones((batch, cfg.clip.max_len), jnp.float32)
+        aux["uncond_weights"] = jnp.ones((batch, cfg.clip.max_len),
+                                         jnp.float32)
     args = (
         models,
         jnp.zeros((batch, cfg.clip.max_len), jnp.int32),
@@ -115,7 +123,7 @@ class LoadedPipeline:
 
     def __call__(self, models, cond_tokens, uncond_tokens, key, cfg_scale,
                  start_step=0, input_image=None, mask=None, control_hint=None,
-                 control_scale=1.0):
+                 control_scale=1.0, cond_weights=None, uncond_weights=None):
         """``input_image``: (batch, H, W, 3) float32 in [-1, 1] for an
         img2img artifact (ignored — and zero-filled — for txt2img ones);
         ``start_step`` selects the img2img strength.  ``mask`` ((B,H,W,1),
@@ -142,6 +150,13 @@ class LoadedPipeline:
                 .reshape(-1, b, h, w, 3)
             aux["control_scale"] = jnp.atleast_1d(
                 jnp.asarray(control_scale, jnp.float32))
+        if "cond_weights" in keys:
+            L = self._exported.in_avals[-1].shape[-1]
+            ones = jnp.ones((b, L), jnp.float32)
+            aux["cond_weights"] = ones if cond_weights is None \
+                else jnp.asarray(cond_weights, jnp.float32).reshape(b, L)
+            aux["uncond_weights"] = ones if uncond_weights is None \
+                else jnp.asarray(uncond_weights, jnp.float32).reshape(b, L)
         out = self._exported.call(
             models, jnp.asarray(cond_tokens, jnp.int32),
             jnp.asarray(uncond_tokens, jnp.int32), key,

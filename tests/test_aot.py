@@ -232,3 +232,35 @@ def test_export_multi_controlnet_roundtrip(tiny_cfg, tiny_models,
                        control_hint=(hints / 255.0)[:, None],
                        control_scale=[0.7, 0.3])
     np.testing.assert_array_equal(images[0], live)
+
+
+def test_export_emphasis_roundtrip(tiny_cfg, tiny_models, tiny_tokenizer):
+    """Emphasis export: per-token weight rows ride the aux dict; the
+    artifact bit-matches the live emphasis pipeline, and omitting the
+    weights defaults to an exact no-op."""
+    import pytorch_stable_diffusion_tpu as sdt
+
+    blob = aot.export_pipeline(tiny_cfg, tiny_models, n_steps=N_STEPS,
+                               height=H, width=W, emphasis=True)
+    loaded = aot.load_pipeline(blob)
+    assert {"cond_weights", "uncond_weights"} <= set(loaded.aux_keys)
+
+    live = sdt.generate("a (cat:1.8)", "a dog", models=tiny_models,
+                        tokenizer=tiny_tokenizer, seed=5,
+                        n_inference_steps=N_STEPS, config=tiny_cfg,
+                        height=H, width=W, emphasis=True)
+    ct, cw = tiny_tokenizer.encode_weighted("a (cat:1.8)")
+    ut, uw = tiny_tokenizer.encode_weighted("a dog")
+    images, _ = loaded(tiny_models, np.asarray([ct], np.int32),
+                       np.asarray([ut], np.int32), jax.random.PRNGKey(5),
+                       7.5, cond_weights=[cw], uncond_weights=[uw])
+    np.testing.assert_array_equal(images[0], live)
+
+    plain = sdt.generate("a cat", "a dog", models=tiny_models,
+                         tokenizer=tiny_tokenizer, seed=5,
+                         n_inference_steps=N_STEPS, config=tiny_cfg,
+                         height=H, width=W)
+    toks = np.asarray([tiny_tokenizer.encode("a cat")], np.int32)
+    un = np.asarray([tiny_tokenizer.encode("a dog")], np.int32)
+    images2, _ = loaded(tiny_models, toks, un, jax.random.PRNGKey(5), 7.5)
+    np.testing.assert_array_equal(images2[0], plain)
