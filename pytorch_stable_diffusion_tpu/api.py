@@ -96,6 +96,35 @@ class StableDiffusion:
                                      input_image=init_image, strength=strength,
                                      **self._kw(kwargs))
 
+    def hires_fix(self, prompt: str, uncond_prompt: str = "", *,
+                  height: int = 1024, width: int = 1024,
+                  base_height: Optional[int] = None,
+                  base_width: Optional[int] = None,
+                  strength: float = 0.6, **kwargs) -> np.ndarray:
+        """Two-pass hi-res generation (the community "highres fix").
+
+        Pass 1 runs txt2img at the base resolution (default: half the
+        target, the model's native scale); its LATENTS are bilinearly
+        upscaled and denoised again at the target size via the
+        latent-space img2img path (``init_latents`` — no decode/encode
+        round trip).  ``strength`` is the second pass's denoise strength.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        bh, bw = base_height or height // 2, base_width or width // 2
+        kw = self._kw(dict(kwargs))
+        _, lat = pipeline_mod.generate(prompt, uncond_prompt, height=bh,
+                                       width=bw, return_latents=True, **kw)
+        f = self.config.vae.downsample_factor
+        up = jax.image.resize(
+            jnp.asarray(lat, jnp.float32),
+            (lat.shape[0], height // f, width // f, lat.shape[-1]),
+            method="bilinear")
+        return pipeline_mod.generate(prompt, uncond_prompt, height=height,
+                                     width=width, init_latents=np.asarray(up),
+                                     strength=strength, **kw)
+
     def with_textual_inversion(self, embedding, token: Optional[str] = None):
         """Return a bundle with a textual-inversion embedding installed
         (weights/textual_inversion.py).

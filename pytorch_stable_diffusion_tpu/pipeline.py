@@ -336,7 +336,14 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
             else all_step_noises("sampler")
 
         lat0 = None
-        if img2img:
+        if img2img == "latent":
+            # init_image slot carries ready latents in the model's scaled
+            # latent space (e.g. a base pass's output for hires-fix or a
+            # base->refiner latent handoff — no decode/encode round trip)
+            lat0 = init_image.astype(jnp.float32)
+            t0 = timesteps[start_step]
+            latents = ddpm.add_noise(schedule, lat0, t0, init_noise)
+        elif img2img:
             enc_noise = noises["encoder_noise"] if fixed_noise else draw("encoder_noise")
             lat0 = vae_mod.apply_encoder(
                 params["encoder"], init_image, enc_noise, cfg.vae, policy,
@@ -573,6 +580,7 @@ def _run_generate(
     config: Optional[SDConfig] = None,
     height: int = 512,
     width: int = 512,
+    init_latents=None,
     mask_image=None,
     control_image=None,
     controlnet_scale: float = 1.0,
@@ -701,17 +709,40 @@ def _run_generate(
             raise ValueError("inpaint checkpoint: mask_image is required "
                              "with input_image")
     elif mask_image is not None:
+        if init_latents is not None:
+            raise ValueError("inpainting needs pixel input_image, not "
+                             "init_latents")
         if input_image is None:
             raise ValueError("mask_image requires input_image (the region "
                              "outside the mask is kept from it)")
         inpaint = "blend"
 
-    img2img = input_image is not None
-    if img2img:
+    if init_latents is not None:
+        # latent-space img2img: ready latents (model's scaled latent space,
+        # e.g. a previous generate's return_latents) skip the VAE encode —
+        # the hires-fix second pass and base->refiner latent handoff path
+        if input_image is not None:
+            raise ValueError("pass input_image OR init_latents, not both")
+        if inpaint is not None:
+            raise ValueError("inpainting needs pixel input_image, not "
+                             "init_latents")
+        lat = np.asarray(init_latents, np.float32)
+        if lat.ndim == 3:
+            lat = lat[None]
+        want = (h_lat, w_lat, cfg.vae.latent_channels)
+        if lat.shape[1:] != want:
+            raise ValueError(f"init_latents shape {lat.shape[1:]} != "
+                             f"{want} for {height}x{width}")
+        image = np.broadcast_to(lat, (batch,) + want).copy()
+        img2img = "latent"
+        start_step = ddpm.start_step_for_strength(n_inference_steps, strength)
+    elif input_image is not None:
+        img2img = True
         image = np.broadcast_to(_prepare_image(input_image, width, height),
                                 (batch, height, width, 3)).copy()
         start_step = ddpm.start_step_for_strength(n_inference_steps, strength)
     else:
+        img2img = False
         image = np.zeros((batch, height, width, 3), np.float32)
         start_step = 0
 
@@ -755,7 +786,7 @@ def _run_generate(
             "sampler_noise": jnp.asarray(fixed_noise["sampler_noise"], jnp.float32)
                 .reshape((n_inference_steps,) + lat_shape),
         }
-        if img2img:
+        if img2img is True:  # pixel path only; "latent" has no VAE encode
             noises["encoder_noise"] = jnp.asarray(
                 fixed_noise["encoder_noise"], jnp.float32).reshape(lat_shape)
         if inpaint == "unet9" and "mask_encoder_noise" in fixed_noise:
