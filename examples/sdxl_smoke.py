@@ -51,10 +51,11 @@ def main():
 
     steps = 20
     t0 = time.time()
-    img = sdt.generate("a photo of a golden dog", "a cat", models=models,
-                       tokenizer=tok, seed=1337, cfg_scale=7.0,
-                       sampler_name="dpm++", n_inference_steps=steps,
-                       height=1024, width=1024, config=cfg)
+    img, base_lat = sdt.generate("a photo of a golden dog", "a cat",
+                                 models=models, tokenizer=tok, seed=1337,
+                                 cfg_scale=7.0, sampler_name="dpm++",
+                                 n_inference_steps=steps, height=1024,
+                                 width=1024, config=cfg, return_latents=True)
     print(f"sdxl 1024^2 {steps}-step: {img.shape} {img.dtype} "
           f"range {int(img.min())}..{int(img.max())} "
           f"({time.time()-t0:.1f}s incl compile)", flush=True)
@@ -80,21 +81,24 @@ def main():
     n_params = sum(int(np.prod(x.shape)) for x in
                    jax.tree_util.tree_leaves(rmodels["diffusion"]))
     print(f"refiner UNet params: {n_params:,}", flush=True)
+    # latent handoff (init_latents): base and refiner share the 0.13025
+    # VAE space, so the refiner consumes the base LATENTS directly — the
+    # sgm ensemble-of-experts scheme, skipping the decode/encode round trip
     t0 = time.time()
-    ref = sdt.generate("a photo of a golden dog", "a cat", input_image=img,
-                       strength=0.3, models=rmodels, tokenizer=tok,
-                       seed=1337, cfg_scale=5.0, sampler_name="dpm++",
-                       n_inference_steps=steps, height=1024, width=1024,
-                       config=rcfg)
-    print(f"refiner 1024^2 strength-0.3: {ref.shape} "
+    ref = sdt.generate("a photo of a golden dog", "a cat",
+                       init_latents=base_lat, strength=0.3, models=rmodels,
+                       tokenizer=tok, seed=1337, cfg_scale=5.0,
+                       sampler_name="dpm++", n_inference_steps=steps,
+                       height=1024, width=1024, config=rcfg)
+    print(f"refiner 1024^2 strength-0.3 (latent handoff): {ref.shape} "
           f"range {int(ref.min())}..{int(ref.max())} "
           f"({time.time()-t0:.1f}s incl compile)", flush=True)
     t0 = time.time()
-    ref2 = sdt.generate("a photo of a golden dog", "a cat", input_image=img,
-                        strength=0.3, models=rmodels, tokenizer=tok,
-                        seed=1337, cfg_scale=5.0, sampler_name="dpm++",
-                        n_inference_steps=steps, height=1024, width=1024,
-                        config=rcfg)
+    ref2 = sdt.generate("a photo of a golden dog", "a cat",
+                        init_latents=base_lat, strength=0.3, models=rmodels,
+                        tokenizer=tok, seed=1337, cfg_scale=5.0,
+                        sampler_name="dpm++", n_inference_steps=steps,
+                        height=1024, width=1024, config=rcfg)
     print(f"refiner repeat: {time.time()-t0:.2f}s "
           f"deterministic: {bool((ref == ref2).all())}", flush=True)
 

@@ -42,7 +42,9 @@ def export_pipeline(cfg: SDConfig, models, *, n_steps: int = 50, batch: int = 1,
     returned artifact takes weights as a runtime argument.  With
     ``img2img=True`` the artifact contains the VAE-encode + add_noise graph
     and its ``start_step`` runtime argument selects the strength
-    (``sampling.ddpm.start_step_for_strength``).
+    (``sampling.ddpm.start_step_for_strength``); ``img2img="latent"``
+    exports the latent-space variant (hires-fix second pass / refiner
+    latent handoff) whose image argument carries ready latents.
 
     ``inpaint`` ("unet9"/"blend") and ``use_control`` export the inpaint /
     ControlNet graphs (round 3); their runtime inputs (mask, hint,
@@ -55,8 +57,10 @@ def export_pipeline(cfg: SDConfig, models, *, n_steps: int = 50, batch: int = 1,
         raise ValueError(f"height/width must be multiples of {f}")
     if sampler not in SAMPLERS:
         raise ValueError(f"Unknown sampler value {sampler!r}")
-    if inpaint == "blend" and not img2img:
+    if inpaint == "blend" and img2img is not True:
         raise ValueError("inpaint='blend' requires img2img=True")
+    if inpaint is not None and img2img == "latent":
+        raise ValueError("inpainting needs the pixel img2img path")
     if use_control and "controlnet" not in models:
         raise ValueError("use_control=True needs models['controlnet']")
     h_lat, w_lat = height // f, width // f
@@ -85,7 +89,9 @@ def export_pipeline(cfg: SDConfig, models, *, n_steps: int = 50, batch: int = 1,
         jax.random.PRNGKey(0),
         jnp.float32(7.5),
         jnp.int32(0),
-        jnp.zeros((batch, height, width, 3), jnp.float32),
+        jnp.zeros((batch, h_lat, w_lat, cfg.vae.latent_channels), jnp.float32)
+        if img2img == "latent"
+        else jnp.zeros((batch, height, width, 3), jnp.float32),
         aux,
     )
     shapes = jax.tree_util.tree_map(
@@ -109,6 +115,13 @@ class LoadedPipeline:
         leaves, so index back over however many aux entries were exported."""
         return self._exported.in_avals[-(len(self.aux_keys) + 1)].shape
 
+    def _aux_shapes(self):
+        """{aux key: exported shape} — the aux dict is the final argument,
+        so its (sorted-key-ordered) leaves are the last ``in_avals``."""
+        keys = self.aux_keys
+        avals = self._exported.in_avals[-len(keys):]
+        return dict(zip(keys, [a.shape for a in avals]))
+
     @property
     def aux_keys(self):
         """Aux-dict entries the artifact was exported with: 'mask' for
@@ -125,7 +138,9 @@ class LoadedPipeline:
                  start_step=0, input_image=None, mask=None, control_hint=None,
                  control_scale=1.0, cond_weights=None, uncond_weights=None):
         """``input_image``: (batch, H, W, 3) float32 in [-1, 1] for an
-        img2img artifact (ignored — and zero-filled — for txt2img ones);
+        img2img artifact — or ready (batch, h_lat, w_lat, C) latents for
+        an ``img2img="latent"`` artifact (ignored — and zero-filled — for
+        txt2img ones);
         ``start_step`` selects the img2img strength.  ``mask`` ((B,H,W,1),
         1 = repaint) for inpaint artifacts; ``control_hint`` ((B,H,W,3) in
         [0,1]) + ``control_scale`` for ControlNet artifacts."""
@@ -137,26 +152,27 @@ class LoadedPipeline:
             if image.shape != image_shape:
                 raise ValueError(
                     f"input_image shape {image.shape} != exported {image_shape}")
-        b, h, w, _ = image_shape
         aux = {"latent_init": jnp.zeros((1,), jnp.float32)}
-        keys = self.aux_keys
-        if "mask" in keys:
-            aux["mask"] = jnp.ones((b, h, w, 1), jnp.float32) if mask is None \
-                else jnp.asarray(mask, jnp.float32).reshape(b, h, w, 1)
-        if "control_hint" in keys:
+        shapes = self._aux_shapes()
+        if "mask" in shapes:
+            aux["mask"] = jnp.ones(shapes["mask"], jnp.float32) \
+                if mask is None \
+                else jnp.asarray(mask, jnp.float32).reshape(shapes["mask"])
+        if "control_hint" in shapes:
             if control_hint is None:
                 raise ValueError("this artifact needs control_hint")
             aux["control_hint"] = jnp.asarray(control_hint, jnp.float32) \
-                .reshape(-1, b, h, w, 3)
+                .reshape(shapes["control_hint"])
             aux["control_scale"] = jnp.atleast_1d(
                 jnp.asarray(control_scale, jnp.float32))
-        if "cond_weights" in keys:
-            L = self._exported.in_avals[-1].shape[-1]
-            ones = jnp.ones((b, L), jnp.float32)
-            aux["cond_weights"] = ones if cond_weights is None \
-                else jnp.asarray(cond_weights, jnp.float32).reshape(b, L)
-            aux["uncond_weights"] = ones if uncond_weights is None \
-                else jnp.asarray(uncond_weights, jnp.float32).reshape(b, L)
+        if "cond_weights" in shapes:
+            ws = shapes["cond_weights"]
+            aux["cond_weights"] = jnp.ones(ws, jnp.float32) \
+                if cond_weights is None \
+                else jnp.asarray(cond_weights, jnp.float32).reshape(ws)
+            aux["uncond_weights"] = jnp.ones(ws, jnp.float32) \
+                if uncond_weights is None \
+                else jnp.asarray(uncond_weights, jnp.float32).reshape(ws)
         out = self._exported.call(
             models, jnp.asarray(cond_tokens, jnp.int32),
             jnp.asarray(uncond_tokens, jnp.int32), key,

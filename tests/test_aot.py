@@ -264,3 +264,38 @@ def test_export_emphasis_roundtrip(tiny_cfg, tiny_models, tiny_tokenizer):
     un = np.asarray([tiny_tokenizer.encode("a dog")], np.int32)
     images2, _ = loaded(tiny_models, toks, un, jax.random.PRNGKey(5), 7.5)
     np.testing.assert_array_equal(images2[0], plain)
+
+
+def test_export_latent_img2img_roundtrip(tiny_cfg, tiny_models,
+                                         tiny_tokenizer):
+    """img2img='latent' artifact (hires-fix second pass / refiner latent
+    handoff): the image argument carries ready latents; bit-matches the
+    live init_latents path."""
+    import pytorch_stable_diffusion_tpu as sdt
+
+    blob = aot.export_pipeline(tiny_cfg, tiny_models, n_steps=N_STEPS,
+                               height=H, width=W, img2img="latent")
+    loaded = aot.load_pipeline(blob)
+    f = tiny_cfg.vae.downsample_factor
+    lat_shape = (1, H // f, W // f, tiny_cfg.vae.latent_channels)
+    assert loaded.image_shape == lat_shape
+
+    rng = np.random.RandomState(9)
+    lat = rng.randn(*lat_shape).astype(np.float32)
+    from pytorch_stable_diffusion_tpu.sampling import ddpm
+
+    live = sdt.generate("a cat", "a dog", models=tiny_models,
+                        tokenizer=tiny_tokenizer, seed=5,
+                        n_inference_steps=N_STEPS, config=tiny_cfg,
+                        height=H, width=W, init_latents=lat, strength=0.7)
+    start = ddpm.start_step_for_strength(N_STEPS, 0.7)
+    toks = np.asarray([tiny_tokenizer.encode("a cat")], np.int32)
+    un = np.asarray([tiny_tokenizer.encode("a dog")], np.int32)
+    images, _ = loaded(tiny_models, toks, un, jax.random.PRNGKey(5), 7.5,
+                       start_step=start, input_image=lat)
+    np.testing.assert_array_equal(images[0], live)
+
+    with pytest.raises(ValueError, match="pixel"):
+        aot.export_pipeline(tiny_cfg, tiny_models, n_steps=N_STEPS,
+                            height=H, width=W, img2img="latent",
+                            inpaint="unet9")
