@@ -74,6 +74,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--emphasis", action="store_true",
                    help="parse A1111 emphasis syntax in prompts: (word:1.3) "
                         "up-weights, [word] down-weights, \\( escapes")
+    p.add_argument("--hires-fix", action="store_true",
+                   help="two-pass hires fix: base pass at half size, "
+                        "bilinear latent upscale, second denoise at the "
+                        "target size (strength from --strength)")
     p.add_argument("--long-prompts", action="store_true",
                    help=">77-token prompts via window-concat context "
                         "instead of truncation")
@@ -187,6 +191,12 @@ def main(argv=None) -> int:
         init = Image.open(args.image).convert("RGB")
         img = sd.img2img(args.prompt, init, strength=args.strength,
                          uncond_prompt=args.uncond_prompt, **kw)
+    elif args.hires_fix:
+        img = sd.hires_fix(args.prompt, uncond_prompt=args.uncond_prompt,
+                           strength=args.strength,
+                           **{k: v for k, v in kw.items()
+                              if k not in ("height", "width")},
+                           height=args.height, width=args.width)
     else:
         img = sd.txt2img(args.prompt, uncond_prompt=args.uncond_prompt, **kw)
     print(f"[cli] generated in {time.time()-t0:.1f}s (incl. compile)",

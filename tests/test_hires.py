@@ -70,3 +70,63 @@ def test_hires_fix(tiny_cfg, tiny_models, tiny_tokenizer):
     direct = sd.txt2img("a cat", "a dog", height=2 * H, width=2 * W,
                         n_inference_steps=N_STEPS, seed=0)
     assert np.abs(img.astype(np.int32) - direct.astype(np.int32)).max() > 0
+
+
+def test_refiner_latent_handoff(tiny_tokenizer):
+    """Base->refiner ensemble in latent space: the refiner consumes base
+    latents via init_latents (same VAE scale), no decode/encode."""
+    import jax
+
+    from pytorch_stable_diffusion_tpu.models import clip, unet, vae
+    from test_sdxl_refiner import tiny_refiner_config
+
+    cfg = tiny_refiner_config()
+    key = jax.random.PRNGKey(13)
+    models = {
+        "clip": clip.init(jax.random.fold_in(key, 0), cfg.clip),
+        "encoder": vae.init_encoder(jax.random.fold_in(key, 1), cfg.vae),
+        "decoder": vae.init_decoder(jax.random.fold_in(key, 2), cfg.vae),
+        "diffusion": unet.init(jax.random.fold_in(key, 3), cfg.unet),
+    }
+    lat = np.random.RandomState(4).randn(1, H // 2, W // 2, 4) \
+        .astype(np.float32)
+    out = sdt.generate("a cat", "a dog", models=models,
+                       tokenizer=tiny_tokenizer, config=cfg,
+                       n_inference_steps=N_STEPS, height=H, width=W,
+                       seed=0, init_latents=lat, strength=0.3)
+    assert out.shape == (H, W, 3)
+    assert np.isfinite(out.astype(np.float32)).all()
+
+
+def test_cli_hires_fix(tmp_path):
+    import os
+
+    from PIL import Image as PILImage
+
+    from pytorch_stable_diffusion_tpu.__main__ import main
+    from test_cli import write_tokenizer_assets
+    from pytorch_stable_diffusion_tpu.weights.save import save_safetensors
+    from pytorch_stable_diffusion_tpu.models.config import tiny_sd_config
+    import jax
+
+    from pytorch_stable_diffusion_tpu.models import clip, unet, vae
+
+    cfg = tiny_sd_config()
+    key = jax.random.PRNGKey(42)
+    models = {
+        "clip": clip.init(jax.random.fold_in(key, 0), cfg.clip),
+        "encoder": vae.init_encoder(jax.random.fold_in(key, 1), cfg.vae),
+        "decoder": vae.init_decoder(jax.random.fold_in(key, 2), cfg.vae),
+        "diffusion": unet.init(jax.random.fold_in(key, 3), cfg.unet),
+    }
+    d = str(tmp_path)
+    ckpt = os.path.join(d, "tiny.safetensors")
+    save_safetensors(models, cfg, ckpt)
+    vocab, merges = write_tokenizer_assets(d, ["a", "cat", "dog"])
+    out = os.path.join(d, "hires.png")
+    rc = main(["--ckpt", ckpt, "--vocab", vocab, "--merges", merges,
+               "--prompt", "a cat", "--steps", "2", "--seed", "3",
+               "--width", "32", "--height", "32", "--config-preset", "tiny",
+               "--hires-fix", "--strength", "0.6", "--out", out])
+    assert rc == 0
+    assert np.asarray(PILImage.open(out)).shape == (32, 32, 3)
