@@ -21,7 +21,8 @@ from .api import StableDiffusion
 from .models.config import (CLIPConfig, SDConfig, UNetConfig, VAEConfig,
                             sd15_config, sd15_inpaint_config,
                             sd2_inpaint_config, sd21_config, sdxl_config,
-                            sdxl_refiner_config, tiny_sd_config)
+                            sdxl_refiner_config, tiny_sd_config,
+                            with_clip_skip, with_freeu)
 from .core.dtypes import BF16, FP32, MIXED, Policy
 from .pipeline import (generate, generate_images, generate_many,
                        get_time_embedding, rescale)
@@ -39,6 +40,7 @@ __all__ = [
     "SDConfig", "CLIPConfig", "UNetConfig", "VAEConfig",
     "sd15_config", "sd15_inpaint_config", "sd2_inpaint_config",
     "sd21_config", "sdxl_config", "sdxl_refiner_config",
-    "tiny_sd_config", "Policy", "FP32", "BF16", "MIXED",
+    "tiny_sd_config", "with_clip_skip", "with_freeu", "Policy", "FP32",
+    "BF16", "MIXED",
     "get_time_embedding", "rescale",
 ]

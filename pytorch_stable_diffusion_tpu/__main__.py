@@ -71,6 +71,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="conditioning image for --controlnet; repeatable")
     p.add_argument("--controlnet-scale", type=float, action="append",
                    default=[], help="per-net scale (default 1.0); repeatable")
+    p.add_argument("--clip-skip", type=int, default=None,
+                   help="A1111 CLIP-skip: 1 = family default; each "
+                        "increment conditions one text-encoder layer "
+                        "earlier (2 = penultimate on SD-1.x)")
+    p.add_argument("--freeu", nargs="*", type=float, default=None,
+                   metavar="B1 B2 S1 S2",
+                   help="FreeU decoder re-weighting: bare --freeu uses the "
+                        "published family defaults, or pass b1 b2 s1 s2")
     p.add_argument("--emphasis", action="store_true",
                    help="parse A1111 emphasis syntax in prompts: (word:1.3) "
                         "up-weights, [word] down-weights, \\( escapes")
@@ -159,7 +167,9 @@ def main(argv=None) -> int:
               width=args.width, decode_tile=args.decode_tile,
               guidance_rescale=args.guidance_rescale,
               long_prompts=args.long_prompts, emphasis=args.emphasis,
-              timestep_spacing=args.spacing)
+              clip_skip=args.clip_skip, timestep_spacing=args.spacing,
+              freeu=None if args.freeu is None
+              else (True if not args.freeu else args.freeu))
     if args.control_image:
         from PIL import Image
 

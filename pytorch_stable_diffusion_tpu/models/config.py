@@ -100,6 +100,12 @@ class UNetConfig:
     #: pooled text: 6 for SDXL-base (orig_h, orig_w, crop_t, crop_l,
     #: tgt_h, tgt_w), 5 for the refiner (crop + aesthetic_score).
     add_time_ids: int = 6
+    #: FreeU (Si et al. 2023, training-free quality knob): (b1, b2, s1, s2)
+    #: — at the two DEEPEST decoder levels, scale the first half of the
+    #: backbone channels by b_i and low-pass-attenuate the skip connection
+    #: by s_i in the Fourier domain.  None = off.  Family defaults via
+    #: models/config.with_freeu.
+    freeu: Tuple[float, float, float, float] = None
 
     def depth_for(self, level: int) -> int:
         if self.transformer_depth is None:
@@ -298,3 +304,63 @@ def sdxl_refiner_config(policy: Policy = FP32, **kw) -> SDConfig:
         policy=policy,
         **kw,
     )
+
+
+def with_clip_skip(cfg: SDConfig, clip_skip: int) -> SDConfig:
+    """A1111-convention "CLIP skip": condition the UNet on an EARLIER text
+    encoder layer.  ``clip_skip=1`` is the family default (no change);
+    each increment stops one transformer layer earlier than that default
+    (SD-1.x: 2 == penultimate layer + final LN — the webui setting used by
+    anime-style checkpoints; SD-2.x/SDXL already condition on their
+    penultimate layer by default, so 2 == antepenultimate there, matching
+    diffusers' relative semantics).  SDXL pooled embeddings are unaffected
+    (clip.apply_with_pooled always runs the full stack).  The returned
+    config hashes differently, so the compiled-pipeline cache keys new
+    variants automatically.
+    """
+    if clip_skip < 1:
+        raise ValueError(f"clip_skip must be >= 1, got {clip_skip}")
+    if clip_skip == 1:
+        return cfg
+
+    def shift(tower: CLIPConfig) -> CLIPConfig:
+        base = tower.n_layers if tower.stop_at_layer is None \
+            else tower.stop_at_layer
+        stop = base - (clip_skip - 1)
+        if stop < 1:
+            raise ValueError(f"clip_skip {clip_skip} skips past the "
+                             f"{tower.n_layers}-layer text encoder")
+        # towers whose default is the full stack (SD-1.x) norm the truncated
+        # hidden (penultimate_norm default True == A1111); towers configured
+        # raw (SDXL) stay raw.
+        return dataclasses.replace(tower, stop_at_layer=stop)
+
+    return dataclasses.replace(
+        cfg, clip=shift(cfg.clip),
+        clip2=None if cfg.clip2 is None else shift(cfg.clip2))
+
+
+#: published FreeU defaults (the paper's recommended settings per family)
+FREEU_DEFAULTS_SD = (1.5, 1.6, 0.9, 0.2)
+FREEU_DEFAULTS_SDXL = (1.3, 1.4, 0.9, 0.2)
+
+
+def with_freeu(cfg: SDConfig, freeu=True) -> SDConfig:
+    """Enable FreeU (training-free decoder re-weighting) on a config.
+
+    ``freeu=True`` picks the published defaults for the family (SDXL-class
+    configs — those with added conditioning — use the SDXL settings);
+    otherwise pass an explicit ``(b1, b2, s1, s2)``.  ``freeu=False``/
+    ``None`` returns an unmodified config.  The returned config hashes
+    differently, keying a new compiled-pipeline variant.
+    """
+    if freeu is None or freeu is False:
+        return cfg
+    if freeu is True:
+        freeu = FREEU_DEFAULTS_SDXL if cfg.unet.add_embed_dim else \
+            FREEU_DEFAULTS_SD
+    vals = tuple(float(v) for v in freeu)
+    if len(vals) != 4:
+        raise ValueError(f"freeu wants (b1, b2, s1, s2), got {freeu!r}")
+    return dataclasses.replace(
+        cfg, unet=dataclasses.replace(cfg.unet, freeu=vals))

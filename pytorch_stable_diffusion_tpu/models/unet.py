@@ -30,6 +30,7 @@ from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.dtypes import Policy, FP32
 from ..ops import attention, conv, linear, norm
@@ -284,6 +285,24 @@ def init(key, cfg: UNetConfig, dtype=jnp.float32):
     return params
 
 
+def _fourier_lowpass_scale(x, scale: float, threshold: int = 1):
+    """FreeU's spectral modulation: scale the lowest-frequency band of the
+    (NHWC) feature map by ``scale`` — a 2*threshold-wide box around DC in
+    the centered 2-D spectrum.  fp32 FFT (XLA lowers complex FFT natively
+    on TPU), cast back to the input dtype."""
+    h, w = x.shape[1], x.shape[2]
+    f = jnp.fft.fftn(x.astype(jnp.float32), axes=(1, 2))
+    f = jnp.fft.fftshift(f, axes=(1, 2))
+    mask = np.ones((h, w), np.float32)
+    crow, ccol = h // 2, w // 2
+    mask[max(crow - threshold, 0):crow + threshold,
+         max(ccol - threshold, 0):ccol + threshold] = scale
+    f = f * jnp.asarray(mask)[None, :, :, None]
+    f = jnp.fft.ifftshift(f, axes=(1, 2))
+    out = jnp.fft.ifftn(f, axes=(1, 2)).real
+    return out.astype(x.dtype)
+
+
 def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
           *, attention_backend: str = "xla", reference_quirks: bool = False,
           t_emb: Optional[jax.Array] = None, fuse_qkv: bool = True,
@@ -354,8 +373,22 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
     if control is not None:
         x = x + control["mid"].astype(x.dtype)
 
-    for stage in params["decoder"]:
-        x = jnp.concatenate([x, skips.pop()], axis=-1)
+    dec_per_level = cfg.num_res_blocks + 1
+    for si, stage in enumerate(params["decoder"]):
+        skip = skips.pop()
+        if cfg.freeu is not None and si // dec_per_level < 2:
+            # FreeU: boost the backbone's structural half-channels and
+            # low-pass-attenuate the (noisy high-frequency) skip at the two
+            # deepest decoder levels.  Neutral values short-circuit so
+            # freeu=(1,1,1,1) stays bit-identical to off.
+            lvl = si // dec_per_level
+            b, s = cfg.freeu[lvl], cfg.freeu[2 + lvl]
+            if b != 1.0:
+                half = x.shape[-1] // 2
+                x = x.at[..., :half].multiply(jnp.asarray(b, x.dtype))
+            if s != 1.0:
+                skip = _fourier_lowpass_scale(skip, s)
+        x = jnp.concatenate([x, skip], axis=-1)
         x = block(stage, x)
         if "upsample" in stage:
             x = upsample_nearest_2x(x)

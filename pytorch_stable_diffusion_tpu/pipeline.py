@@ -592,6 +592,8 @@ def _run_generate(
     sequence_parallel: bool = False,
     long_prompts: bool = False,
     emphasis: bool = False,
+    clip_skip: Optional[int] = None,
+    freeu=None,
     guidance_rescale: float = 0.0,
     timestep_spacing: str = "uniform",
     _device_output: bool = False,
@@ -611,6 +613,19 @@ def _run_generate(
     if models is None or tokenizer is None:
         raise ValueError("models dict and tokenizer are required")
     cfg = config or sd15_config()
+    if clip_skip is not None:
+        # A1111 "CLIP skip": condition on an earlier text-encoder layer
+        # (models/config.with_clip_skip); a distinct cfg keys a distinct
+        # compiled variant.
+        from .models.config import with_clip_skip
+
+        cfg = with_clip_skip(cfg, int(clip_skip))
+    if freeu is not None and freeu is not False:
+        # FreeU decoder re-weighting (models/config.with_freeu): True =
+        # published family defaults, or an explicit (b1, b2, s1, s2).
+        from .models.config import with_freeu
+
+        cfg = with_freeu(cfg, True if freeu is True else tuple(freeu))
     if (mesh is not None and cfg.fuse_qkv and not sequence_parallel
             and mesh.shape.get("model", 1) > 1):
         # TP: the fused qkv concat runs along the Megatron-sharded kernel
