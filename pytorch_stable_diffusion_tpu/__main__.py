@@ -75,6 +75,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="A1111 CLIP-skip: 1 = family default; each "
                         "increment conditions one text-encoder layer "
                         "earlier (2 = penultimate on SD-1.x)")
+    p.add_argument("--deepcache", type=int, default=None, metavar="N",
+                   help="DeepCache interval: full UNet every N-th step, "
+                        "shallow cached steps between (opt-in speed/quality "
+                        "trade; 1 = exact)")
     p.add_argument("--freeu", nargs="*", type=float, default=None,
                    metavar="B1 B2 S1 S2",
                    help="FreeU decoder re-weighting: bare --freeu uses the "
@@ -168,6 +172,7 @@ def main(argv=None) -> int:
               guidance_rescale=args.guidance_rescale,
               long_prompts=args.long_prompts, emphasis=args.emphasis,
               clip_skip=args.clip_skip, timestep_spacing=args.spacing,
+              deepcache=args.deepcache,
               freeu=None if args.freeu is None
               else (True if not args.freeu else args.freeu))
     if args.control_image:

@@ -307,7 +307,8 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
           *, attention_backend: str = "xla", reference_quirks: bool = False,
           t_emb: Optional[jax.Array] = None, fuse_qkv: bool = True,
           quant: str = "none", sp_mesh=None,
-          add_cond: Optional[jax.Array] = None, control=None):
+          add_cond: Optional[jax.Array] = None, control=None,
+          return_cache: bool = False, cache=None):
     """latents: (B, h, w, in_ch); context: (B, S, d_context); t: scalar timestep.
 
     Returns predicted noise (B, h, w, out_ch).
@@ -319,6 +320,13 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
     ``control``: ControlNet residuals ``{"down": [one per skip], "mid": r}``
     (models/controlnet.py) — added to the skip connections and the
     bottleneck output, the diffusers ``ControlNetModel`` contract.
+
+    DeepCache (Ma et al. 2023) support: ``return_cache=True`` additionally
+    returns the backbone feature entering the SHALLOWEST decoder level;
+    passing that array back as ``cache`` runs only the shallow slice
+    (conv_in + level-0 encoder blocks + last decoder level + head),
+    substituting the cached deep feature — with identical inputs the
+    result is exactly the full forward (tests/test_deepcache.py).
     """
     if t_emb is None:
         t_emb = timestep_embedding(t, cfg.model_channels)
@@ -343,38 +351,56 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
                                  sp_mesh=sp_mesh)
         return x
 
+    dec_per_level = cfg.num_res_blocks + 1
+    n_dec = len(params["decoder"])
     x = conv.apply(params["conv_in"], latents.astype(policy.compute_dtype),
                    padding=1, policy=policy)
     skips = [x]
-    for stage in params["encoder"]:
-        if "down" in stage:
-            # stride-2 symmetric pad=1 (diffusion.py:553 — differs from VAE!)
-            x = conv.apply(stage["down"], x, stride=2, padding=1,
-                           policy=policy, quant=quant)
-        else:
+    if cache is None:
+        for stage in params["encoder"]:
+            if "down" in stage:
+                # stride-2 symmetric pad=1 (diffusion.py:553 — differs from VAE!)
+                x = conv.apply(stage["down"], x, stride=2, padding=1,
+                               policy=policy, quant=quant)
+            else:
+                x = block(stage, x)
+            skips.append(x)
+
+        if control is not None:
+            skips = [s + d.astype(s.dtype)
+                     for s, d in zip(skips, control["down"])]
+
+        mid = params["bottleneck"]
+        x = apply_res_block(mid["res1"], x, t_emb, cfg.groups, policy,
+                            backend=attention_backend, quant=quant)
+        x = apply_attn_block(mid["attn"], x, context,
+                             cfg.heads_for(x.shape[-1]), cfg.groups,
+                             policy, backend=attention_backend,
+                             reference_quirks=reference_quirks,
+                             fuse_qkv=fuse_qkv, quant=quant,
+                             sp_mesh=sp_mesh)
+        x = apply_res_block(mid["res2"], x, t_emb, cfg.groups, policy,
+                            backend=attention_backend, quant=quant)
+        if control is not None:
+            x = x + control["mid"].astype(x.dtype)
+        dec_stages = list(enumerate(params["decoder"]))
+    else:
+        # DeepCache shallow step: only the level-0 encoder blocks (the
+        # skips the shallowest decoder level consumes), deep UNet replaced
+        # by the cached backbone feature.
+        for stage in params["encoder"][:cfg.num_res_blocks]:
             x = block(stage, x)
-        skips.append(x)
+            skips.append(x)
+        if control is not None:  # zip stops at the shallow skips
+            skips = [s + d.astype(s.dtype)
+                     for s, d in zip(skips, control["down"])]
+        x = cache.astype(policy.compute_dtype)
+        dec_stages = list(enumerate(params["decoder"]))[-dec_per_level:]
 
-    if control is not None:
-        skips = [s + d.astype(s.dtype)
-                 for s, d in zip(skips, control["down"])]
-
-    mid = params["bottleneck"]
-    x = apply_res_block(mid["res1"], x, t_emb, cfg.groups, policy,
-                        backend=attention_backend, quant=quant)
-    x = apply_attn_block(mid["attn"], x, context,
-                         cfg.heads_for(x.shape[-1]), cfg.groups,
-                         policy, backend=attention_backend,
-                         reference_quirks=reference_quirks,
-                         fuse_qkv=fuse_qkv, quant=quant,
-                         sp_mesh=sp_mesh)
-    x = apply_res_block(mid["res2"], x, t_emb, cfg.groups, policy,
-                        backend=attention_backend, quant=quant)
-    if control is not None:
-        x = x + control["mid"].astype(x.dtype)
-
-    dec_per_level = cfg.num_res_blocks + 1
-    for si, stage in enumerate(params["decoder"]):
+    out_cache = None
+    for si, stage in dec_stages:
+        if return_cache and si == n_dec - dec_per_level:
+            out_cache = x
         skip = skips.pop()
         if cfg.freeu is not None and si // dec_per_level < 2:
             # FreeU: boost the backbone's structural half-channels and
@@ -397,4 +423,17 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
 
     x = norm.group_norm_silu(params["norm_out"], x, cfg.groups, policy=policy,
                              backend=attention_backend)
-    return conv.apply(params["conv_out"], x, padding=1, policy=policy)
+    out = conv.apply(params["conv_out"], x, padding=1, policy=policy)
+    if return_cache:
+        return out, out_cache
+    return out
+
+
+def deepcache_shape(cfg: UNetConfig, batch: int, h_lat: int, w_lat: int):
+    """Shape of the DeepCache backbone feature (the carry in the compiled
+    denoise loop): the shallowest decoder level runs at full latent
+    resolution with the SECOND level's channel width (its input arrives
+    through that level's upsample conv — decoder_plan c_prev)."""
+    if len(cfg.ch_mults) < 2:
+        raise ValueError("deepcache needs a UNet with >= 2 levels")
+    return (batch, h_lat, w_lat, cfg.level_channels[1])

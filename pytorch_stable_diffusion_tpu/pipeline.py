@@ -145,7 +145,8 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                       use_control: bool = False,
                       guidance_rescale: float = 0.0,
                       timestep_spacing: str = "uniform",
-                      emphasis: bool = False):
+                      emphasis: bool = False,
+                      deepcache: Optional[int] = None):
     """Build + jit the full generate computation for one static shape.
 
     ``fixed_noise=True`` compiles a variant whose latent-init / encoder /
@@ -178,6 +179,12 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
     original per-row mean restored (the A1111 renormalization; each
     long-prompt window renormalizes independently, as A1111 processes
     chunks independently).
+
+    ``deepcache``: DeepCache interval N — the full UNet runs every N-th
+    denoise step; between refreshes only the shallow slice runs against
+    the cached deep backbone feature (models/unet.apply cache=...).  The
+    cache rides in the fori_loop carry; both step variants live under one
+    ``lax.cond``.  Opt-in approximation (N=1 is exact).
     """
     # third reference quirk: the reference's beta_start is a typo (0.000085
     # vs CompVis 0.00085, ref ddpm.py:30) — reproduce it only in quirk mode
@@ -409,7 +416,11 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
 
             _sp = NamedSharding(sp_mesh, _P(None, "model", None, None))
 
-        def eps_at(step_i, latents):
+        def eps_at(step_i, latents, dc, dc_refresh=None):
+            """-> (eps, t, dc').  ``dc`` is the DeepCache backbone carry (a
+            dummy scalar when deepcache is off); ``dc_refresh`` overrides
+            the step-index refresh predicate (heun's corrector eval is
+            always shallow)."""
             t = timesteps[step_i]
             lat_c = latents.astype(policy.compute_dtype)
             lat_in = lat_c
@@ -441,12 +452,30 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                             "mid": control["mid"] + c_i["mid"],
                             "down": [a + b for a, b in
                                      zip(control["down"], c_i["down"])]}
-            eps = unet_mod.apply(
-                params["diffusion"], model_in, context, t, cfg.unet, policy,
+            unet_kw = dict(
                 attention_backend=cfg.attention_backend,
                 reference_quirks=cfg.reference_quirks,
                 fuse_qkv=cfg.fuse_qkv, quant=cfg.quant, sp_mesh=sp_mesh,
                 add_cond=add_cond, control=control)
+            if deepcache is None:
+                eps = unet_mod.apply(params["diffusion"], model_in, context,
+                                     t, cfg.unet, policy, **unet_kw)
+            else:
+                refresh = ((step_i - start_step) % deepcache == 0) \
+                    if dc_refresh is None else dc_refresh
+
+                def _full(_):
+                    return unet_mod.apply(
+                        params["diffusion"], model_in, context, t, cfg.unet,
+                        policy, return_cache=True, **unet_kw)
+
+                def _shallow(_):
+                    return unet_mod.apply(
+                        params["diffusion"], model_in, context, t, cfg.unet,
+                        policy, cache=dc, **unet_kw), dc
+
+                eps, dc = jax.lax.cond(refresh, _full, _shallow, None)
+                dc = dc.astype(policy.compute_dtype)
             if do_cfg:
                 eps_cond, eps_uncond = jnp.split(eps, 2, axis=0)
                 eps = cfg_scale * (eps_cond - eps_uncond) + eps_uncond  # pipeline.py:233
@@ -472,7 +501,18 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
             if progress:  # reference's tqdm bar (ref pipeline.py:205), opt-in
                 jax.debug.callback(_progress_tick, step_i, n_steps,
                                    ordered=False)
-            return eps.astype(jnp.float32), t
+            return eps.astype(jnp.float32), t, dc
+
+        # DeepCache carry: the backbone feature at the shallowest decoder
+        # level (zeros until the first refresh step, which always runs the
+        # full UNet); a dummy scalar when the feature is off keeps the
+        # carries/bodies single-path.
+        if deepcache is None:
+            dc0 = jnp.zeros((), policy.compute_dtype)
+        else:
+            b_eff = batch * 2 if do_cfg else batch
+            dc0 = jnp.zeros(unet_mod.deepcache_shape(
+                cfg.unet, b_eff, h_lat, w_lat), policy.compute_dtype)
 
         # dynamic lower bound: img2img strength skips steps without paying
         # for them (the reference truncates the Python list, ddpm.py:97-99)
@@ -480,41 +520,47 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
             mod = dpm if sampler == "dpm++" else unipc
 
             def body(step_i, carry):
-                lat, st = carry
+                lat, st, dc = carry
                 lat = inpaint_blend(step_i, lat)
-                eps, t = eps_at(step_i, lat)
+                eps, t, dc = eps_at(step_i, lat, dc)
                 new_lat, st = mod.step(schedule, t, lat, eps, st,
                                        num_inference_steps=n_steps,
                                        prev_t=prev_timesteps[step_i])
-                return new_lat.astype(jnp.float32), st
+                return new_lat.astype(jnp.float32), st, dc
 
-            latents, _ = jax.lax.fori_loop(
+            latents, _, _ = jax.lax.fori_loop(
                 start_step, n_steps, body,
-                (latents.astype(jnp.float32), mod.init_state(lat_shape)))
+                (latents.astype(jnp.float32), mod.init_state(lat_shape), dc0))
         elif sampler == "heun":
             # two model evals per step: Euler predict, then trapezoidal
             # correct with eps at (prediction, next timestep).  The final
             # step's second eval is computed (fori_loop cannot skip it) but
             # discarded inside step_heun_correct (sigma_next = 0 rule).
-            def body(step_i, latents):
+            def body(step_i, carry):
+                latents, dc = carry
                 latents = inpaint_blend(step_i, latents)
-                eps, t = eps_at(step_i, latents)
+                eps, t, dc = eps_at(step_i, latents, dc)
                 lat32 = latents.astype(jnp.float32)
                 prev = prev_timesteps[step_i]
                 pred = euler.step(schedule, t, lat32, eps, None,
                                   num_inference_steps=n_steps, prev_t=prev)
-                eps2, _ = eps_at(jnp.minimum(step_i + 1, n_steps - 1), pred)
+                # corrector eval reuses the deep features just refreshed
+                eps2, _, _ = eps_at(jnp.minimum(step_i + 1, n_steps - 1),
+                                    pred, dc,
+                                    dc_refresh=False if deepcache else None)
                 return euler.step_heun_correct(
                     schedule, t, lat32, eps, eps2,
                     num_inference_steps=n_steps,
-                    prev_t=prev).astype(jnp.float32)
+                    prev_t=prev).astype(jnp.float32), dc
 
-            latents = jax.lax.fori_loop(start_step, n_steps, body,
-                                        latents.astype(jnp.float32))
+            latents, _ = jax.lax.fori_loop(
+                start_step, n_steps, body,
+                (latents.astype(jnp.float32), dc0))
         else:
-            def body(step_i, latents):
+            def body(step_i, carry):
+                latents, dc = carry
                 latents = inpaint_blend(step_i, latents)
-                eps, t = eps_at(step_i, latents)
+                eps, t, dc = eps_at(step_i, latents, dc)
                 noise = step_noises[step_i]
                 lat32 = latents.astype(jnp.float32)
                 prev = prev_timesteps[step_i]
@@ -534,10 +580,11 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                     new_latents = ddpm.step(schedule, t, lat32, eps, noise,
                                             num_inference_steps=n_steps,
                                             prev_t=prev)
-                return new_latents.astype(jnp.float32)
+                return new_latents.astype(jnp.float32), dc
 
-            latents = jax.lax.fori_loop(start_step, n_steps, body,
-                                        latents.astype(jnp.float32))
+            latents, _ = jax.lax.fori_loop(
+                start_step, n_steps, body,
+                (latents.astype(jnp.float32), dc0))
 
         if inpaint == "blend":
             # exact final projection: kept region is the original latents
@@ -594,6 +641,7 @@ def _run_generate(
     emphasis: bool = False,
     clip_skip: Optional[int] = None,
     freeu=None,
+    deepcache: Optional[int] = None,
     guidance_rescale: float = 0.0,
     timestep_spacing: str = "uniform",
     _device_output: bool = False,
@@ -822,12 +870,18 @@ def _run_generate(
 
     key = jax.random.PRNGKey(0 if seed is None else seed) if _key is None \
         else _key
+    if deepcache is not None:
+        deepcache = int(deepcache)
+        if deepcache < 1:
+            raise ValueError(f"deepcache interval must be >= 1, got "
+                             f"{deepcache}")
+        unet_mod.deepcache_shape(cfg.unet, 1, h_lat, w_lat)  # validates
     run = _compiled_txt2img(cfg, n_inference_steps, do_cfg, batch,
                             h_lat, w_lat, img2img, use_fixed, progress,
                             sampler_name, float(ddim_eta), decode_tile,
                             sp_mesh, inpaint, use_control,
                             float(guidance_rescale), timestep_spacing,
-                            emphasis)
+                            emphasis, deepcache)
     cond_tokens = jnp.asarray(cond_tokens)
     uncond_tokens = jnp.asarray(uncond_tokens)
     image = jnp.asarray(image)
