@@ -54,6 +54,9 @@ def main():
                     choices=["sd15", "sd21", "sdxl"],
                     help="model family (driver headline stays sd15; "
                          "sdxl defaults its native 1024 size)")
+    ap.add_argument("--deepcache", type=int, default=None, metavar="N",
+                    help="DeepCache interval: full UNet every N-th step, "
+                         "cached-deep-feature shallow steps between")
     args = ap.parse_args()
 
     from pytorch_stable_diffusion_tpu.core.cache import enable_compilation_cache
@@ -75,7 +78,8 @@ def main():
 
     b = args.batch
     h_lat = w_lat = args.size // cfg.vae.downsample_factor
-    run = _compiled_txt2img(cfg, args.steps, True, b, h_lat, w_lat, False)
+    run = _compiled_txt2img(cfg, args.steps, True, b, h_lat, w_lat, False,
+                            deepcache=args.deepcache)
 
     cond = jnp.full((b, cfg.clip.max_len), 49406, jnp.int32)
     uncond = jnp.full((b, cfg.clip.max_len), 49407, jnp.int32)
@@ -108,7 +112,9 @@ def main():
     result = {
         "metric": f"{args.family} txt2img {args.size}x{args.size} "
                   f"{args.steps}-step DDPM+CFG "
-                  f"batch={b} images/sec/chip ({backend} attention, bf16)",
+                  f"batch={b} images/sec/chip ({backend} attention, bf16"
+                  + (f", deepcache={args.deepcache}" if args.deepcache
+                     else "") + ")",
         "value": round(ips, 4),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / 1.0, 4),
