@@ -57,6 +57,13 @@ def main():
     ap.add_argument("--deepcache", type=int, default=None, metavar="N",
                     help="DeepCache interval: full UNet every N-th step, "
                          "cached-deep-feature shallow steps between")
+    ap.add_argument("--sampler", default="ddpm",
+                    help="any pipeline.SAMPLERS name (lcm pairs with "
+                         "--steps 4 --no-cfg for the distilled-few-step "
+                         "config)")
+    ap.add_argument("--no-cfg", action="store_true",
+                    help="single-pass UNet (no classifier-free guidance "
+                         "doubling)")
     args = ap.parse_args()
 
     from pytorch_stable_diffusion_tpu.core.cache import enable_compilation_cache
@@ -78,8 +85,9 @@ def main():
 
     b = args.batch
     h_lat = w_lat = args.size // cfg.vae.downsample_factor
-    run = _compiled_txt2img(cfg, args.steps, True, b, h_lat, w_lat, False,
-                            deepcache=args.deepcache)
+    do_cfg = not args.no_cfg
+    run = _compiled_txt2img(cfg, args.steps, do_cfg, b, h_lat, w_lat, False,
+                            sampler=args.sampler, deepcache=args.deepcache)
 
     cond = jnp.full((b, cfg.clip.max_len), 49406, jnp.int32)
     uncond = jnp.full((b, cfg.clip.max_len), 49407, jnp.int32)
@@ -111,7 +119,8 @@ def main():
     ips = b / p50
     result = {
         "metric": f"{args.family} txt2img {args.size}x{args.size} "
-                  f"{args.steps}-step DDPM+CFG "
+                  f"{args.steps}-step {args.sampler.upper()}"
+                  f"{'+CFG' if do_cfg else ''} "
                   f"batch={b} images/sec/chip ({backend} attention, bf16"
                   + (f", deepcache={args.deepcache}" if args.deepcache
                      else "") + ")",

@@ -20,7 +20,8 @@ Quick start::
 from .api import StableDiffusion
 from .models.config import (CLIPConfig, SDConfig, UNetConfig, VAEConfig,
                             sd15_config, sd15_inpaint_config,
-                            sd2_inpaint_config, sd21_config, sdxl_config,
+                            sd15_lcm_config, sd2_inpaint_config,
+                            sd21_config, sdxl_config, sdxl_lcm_config,
                             sdxl_refiner_config, tiny_sd_config,
                             with_clip_skip, with_freeu)
 from .core.dtypes import BF16, FP32, MIXED, Policy
@@ -38,8 +39,9 @@ __all__ = [
     "generate", "generate_images", "generate_many", "load_models",
     "load_diffusers_models", "load_models_streamed", "CLIPTokenizer",
     "SDConfig", "CLIPConfig", "UNetConfig", "VAEConfig",
-    "sd15_config", "sd15_inpaint_config", "sd2_inpaint_config",
-    "sd21_config", "sdxl_config", "sdxl_refiner_config",
+    "sd15_config", "sd15_inpaint_config", "sd15_lcm_config",
+    "sd2_inpaint_config", "sd21_config", "sdxl_config",
+    "sdxl_lcm_config", "sdxl_refiner_config",
     "tiny_sd_config", "with_clip_skip", "with_freeu", "Policy", "FP32",
     "BF16", "MIXED",
     "get_time_embedding", "rescale",

@@ -51,10 +51,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "SD-2.1-v checkpoints; 0 = off)")
     p.add_argument("--sampler", default="ddpm")
     p.add_argument("--spacing", default="uniform",
-                   choices=["uniform", "karras"],
-                   help="timestep grid: uniform (reference parity) or the "
+                   choices=["uniform", "karras", "trailing"],
+                   help="timestep grid: uniform (reference parity), the "
                         "Karras sigma schedule (denser low-sigma steps — "
-                        "the community 'Karras' sampler variants)")
+                        "the community 'Karras' sampler variants), or "
+                        "trailing (grid ends at the terminal timestep — "
+                        "zero-SNR recipe, SDXL-Turbo)")
+    p.add_argument("--zero-snr", action="store_true",
+                   help="rescale betas to zero terminal SNR (v-prediction "
+                        "checkpoints fine-tuned with the Lin et al. 2024 "
+                        "recipe; combine with --spacing trailing and "
+                        "--guidance-rescale 0.7)")
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--height", type=int, default=512)
     p.add_argument("--decode-tile", type=int, default=None,
@@ -104,8 +111,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sd2", action="store_true",
                    help="SD-2.x architecture (sd21_config)")
     p.add_argument("--config-preset", default=None,
-                   choices=["sd15", "sd15_inpaint", "sd21", "sd2_inpaint",
-                            "sdxl", "sdxl_refiner", "tiny"],
+                   choices=["sd15", "sd15_inpaint", "sd15_lcm", "sd21",
+                            "sd2_inpaint", "sdxl", "sdxl_lcm",
+                            "sdxl_refiner", "tiny"],
                    help="explicit architecture preset (tiny = the scaled-"
                         "down test topology; overrides --sd2)")
     return p
@@ -120,7 +128,8 @@ def main(argv=None) -> int:
     from .core.cache import enable_compilation_cache
     from .core.dtypes import BF16, FP32
     from .models.config import (sd15_config, sd15_inpaint_config,
-                                sd2_inpaint_config, sd21_config, sdxl_config,
+                                sd15_lcm_config, sd2_inpaint_config,
+                                sd21_config, sdxl_config, sdxl_lcm_config,
                                 sdxl_refiner_config, tiny_sd_config)
 
     enable_compilation_cache()
@@ -129,10 +138,16 @@ def main(argv=None) -> int:
         "pallas" if jax.default_backend() == "tpu" else "xla")
     preset = args.config_preset or ("sd21" if args.sd2 else "sd15")
     make = {"sd15": sd15_config, "sd15_inpaint": sd15_inpaint_config,
+            "sd15_lcm": sd15_lcm_config,
             "sd21": sd21_config, "sd2_inpaint": sd2_inpaint_config,
-            "sdxl": sdxl_config, "sdxl_refiner": sdxl_refiner_config,
+            "sdxl": sdxl_config, "sdxl_lcm": sdxl_lcm_config,
+            "sdxl_refiner": sdxl_refiner_config,
             "tiny": tiny_sd_config}[preset]
     cfg = make(policy=policy, attention_backend=backend)
+    if args.zero_snr:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, zero_terminal_snr=True)
 
     print(f"[cli] backend={jax.default_backend()} attention={backend} "
           f"policy={'bf16' if args.bf16 else 'fp32'}", flush=True)

@@ -100,6 +100,12 @@ class UNetConfig:
     #: pooled text: 6 for SDXL-base (orig_h, orig_w, crop_t, crop_l,
     #: tgt_h, tgt_w), 5 for the refiner (crop + aesthetic_score).
     add_time_ids: int = 6
+    #: LCM guidance-embedding width (diffusers ``time_cond_proj_dim``,
+    #: 256 for the published LCM-distilled checkpoints): the guidance
+    #: scale w is sinusoidally embedded and linearly projected
+    #: (bias-free) into the sinusoidal timestep embedding before the
+    #: time MLP.  None for ordinary CFG checkpoints.
+    time_cond_dim: int = None
     #: FreeU (Si et al. 2023, training-free quality knob): (b1, b2, s1, s2)
     #: — at the two DEEPEST decoder levels, scale the first half of the
     #: backbone channels by b_i and low-pass-attenuate the skip connection
@@ -155,6 +161,11 @@ class SDConfig:
     clip2: CLIPConfig = None
     #: "epsilon" (SD-1.x / SD-2-base) or "v" (SD-2.x 768-v checkpoints).
     prediction_type: str = "epsilon"
+    #: Rescale betas so SNR(T) == 0 (Lin et al. 2024; terminal alpha-bar
+    #: pinned to 2^-24).  For v-prediction checkpoints fine-tuned with
+    #: zero terminal SNR; sample with timestep_spacing="trailing" and
+    #: guidance_rescale ~0.7 (the paper's recipe).
+    zero_terminal_snr: bool = False
     #: Fuse same-input q/k/v projections into one wide matmul (measured ~5%
     #: whole-UNet win on a single chip).  The pipeline forces this False on
     #: a tensor-parallel mesh: the fused concatenation runs along the
@@ -187,6 +198,16 @@ def tiny_sd_config(policy: Policy = FP32, **kw) -> SDConfig:
 
 def sd15_config(policy: Policy = FP32, **kw) -> SDConfig:
     return SDConfig(policy=policy, **kw)
+
+
+def sd15_lcm_config(policy: Policy = FP32, **kw) -> SDConfig:
+    """SD-1.5 LCM-distilled architecture (SimianLuo/LCM_Dreamshaper_v7
+    style): the SD-1.5 topology plus the 256-wide guidance-embedding
+    projection (``time_cond_dim``).  Sample with ``sampler_name="lcm"``,
+    2-8 steps, ``do_cfg=False`` (guidance is embedded via cfg_scale).
+    LCM-LoRA on a stock checkpoint needs no special config — merge with
+    ``loras=[...]`` and use the plain family preset."""
+    return SDConfig(unet=UNetConfig(time_cond_dim=256), policy=policy, **kw)
 
 
 def sd15_inpaint_config(policy: Policy = FP32, **kw) -> SDConfig:
@@ -272,6 +293,15 @@ def sdxl_inpaint_config(policy: Policy = FP32, **kw) -> SDConfig:
     base = sdxl_config(policy=policy, **kw)
     return dataclasses.replace(
         base, unet=dataclasses.replace(base.unet, in_channels=9))
+
+
+def sdxl_lcm_config(policy: Policy = FP32, **kw) -> SDConfig:
+    """SDXL LCM-distilled architecture (latent-consistency/lcm-sdxl
+    style): SDXL-base plus the 256-wide guidance-embedding projection.
+    Sample with ``sampler_name="lcm"``, 2-8 steps, ``do_cfg=False``."""
+    base = sdxl_config(policy=policy, **kw)
+    return dataclasses.replace(
+        base, unet=dataclasses.replace(base.unet, time_cond_dim=256))
 
 
 def sdxl_refiner_config(policy: Policy = FP32, **kw) -> SDConfig:

@@ -49,6 +49,24 @@ def timestep_embedding(t, dim: int, max_period: float = 10000.0):
     return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
 
 
+def guidance_scale_embedding(w, dim: int, max_period: float = 10000.0):
+    """LCM guidance-scale embedding (Luo et al. 2023 appendix C; the
+    diffusers convention fed to ``time_embed/cond_proj``): w scaled by
+    1000, half-dim frequency ladder over ``half - 1``, **[sin, cos]**
+    order — all three details differ from :func:`timestep_embedding`,
+    and the distilled weights bake them in.  w: scalar or (B,) ->
+    (B, dim).  Callers pass ``cfg_scale - 1``."""
+    w = jnp.atleast_1d(jnp.asarray(w, jnp.float32)) * 1000.0
+    half = dim // 2
+    freqs = jnp.exp(-jnp.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+                    / (half - 1))
+    args = w[:, None] * freqs[None, :]
+    emb = jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
 # ------------------------------------------------------------- architecture plan
 def encoder_plan(cfg: UNetConfig) -> List[dict]:
     """Stage descriptors mirroring diffusion.py:543-575."""
@@ -232,6 +250,12 @@ def init(key, cfg: UNetConfig, dtype=jnp.float32):
         },
         "conv_in": conv.init(k_cin, cfg.in_channels, cfg.model_channels, 3, dtype=dtype),
     }
+    if cfg.time_cond_dim:
+        # LCM guidance embedding projection (bias-free, diffusers
+        # time_embedding.cond_proj) — added to the sinusoidal t_emb
+        params["time_embed"]["cond_proj"] = linear.init(
+            jax.random.fold_in(k_t, 4), cfg.time_cond_dim,
+            cfg.model_channels, bias=False, dtype=dtype)
     if cfg.add_embed_dim:
         # SDXL added conditioning (pooled text + size ids) -> time embedding
         params["add_embed"] = {
@@ -308,6 +332,7 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
           t_emb: Optional[jax.Array] = None, fuse_qkv: bool = True,
           quant: str = "none", sp_mesh=None,
           add_cond: Optional[jax.Array] = None, control=None,
+          t_cond: Optional[jax.Array] = None,
           return_cache: bool = False, cache=None):
     """latents: (B, h, w, in_ch); context: (B, S, d_context); t: scalar timestep.
 
@@ -330,6 +355,12 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
     """
     if t_emb is None:
         t_emb = timestep_embedding(t, cfg.model_channels)
+    if t_cond is not None:
+        # LCM embedded guidance (guidance_scale_embedding output) joins the
+        # sinusoidal embedding before the time MLP
+        t_emb = t_emb + linear.apply(params["time_embed"]["cond_proj"],
+                                     t_cond.astype(policy.compute_dtype),
+                                     policy)
     t_emb = linear.apply(params["time_embed"]["fc1"], t_emb, policy)
     t_emb = linear.apply(params["time_embed"]["fc2"], silu(t_emb), policy)
     if add_cond is not None:

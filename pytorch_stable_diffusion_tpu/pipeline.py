@@ -43,9 +43,10 @@ from .models import clip as clip_mod
 from .models import unet as unet_mod
 from .models import vae as vae_mod
 from .models.config import SDConfig, sd15_config
-from .sampling import ddim, ddpm, dpm, euler, unipc
+from .sampling import ddim, ddpm, dpm, euler, lcm, unipc
 
-SAMPLERS = ("ddpm", "ddim", "dpm++", "euler", "euler_a", "heun", "unipc")
+SAMPLERS = ("ddpm", "ddim", "dpm++", "euler", "euler_a", "heun", "unipc",
+            "lcm")
 
 # --------------------------------------------------------------- tokenizing
 def _encode_tokens(tokenizer, prompts, max_len: int) -> np.ndarray:
@@ -190,9 +191,19 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
     # vs CompVis 0.00085, ref ddpm.py:30) — reproduce it only in quirk mode
     schedule = ddpm.make_schedule(
         beta_start=ddpm.REFERENCE_BETA_START if cfg.reference_quirks
-        else ddpm.BETA_START)
-    if timestep_spacing == "karras":
+        else ddpm.BETA_START,
+        zero_terminal_snr=cfg.zero_terminal_snr)
+    if sampler == "lcm":
+        # LCM timesteps live on the distillation grid (sampling/lcm.py);
+        # the Karras sigma grid has no meaning for a consistency model
+        if timestep_spacing != "uniform":
+            raise ValueError("sampler 'lcm' uses its own distillation-grid "
+                             "timesteps; timestep_spacing must be 'uniform'")
+        ts_np = lcm.inference_timesteps(n_steps)
+    elif timestep_spacing == "karras":
         ts_np = ddpm.karras_timesteps(schedule, n_steps)
+    elif timestep_spacing == "trailing":
+        ts_np = ddpm.trailing_timesteps(n_steps)
     elif timestep_spacing == "uniform":
         ts_np = ddpm.inference_timesteps(n_steps)
     else:
@@ -416,6 +427,14 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
 
             _sp = NamedSharding(sp_mesh, _P(None, "model", None, None))
 
+        t_cond = None
+        if cfg.unet.time_cond_dim:
+            # LCM embedded guidance: the distilled UNet consumes
+            # w = cfg_scale - 1 through its cond_proj (models/unet.py);
+            # typically combined with do_cfg=False (guidance is baked in)
+            t_cond = unet_mod.guidance_scale_embedding(
+                cfg_scale - 1.0, cfg.unet.time_cond_dim)
+
         def eps_at(step_i, latents, dc, dc_refresh=None):
             """-> (eps, t, dc').  ``dc`` is the DeepCache backbone carry (a
             dummy scalar when deepcache is off); ``dc_refresh`` overrides
@@ -456,7 +475,7 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                 attention_backend=cfg.attention_backend,
                 reference_quirks=cfg.reference_quirks,
                 fuse_qkv=cfg.fuse_qkv, quant=cfg.quant, sp_mesh=sp_mesh,
-                add_cond=add_cond, control=control)
+                add_cond=add_cond, control=control, t_cond=t_cond)
             if deepcache is None:
                 eps = unet_mod.apply(params["diffusion"], model_in, context,
                                      t, cfg.unet, policy, **unet_kw)
@@ -576,6 +595,10 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                     new_latents = euler.step_ancestral(
                         schedule, t, lat32, eps, noise,
                         num_inference_steps=n_steps, prev_t=prev)
+                elif sampler == "lcm":
+                    new_latents = lcm.step(schedule, t, lat32, eps, noise,
+                                           num_inference_steps=n_steps,
+                                           prev_t=prev)
                 else:
                     new_latents = ddpm.step(schedule, t, lat32, eps, noise,
                                             num_inference_steps=n_steps,

@@ -60,11 +60,34 @@ BETA_START = 0.00085
 REFERENCE_BETA_START = 0.000085
 
 
+def rescale_zero_terminal_snr(betas: np.ndarray) -> np.ndarray:
+    """Rescale a beta schedule so SNR(T) == 0 exactly.
+
+    "Common Diffusion Noise Schedules and Sample Steps are Flawed"
+    (Lin et al. 2024), alg. 1: shift sqrt(alpha_bar) so the terminal value
+    is 0, rescale so the initial value is preserved, recover betas.  For
+    v-prediction checkpoints fine-tuned with zero-SNR (the paper's recipe,
+    together with trailing spacing and guidance rescale)."""
+    abar_sqrt = np.sqrt(np.cumprod(1.0 - betas))
+    a0, aT = abar_sqrt[0], abar_sqrt[-1]
+    abar_sqrt = (abar_sqrt - aT) * (a0 / (a0 - aT))
+    abar = abar_sqrt**2
+    alphas = np.concatenate([abar[:1], abar[1:] / abar[:-1]])
+    return 1.0 - alphas
+
+
 def make_schedule(num_train_timesteps: int = 1000, beta_start: float = BETA_START,
-                  beta_end: float = 0.012) -> DDPMSchedule:
+                  beta_end: float = 0.012,
+                  zero_terminal_snr: bool = False) -> DDPMSchedule:
     betas = np.linspace(beta_start**0.5, beta_end**0.5, num_train_timesteps,
                         dtype=np.float64) ** 2
+    if zero_terminal_snr:
+        betas = rescale_zero_terminal_snr(betas)
     alphas_cumprod = np.cumprod(1.0 - betas)
+    if zero_terminal_snr:
+        # exactly 0 would blow up every eps->x0 form at t = T-1; pin the
+        # terminal alpha-bar just above 0 (the ecosystem-standard 2^-24)
+        alphas_cumprod[-1] = 2.0**-24
     return DDPMSchedule(
         betas=jnp.asarray(betas, jnp.float32),
         alphas_cumprod=jnp.asarray(alphas_cumprod, jnp.float32),
@@ -77,6 +100,18 @@ def inference_timesteps(num_inference_steps: int,
     """Descending int32 timesteps (ddpm.py:56-63)."""
     ratio = num_train_timesteps // num_inference_steps
     ts = (np.arange(num_inference_steps) * ratio).round()[::-1].copy()
+    return ts.astype(np.int32)
+
+
+def trailing_timesteps(num_inference_steps: int,
+                       num_train_timesteps: int = 1000) -> np.ndarray:
+    """Descending int32 timesteps with "trailing" spacing: the grid ends
+    exactly at the terminal timestep T-1 (uniform spacing starts at
+    ``(n-1)*(T//n)`` instead, under-noising the first step).  The sampling
+    half of the zero-SNR recipe (Lin et al. 2024 §3.2); also what 1-4-step
+    distilled checkpoints (SDXL-Turbo) are sampled with."""
+    ratio = num_train_timesteps / num_inference_steps
+    ts = np.round(np.arange(num_train_timesteps, 0, -ratio)) - 1
     return ts.astype(np.int32)
 
 

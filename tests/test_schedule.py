@@ -109,3 +109,58 @@ def test_step_prev_t_below_zero_uses_alpha_one():
     x0 = lat / np.sqrt(a_t)
     mean = np.sqrt(1.0) * (1 - a_t) / b_t * x0 + np.sqrt(a_t) * 0.0 / b_t * lat
     np.testing.assert_allclose(got, mean, rtol=2e-4)
+
+
+def test_trailing_timesteps():
+    """Trailing grid ends exactly at the terminal timestep (Lin et al.
+    2024 §3.2; what SDXL-Turbo-style few-step sampling uses)."""
+    np.testing.assert_array_equal(ddpm.trailing_timesteps(4),
+                                  [999, 749, 499, 249])
+    ts = ddpm.trailing_timesteps(50)
+    assert ts[0] == 999 and ts[-1] == 19 and len(ts) == 50
+    assert (np.diff(ts) < 0).all()
+    # uniform spacing never reaches the terminal step — the flaw trailing
+    # fixes
+    assert ddpm.inference_timesteps(50)[0] == 980
+
+
+def test_zero_terminal_snr_rescale():
+    s0 = ddpm.make_schedule()
+    s = ddpm.make_schedule(zero_terminal_snr=True)
+    a0 = np.asarray(s0.alphas_cumprod, np.float64)
+    a = np.asarray(s.alphas_cumprod, np.float64)
+    # terminal alpha-bar pinned to 2^-24 (SNR(T) ~ 0; exact 0 would break
+    # every eps -> x0 division)
+    np.testing.assert_allclose(a[-1], 2.0**-24, rtol=1e-6)
+    # initial alpha-bar preserved (alg. 1 rescales, does not shift, t=0)
+    np.testing.assert_allclose(a[0], a0[0], rtol=1e-5)
+    # still a valid monotone schedule; betas in (0, 1] with the terminal
+    # beta exactly 1 (alpha_T = 0 is the zero-SNR defining property)
+    assert (np.diff(a) < 0).all()
+    b = np.asarray(s.betas, np.float64)
+    assert (b > 0).all() and (b <= 1).all() and b[-1] == 1.0
+    # closed form: sqrt(abar) is the affine rescale of the original
+    r0, rT = np.sqrt(a0[0]), np.sqrt(a0[-1])
+    expect = ((np.sqrt(a0) - rT) * (r0 / (r0 - rT))) ** 2
+    np.testing.assert_allclose(a[:-1], expect[:-1], rtol=1e-4, atol=1e-9)
+
+
+def test_zero_snr_trailing_pipeline(tiny_models, tiny_tokenizer):
+    """The full zero-SNR recipe (v-pred + rescaled betas + trailing grid +
+    guidance rescale) compiles and runs; the schedule change alters the
+    image."""
+    import dataclasses
+
+    import pytorch_stable_diffusion_tpu as sdt
+    from pytorch_stable_diffusion_tpu.models.config import tiny_sd_config
+
+    cfg_v = tiny_sd_config(prediction_type="v")
+    kw = dict(models=tiny_models, tokenizer=tiny_tokenizer, seed=3,
+              n_inference_steps=2, height=16, width=16,
+              timestep_spacing="trailing", guidance_rescale=0.7)
+    img_plain = sdt.generate("a cat", config=cfg_v, **kw)
+    cfg_z = dataclasses.replace(cfg_v, zero_terminal_snr=True)
+    img_z = sdt.generate("a cat", config=cfg_z, **kw)
+    assert img_z.shape == (16, 16, 3)
+    assert np.isfinite(np.asarray(img_z, np.float64)).all()
+    assert (img_z != img_plain).any()
