@@ -45,8 +45,8 @@ from .models import vae as vae_mod
 from .models.config import SDConfig, sd15_config
 from .sampling import ddim, ddpm, dpm, euler, lcm, unipc
 
-SAMPLERS = ("ddpm", "ddim", "dpm++", "euler", "euler_a", "heun", "unipc",
-            "lcm")
+SAMPLERS = ("ddpm", "ddim", "dpm++", "dpm++_sde", "euler", "euler_a",
+            "heun", "unipc", "lcm")
 
 # --------------------------------------------------------------- tokenizing
 def _encode_tokens(tokenizer, prompts, max_len: int) -> np.ndarray:
@@ -535,16 +535,22 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
 
         # dynamic lower bound: img2img strength skips steps without paying
         # for them (the reference truncates the Python list, ddpm.py:97-99)
-        if sampler in ("dpm++", "unipc"):
-            mod = dpm if sampler == "dpm++" else unipc
+        if sampler in ("dpm++", "dpm++_sde", "unipc"):
+            mod = unipc if sampler == "unipc" else dpm
 
             def body(step_i, carry):
                 lat, st, dc = carry
                 lat = inpaint_blend(step_i, lat)
                 eps, t, dc = eps_at(step_i, lat, dc)
-                new_lat, st = mod.step(schedule, t, lat, eps, st,
-                                       num_inference_steps=n_steps,
-                                       prev_t=prev_timesteps[step_i])
+                if sampler == "dpm++_sde":
+                    new_lat, st = dpm.step_sde(
+                        schedule, t, lat, eps, step_noises[step_i], st,
+                        num_inference_steps=n_steps,
+                        prev_t=prev_timesteps[step_i])
+                else:
+                    new_lat, st = mod.step(schedule, t, lat, eps, st,
+                                           num_inference_steps=n_steps,
+                                           prev_t=prev_timesteps[step_i])
                 return new_lat.astype(jnp.float32), st, dc
 
             latents, _, _ = jax.lax.fori_loop(

@@ -77,3 +77,60 @@ def step(schedule: DDPMSchedule, t, latents, eps, state, *,
         "count": state["count"] + 1,
     }
     return x_next.astype(dt), new_state
+
+
+def step_sde(schedule: DDPMSchedule, t, latents, eps, noise, state, *,
+             num_inference_steps: int, prev_t=None) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """One SDE-DPM-Solver++(2M) step (the community "DPM++ 2M SDE",
+    midpoint variant): the 2M multistep update with an e^{-2h} memory
+    decay on the current sample plus ancestral noise.
+
+      x_next = (sigma_n/sigma_t) e^{-h} x
+             + alpha_n (1 - e^{-2h}) D
+             + sigma_n sqrt(1 - e^{-2h}) z,
+      D = x0 + (1/(2r)) (x0 - x0_prev),  r = h_prev / h  (midpoint; D = x0
+      on the first and final steps).
+
+    Variance-preserving by construction: the x-coefficient contributes
+    sigma_n^2 e^{-2h} and the noise term sigma_n^2 (1 - e^{-2h}), so a
+    correctly-noised marginal stays correctly noised.  The final step
+    (prev_t < 0) has sigma_n = 0 and e^{-h} = 0, collapsing to x0 exactly
+    with zero injected noise.  ``noise``: standard normal, same shape.
+    """
+    dt = latents.dtype
+    x = latents.astype(jnp.float32)
+    eps = eps.astype(jnp.float32)
+    if prev_t is None:  # uniform grid (identical to timesteps[i+1])
+        prev_t = t - schedule.num_train_timesteps // num_inference_steps
+
+    a_t = schedule.alphas_cumprod[t]
+    a_n = _alpha_bar_prev(schedule, prev_t)
+    alpha_t, sigma_t = jnp.sqrt(a_t), jnp.sqrt(1.0 - a_t)
+    alpha_n, sigma_n = jnp.sqrt(a_n), jnp.sqrt(1.0 - a_n)
+
+    x0 = (x - sigma_t * eps) / alpha_t
+
+    lam_t = jnp.log(alpha_t / jnp.maximum(sigma_t, 1e-20))
+    lam_n = jnp.log(alpha_n / jnp.maximum(sigma_n, 1e-20))
+    h = lam_n - lam_t
+    # e^{-h} without the sigma_n -> 0 singularity
+    exp_neg_h = (alpha_t * sigma_n) / (sigma_t * alpha_n)
+    exp_neg_2h = exp_neg_h * exp_neg_h
+
+    final = prev_t < 0
+    second = jnp.logical_and(state["count"] > 0, jnp.logical_not(final))
+    r = state["prev_h"] / jnp.where(h == 0, 1.0, h)
+    w = 1.0 / (2.0 * jnp.where(r == 0, 1.0, r))
+    d = jnp.where(second, x0 + w * (x0 - state["prev_x0"]), x0)
+
+    x_next = (sigma_n / jnp.maximum(sigma_t, 1e-20)) * exp_neg_h * x \
+        + alpha_n * (1.0 - exp_neg_2h) * d \
+        + sigma_n * jnp.sqrt(jnp.clip(1.0 - exp_neg_2h, min=0.0)) \
+        * noise.astype(jnp.float32)
+
+    new_state = {
+        "prev_x0": x0,
+        "prev_h": jnp.where(final, state["prev_h"], h).astype(jnp.float32),
+        "count": state["count"] + 1,
+    }
+    return x_next.astype(dt), new_state

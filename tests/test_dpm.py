@@ -95,3 +95,102 @@ def test_pipeline_dpm(tiny_cfg, tiny_models, tiny_tokenizer):
     assert (img == img2).all()  # deterministic
     img_ddpm = sdt.generate("a cat", sampler_name="ddpm", **kw)
     assert (img != img_ddpm).any()
+
+
+# ------------------------------------------------------------ DPM++ 2M SDE
+def _lam_sig(acp, t):
+    a = acp[t]
+    return np.sqrt(a), np.sqrt(1 - a)
+
+
+def test_sde_first_order_closed_form():
+    s = ddpm.make_schedule()
+    acp = np.asarray(s.alphas_cumprod, np.float64)
+    rng = np.random.RandomState(0)
+    x = rng.randn(1, 4, 4, 4).astype(np.float32)
+    eps = rng.randn(1, 4, 4, 4).astype(np.float32)
+    z = rng.randn(1, 4, 4, 4).astype(np.float32)
+    t, n = 980, 50
+    prev = t - 1000 // n
+    got, _ = dpm.step_sde(s, t, x, eps, z, dpm.init_state(x.shape),
+                          num_inference_steps=n)
+    a_t, s_t = _lam_sig(acp, t)
+    a_n, s_n = _lam_sig(acp, prev)
+    x0 = (x - s_t * eps) / a_t
+    e_h = (a_t * s_n) / (s_t * a_n)
+    expect = (s_n / s_t) * e_h * x + a_n * (1 - e_h**2) * x0 \
+        + s_n * np.sqrt(1 - e_h**2) * z
+    np.testing.assert_allclose(np.asarray(got), expect, rtol=2e-4, atol=2e-5)
+
+
+def test_sde_second_order_midpoint_form():
+    s = ddpm.make_schedule()
+    acp = np.asarray(s.alphas_cumprod, np.float64)
+    rng = np.random.RandomState(1)
+    x = rng.randn(1, 4, 4, 4).astype(np.float32)
+    eps = rng.randn(1, 4, 4, 4).astype(np.float32)
+    z = np.zeros_like(x)
+    n = 50
+    t1, t0 = 980, 960  # two consecutive grid points
+    prev = 940
+    state = dpm.init_state(x.shape)
+    x1, state = dpm.step_sde(s, t1, x, eps, z, state, num_inference_steps=n)
+    eps2 = rng.randn(1, 4, 4, 4).astype(np.float32)
+    got, _ = dpm.step_sde(s, t0, x1, eps2, z, state, num_inference_steps=n)
+    # oracle with the recorded first x0 and equal log-snr gaps (r = h'/h)
+    a_t1, s_t1 = _lam_sig(acp, t1)
+    x0_prev = (x - s_t1 * eps) / a_t1
+    a_t, s_t = _lam_sig(acp, t0)
+    a_n, s_n = _lam_sig(acp, prev)
+    x0 = (np.asarray(x1) - s_t * eps2) / a_t
+    lam = lambda a, sg: np.log(a / sg)
+    h_prev = lam(a_t, s_t) - lam(a_t1, s_t1)
+    h = lam(a_n, s_n) - lam(a_t, s_t)
+    r = h_prev / h
+    d = x0 + (1.0 / (2 * r)) * (x0 - x0_prev)
+    e_h = (a_t * s_n) / (s_t * a_n)
+    expect = (s_n / s_t) * e_h * np.asarray(x1) + a_n * (1 - e_h**2) * d
+    np.testing.assert_allclose(np.asarray(got), expect, rtol=2e-3, atol=2e-4)
+
+
+def test_sde_variance_preserving_coefficients():
+    """x-coefficient^2 (per unit sigma_t) + noise-coefficient^2 = sigma_n^2:
+    a correctly-noised marginal stays correctly noised."""
+    s = ddpm.make_schedule()
+    acp = np.asarray(s.alphas_cumprod, np.float64)
+    for t, prev in [(980, 960), (500, 480), (100, 80)]:
+        a_t, s_t = _lam_sig(acp, t)
+        a_n, s_n = _lam_sig(acp, prev)
+        e_h = (a_t * s_n) / (s_t * a_n)
+        c_x_noise = (s_n / s_t) * e_h * s_t       # multiplies the d in x
+        c_z = s_n * np.sqrt(1 - e_h**2)
+        np.testing.assert_allclose(c_x_noise**2 + c_z**2, s_n**2, rtol=1e-12)
+
+
+def test_sde_final_step_returns_x0():
+    s = ddpm.make_schedule()
+    acp = np.asarray(s.alphas_cumprod, np.float64)
+    rng = np.random.RandomState(2)
+    x = rng.randn(1, 2, 2, 4).astype(np.float32)
+    eps = rng.randn(1, 2, 2, 4).astype(np.float32)
+    big = np.full_like(x, 1e6)
+    st = dpm.init_state(x.shape)
+    st = {**st, "count": np.int32(3), "prev_h": np.float32(0.5),
+          "prev_x0": rng.randn(1, 2, 2, 4).astype(np.float32)}
+    got, _ = dpm.step_sde(s, 0, x, eps, big, st, num_inference_steps=50)
+    a, sg = _lam_sig(acp, 0)
+    x0 = (x - sg * eps) / a
+    np.testing.assert_allclose(np.asarray(got), x0, rtol=2e-4, atol=2e-5)
+
+
+def test_pipeline_dpm_sde(tiny_cfg, tiny_models, tiny_tokenizer):
+    kw = dict(models=tiny_models, tokenizer=tiny_tokenizer, seed=4,
+              n_inference_steps=N_STEPS, config=tiny_cfg, height=H, width=W)
+    a = sdt.generate("a cat", sampler_name="dpm++_sde", **kw)
+    assert a.shape == (H, W, 3)
+    a2 = sdt.generate("a cat", sampler_name="dpm++_sde", **kw)
+    assert (a == a2).all()
+    b = sdt.generate("a cat", sampler_name="dpm++_sde", **{**kw, "seed": 9})
+    assert (a != b).any()  # the injected noise is seed-dependent
+    det = sdt.generate("a cat", sampler_name="dpm++", **kw)
+    assert (a != det).any()
