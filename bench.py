@@ -48,8 +48,8 @@ def main():
     ap.add_argument("--backend", default="pallas",
                     choices=["pallas", "xla"])
     ap.add_argument("--quant", default="none",
-                    choices=["none", "wide", "conv"],
-                    help="UNet w8a8 int8 tier (ops/quant.py)")
+                    choices=["none", "wide", "conv", "w8"],
+                    help="UNet int8 tier (ops/quant.py; w8 = weight-only)")
     ap.add_argument("--family", default="sd15",
                     choices=["sd15", "sd21", "sdxl"],
                     help="model family (driver headline stays sd15; "

@@ -172,10 +172,13 @@ class SDConfig:
     #: Megatron column-sharded kernel axis, making GSPMD gather the
     #: deliberately-sharded weights (ADVICE r2).
     fuse_qkv: bool = True
-    #: UNet dynamic w8a8 int8 for wide contractions (ops/quant.py):
-    #: "none" (exact bf16/fp32), "wide" (K >= 1280 matmuls/1x1s only — the
-    #: 16²/8² levels), "conv" (additionally every 3x3 conv).  Perf tier; the
-    #: in-situ hardware A/B decides the shipping default.
+    #: UNet int8 tier (ops/quant.py): "none" (exact bf16/fp32), "wide"
+    #: (dynamic w8a8 on K >= 1280 matmuls/1x1s only — the 16²/8² levels),
+    #: "conv" (w8a8 additionally on every 3x3 conv), "w8" (WEIGHT-only
+    #: int8 on every UNet contraction — halves per-step HBM weight
+    #: traffic, no activation-quant fusion boundaries; the batch-1
+    #: latency candidate).  Perf tiers; in-situ hardware A/Bs decide the
+    #: shipping default (w8a8 measured negative, RESULTS.md).
     quant: str = "none"
     #: SDXL-refiner aesthetic-score conditioning value (the 5th
     #: add_time_id; sgm's positive-prompt default).  Unused elsewhere.

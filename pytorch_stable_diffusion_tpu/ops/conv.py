@@ -55,6 +55,11 @@ def apply(params, x, stride: int = 1, padding: PadT = 0, policy: Policy = FP32,
     if quant != "none":
         from . import quant as quant_mod
 
+        if quant == "w8":  # weight-only: every conv (traffic, not MXU)
+            y = quant_mod.w8_conv(x, params["kernel"], stride=stride,
+                                  padding=pad, bias=params.get("bias"),
+                                  compute_dtype=policy.compute_dtype)
+            return y.astype(policy.compute_dtype)
         kh, _, c_in, _ = params["kernel"].shape
         if quant_mod.conv_wants_int8(quant, c_in, kh):
             y = quant_mod.int8_conv(x, params["kernel"], stride=stride,

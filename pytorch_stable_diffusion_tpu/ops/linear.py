@@ -28,6 +28,10 @@ def apply(params, x, policy: Policy = FP32, quant: str = "none"):
     if quant != "none":
         from . import quant as quant_mod
 
+        if quant == "w8":  # weight-only: every matmul (traffic, not MXU)
+            y = quant_mod.w8_linear(x, params["kernel"], params.get("bias"),
+                                    compute_dtype=policy.compute_dtype)
+            return y.astype(policy.compute_dtype)
         if quant_mod.matmul_wants_int8(quant, params["kernel"].shape[0]):
             y = quant_mod.int8_linear(x, params["kernel"],
                                       params.get("bias"))

@@ -86,6 +86,45 @@ def int8_conv(x, kernel, *, stride=1, padding=1, bias=None):
     return y
 
 
+def w8_linear(x, kernel, bias=None, compute_dtype=jnp.bfloat16):
+    """(..., K) @ (K, N) with WEIGHT-ONLY int8 (w8a16).
+
+    Motivation: batch-1 latency is weight-traffic heavy (the SD-1.5 UNet
+    reads ~1.7 GB of bf16 weights every step); storing weights int8 halves
+    that.  Unlike w8a8 there is no activation-quant boundary, so XLA's
+    elementwise fusions around the matmul stay intact — the failure mode
+    that made w8a8 +67% in situ (benchmarks/RESULTS.md).
+
+    int8 values are exactly representable in bf16, and the per-output-
+    channel scale commutes with the contraction, so it is applied to the
+    OUTPUT — no dequantized weight copy is ever materialized.  The only
+    error vs bf16 is the weight rounding itself (~0.4% relative).
+    """
+    wq, ws = quantize(kernel, axes=0)            # ws: (1, N)
+    y = jnp.dot(x.astype(compute_dtype), wq.astype(compute_dtype))
+    y = y.astype(jnp.float32) * ws.reshape(-1)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y
+
+
+def w8_conv(x, kernel, *, stride=1, padding=1, bias=None,
+            compute_dtype=jnp.bfloat16):
+    """NHWC conv with weight-only int8 (see w8_linear).  kernel: HWIO."""
+    wq, ws = quantize(kernel, axes=(0, 1, 2))    # ws: (1,1,1,O)
+    if isinstance(padding, int):
+        padding = [(padding, padding)] * 2
+    y = jax.lax.conv_general_dilated(
+        x.astype(compute_dtype), wq.astype(compute_dtype),
+        window_strides=(stride, stride), padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=compute_dtype)
+    y = y.astype(jnp.float32) * ws.reshape(-1)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y
+
+
 def conv_wants_int8(quant: str, c_in: int, kh: int = 3) -> bool:
     """Dispatch predicate for convs under quant mode.
 

@@ -690,6 +690,9 @@ def _run_generate(
     if models is None or tokenizer is None:
         raise ValueError("models dict and tokenizer are required")
     cfg = config or sd15_config()
+    if cfg.quant not in ("none", "wide", "conv", "w8"):
+        # unknown tiers would otherwise silently run the exact path
+        raise ValueError(f"unknown quant tier {cfg.quant!r}")
     if clip_skip is not None:
         # A1111 "CLIP skip": condition on an earlier text-encoder layer
         # (models/config.with_clip_skip); a distinct cfg keys a distinct

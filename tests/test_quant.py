@@ -129,3 +129,70 @@ def test_mid_unet_quant_active_and_sane():
     assert np.isfinite(b).all()
     rel = np.abs(a - b).mean() / (np.abs(a).mean() + 1e-9)
     assert rel < 0.1, rel
+
+
+# ------------------------------------------------- weight-only int8 ("w8")
+def test_w8_linear_matches_output_scaled_reference():
+    """w8 must equal x @ dequant(w) exactly in math: the per-O-channel
+    scale commutes with the contraction, so output-scaling == weight
+    dequantization."""
+    x = jnp.asarray(rng.randn(8, 320).astype(np.float32))
+    w = jnp.asarray((rng.randn(320, 640) * 0.02).astype(np.float32))
+    b = jnp.asarray(rng.randn(640).astype(np.float32))
+    got = np.asarray(quant.w8_linear(x, w, b, compute_dtype=jnp.float32))
+
+    wq, ws = quant.quantize(w, axes=0)
+    deq = np.asarray(wq, np.float32) * np.asarray(ws)
+    ref = np.asarray(x) @ deq + np.asarray(b)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+    # close to exact: weight rounding only (no activation quantization)
+    exact = np.asarray(x) @ np.asarray(w) + np.asarray(b)
+    rel = np.abs(got - exact).mean() / np.abs(exact).mean()
+    assert rel < 0.01, rel
+
+
+def test_w8_conv_matches_output_scaled_reference():
+    x = jnp.asarray(rng.randn(1, 8, 8, 32).astype(np.float32))
+    w = jnp.asarray((rng.randn(3, 3, 32, 64) * 0.05).astype(np.float32))
+    got = np.asarray(quant.w8_conv(x, w, compute_dtype=jnp.float32))
+    wq, ws = quant.quantize(w, axes=(0, 1, 2))
+    deq = np.asarray(wq, np.float32) * np.asarray(ws)
+    ref = np.asarray(jax.lax.conv_general_dilated(
+        x, jnp.asarray(deq), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC")))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_w8_applies_at_every_width():
+    """Unlike w8a8, w8 is traffic-motivated: it takes the quant path even
+    at K far below MIN_K (tiny config), changing the output slightly."""
+    from pytorch_stable_diffusion_tpu.models import unet
+    from pytorch_stable_diffusion_tpu.models.config import tiny_sd_config
+
+    cfg = tiny_sd_config()
+    key = jax.random.PRNGKey(0)
+    params = unet.init(key, cfg.unet)
+    lat = jnp.asarray(rng.randn(1, 8, 8, 4).astype(np.float32))
+    ctx = jnp.asarray(rng.randn(1, 16, 32).astype(np.float32))
+    a = np.asarray(jax.jit(lambda p, l, c: unet.apply(
+        p, l, c, 500, cfg.unet))(params, lat, ctx))
+    b = np.asarray(jax.jit(lambda p, l, c: unet.apply(
+        p, l, c, 500, cfg.unet, quant="w8"))(params, lat, ctx))
+    assert not np.array_equal(a, b)
+    assert np.isfinite(b).all()
+    rel = np.abs(a - b).mean() / (np.abs(a).mean() + 1e-9)
+    assert rel < 0.05, rel
+
+
+def test_w8_pipeline_end_to_end(tiny_models, tiny_tokenizer):
+    import dataclasses
+
+    import pytorch_stable_diffusion_tpu as sdt
+    from pytorch_stable_diffusion_tpu.models.config import tiny_sd_config
+
+    cfg = dataclasses.replace(tiny_sd_config(), quant="w8")
+    img = sdt.generate("a cat", models=tiny_models, tokenizer=tiny_tokenizer,
+                       seed=3, n_inference_steps=2, config=cfg,
+                       height=16, width=16)
+    assert img.shape == (16, 16, 3)
+    assert np.isfinite(np.asarray(img, np.float64)).all()
