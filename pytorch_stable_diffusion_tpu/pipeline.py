@@ -43,10 +43,10 @@ from .models import clip as clip_mod
 from .models import unet as unet_mod
 from .models import vae as vae_mod
 from .models.config import SDConfig, sd15_config
-from .sampling import ddim, ddpm, dpm, euler, lcm, unipc
+from .sampling import ddim, ddpm, dpm, euler, lcm, pndm, unipc
 
 SAMPLERS = ("ddpm", "ddim", "dpm++", "dpm++_sde", "euler", "euler_a",
-            "heun", "unipc", "lcm")
+            "heun", "unipc", "lcm", "plms")
 
 # --------------------------------------------------------------- tokenizing
 def _encode_tokens(tokenizer, prompts, max_len: int) -> np.ndarray:
@@ -556,6 +556,23 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
             latents, _, _ = jax.lax.fori_loop(
                 start_step, n_steps, body,
                 (latents.astype(jnp.float32), mod.init_state(lat_shape), dc0))
+        elif sampler == "plms":
+            # n_steps + 1 iterations: the trapezoidal warmup re-evaluates
+            # the second grid point (sampling/pndm.py eval schedule)
+            def body(i, carry):
+                lat, st, dc = carry
+                te = pndm.eval_index(i, start_step)
+                lat = inpaint_blend(te, lat)
+                eps, _, dc = eps_at(te, lat, dc)
+                new_lat, st = pndm.step(schedule, timesteps, prev_timesteps,
+                                        i, start_step, lat, eps, st,
+                                        n_steps=n_steps)
+                return new_lat.astype(jnp.float32), st, dc
+
+            latents, _, _ = jax.lax.fori_loop(
+                start_step, n_steps + 1, body,
+                (latents.astype(jnp.float32), pndm.init_state(lat_shape),
+                 dc0))
         elif sampler == "heun":
             # two model evals per step: Euler predict, then trapezoidal
             # correct with eps at (prediction, next timestep).  The final

@@ -190,3 +190,26 @@ def test_cli_multi_controlnet(assets, tiny_cfg):
               "--prompt", "a cat", "--config-preset", "tiny",
               "--controlnet", cn_paths[0], "--controlnet", cn_paths[1],
               "--control-image", img_paths[0], "--out", out])
+
+
+def test_cli_zero_snr_and_new_samplers(assets):
+    """--zero-snr + --spacing trailing + --sampler plms/lcm drive through
+    the file path; flags actually change the output."""
+    d, ckpt, vocab, merges = assets
+    base = ["--ckpt", ckpt, "--vocab", vocab, "--merges", merges,
+            "--prompt", "a dog", "--steps", "2", "--width", "16",
+            "--height", "16", "--config-preset", "tiny"]
+    out_a = os.path.join(d, "zs_a.png")
+    rc = main(base + ["--sampler", "plms", "--out", out_a])
+    assert rc == 0
+    out_b = os.path.join(d, "zs_b.png")
+    rc = main(base + ["--sampler", "plms", "--zero-snr",
+                      "--spacing", "trailing", "--guidance-rescale", "0.7",
+                      "--out", out_b])
+    assert rc == 0
+    a = np.asarray(Image.open(out_a))
+    b = np.asarray(Image.open(out_b))
+    assert a.shape == b.shape == (16, 16, 3) and (a != b).any()
+    out_c = os.path.join(d, "zs_c.png")
+    rc = main(base + ["--sampler", "lcm", "--no-cfg", "--out", out_c])
+    assert rc == 0
