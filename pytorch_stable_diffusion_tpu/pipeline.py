@@ -43,6 +43,7 @@ from .models import clip as clip_mod
 from .models import unet as unet_mod
 from .models import vae as vae_mod
 from .models.config import SDConfig, sd15_config
+from . import prompt_schedule
 from .sampling import ddim, ddpm, dpm, euler, lcm, pndm, unipc
 
 SAMPLERS = ("ddpm", "ddim", "dpm++", "dpm++_sde", "euler", "euler_a",
@@ -147,7 +148,8 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                       guidance_rescale: float = 0.0,
                       timestep_spacing: str = "uniform",
                       emphasis: bool = False,
-                      deepcache: Optional[int] = None):
+                      deepcache: Optional[int] = None,
+                      n_sched: int = 1):
     """Build + jit the full generate computation for one static shape.
 
     ``fixed_noise=True`` compiles a variant whose latent-init / encoder /
@@ -317,13 +319,32 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
 
     def run(params: Dict[str, Any], cond_tokens, uncond_tokens, key,
             cfg_scale, start_step, init_image, noises):
+        # prompt editing (n_sched > 1): token arrays carry the K realized
+        # schedules flattened into the leading axis (K*B, ...); one batched
+        # CLIP call encodes them all, then the per-step conditioning is a
+        # dynamic index into the (K, [2]B, ...) stack inside the loop
         context, add_cond = encode_text(
             params, cond_tokens,
             noises["cond_weights"] if emphasis else None)
+        uncond_ctx = uncond_add = None
         if do_cfg:
             uncond_ctx, uncond_add = encode_text(
                 params, uncond_tokens,
                 noises["uncond_weights"] if emphasis else None)
+        if n_sched > 1:
+            sched_idx = noises["sched_idx"]
+
+            def _stack(c, u):
+                c = c.reshape((n_sched, batch) + c.shape[1:])
+                if not do_cfg:
+                    return c
+                u = u.reshape((n_sched, batch) + u.shape[1:])
+                return jnp.concatenate([c, u], axis=1)
+
+            context = _stack(context, uncond_ctx)
+            if add_cond is not None:
+                add_cond = _stack(add_cond, uncond_add)
+        elif do_cfg:
             context = jnp.concatenate([context, uncond_ctx], axis=0)
             if add_cond is not None:
                 add_cond = jnp.concatenate([add_cond, uncond_add], axis=0)
@@ -440,6 +461,14 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
             dummy scalar when deepcache is off); ``dc_refresh`` overrides
             the step-index refresh predicate (heun's corrector eval is
             always shallow)."""
+            if n_sched == 1:
+                ctx, add_c = context, add_cond
+            else:  # prompt editing: this step's realized conditioning
+                ctx = jax.lax.dynamic_index_in_dim(
+                    context, sched_idx[step_i], 0, keepdims=False)
+                add_c = None if add_cond is None else \
+                    jax.lax.dynamic_index_in_dim(
+                        add_cond, sched_idx[step_i], 0, keepdims=False)
             t = timesteps[step_i]
             lat_c = latents.astype(policy.compute_dtype)
             lat_in = lat_c
@@ -458,12 +487,12 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                 nets = nets if isinstance(nets, (list, tuple)) else [nets]
                 for ci, net in enumerate(nets):
                     c_i = controlnet_mod.apply(
-                        net, ctrl_in, context, t, hint_feats[ci],
+                        net, ctrl_in, ctx, t, hint_feats[ci],
                         cfg.unet, policy,
                         attention_backend=cfg.attention_backend,
                         fuse_qkv=cfg.fuse_qkv,
                         conditioning_scale=ctrl_scale[ci],
-                        add_cond=add_cond)
+                        add_cond=add_c)
                     if control is None:
                         control = c_i
                     else:  # multi-ControlNet: residuals sum
@@ -475,9 +504,9 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                 attention_backend=cfg.attention_backend,
                 reference_quirks=cfg.reference_quirks,
                 fuse_qkv=cfg.fuse_qkv, quant=cfg.quant, sp_mesh=sp_mesh,
-                add_cond=add_cond, control=control, t_cond=t_cond)
+                add_cond=add_c, control=control, t_cond=t_cond)
             if deepcache is None:
-                eps = unet_mod.apply(params["diffusion"], model_in, context,
+                eps = unet_mod.apply(params["diffusion"], model_in, ctx,
                                      t, cfg.unet, policy, **unet_kw)
             else:
                 refresh = ((step_i - start_step) % deepcache == 0) \
@@ -485,12 +514,12 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
 
                 def _full(_):
                     return unet_mod.apply(
-                        params["diffusion"], model_in, context, t, cfg.unet,
+                        params["diffusion"], model_in, ctx, t, cfg.unet,
                         policy, return_cache=True, **unet_kw)
 
                 def _shallow(_):
                     return unet_mod.apply(
-                        params["diffusion"], model_in, context, t, cfg.unet,
+                        params["diffusion"], model_in, ctx, t, cfg.unet,
                         policy, cache=dc, **unet_kw), dc
 
                 eps, dc = jax.lax.cond(refresh, _full, _shallow, None)
@@ -740,6 +769,26 @@ def _run_generate(
         uncond = uncond * len(prompts)
     batch = len(prompts)
 
+    # A1111 prompt editing/alternation ([from:to:N], [a|b]): realize the
+    # per-step prompts, dedupe to K distinct conditionings + an index map;
+    # the K realizations ride flattened into the encoding batch and the
+    # compiled loop switches context per step (prompt_schedule.py).
+    sched_idx_arr = None
+    n_sched = 1
+    if any(prompt_schedule.has_schedule(t) for t in prompts + uncond):
+        realized, sched_idx_arr = prompt_schedule.schedule_prompts(
+            prompts, uncond, n_inference_steps)
+        n_sched = len(realized)
+        if n_sched > 1:
+            if fixed_noise is not None:
+                raise ValueError("prompt editing is not supported in "
+                                 "fixed_noise parity mode")
+            prompts = [p for cp, _ in realized for p in cp]
+            uncond = [u for _, up in realized for u in up]
+        else:  # syntax resolved to a single conditioning
+            prompts, uncond = list(realized[0][0]), list(realized[0][1])
+            sched_idx_arr = None
+
     cond_w = uncond_w = None
     if emphasis and not hasattr(tokenizer, "encode_weighted"):
         raise ValueError("emphasis requires the built-in CLIPTokenizer "
@@ -930,17 +979,23 @@ def _run_generate(
                             sampler_name, float(ddim_eta), decode_tile,
                             sp_mesh, inpaint, use_control,
                             float(guidance_rescale), timestep_spacing,
-                            emphasis, deepcache)
+                            emphasis, deepcache, n_sched)
+    if n_sched > 1:
+        noises["sched_idx"] = jnp.asarray(sched_idx_arr)
     cond_tokens = jnp.asarray(cond_tokens)
     uncond_tokens = jnp.asarray(uncond_tokens)
     image = jnp.asarray(image)
     if mesh is not None:
         from .core.mesh import data_sharded
 
-        cond_tokens = jax.device_put(cond_tokens,
-                                     data_sharded(mesh, cond_tokens.ndim))
-        uncond_tokens = jax.device_put(uncond_tokens,
-                                       data_sharded(mesh, uncond_tokens.ndim))
+        if n_sched == 1:
+            # prompt-editing stacks carry K*B on the leading axis — leave
+            # them replicated (CLIP runs replicated; the UNet loop is still
+            # data-sharded through the latents)
+            cond_tokens = jax.device_put(
+                cond_tokens, data_sharded(mesh, cond_tokens.ndim))
+            uncond_tokens = jax.device_put(
+                uncond_tokens, data_sharded(mesh, uncond_tokens.ndim))
         image = jax.device_put(image, data_sharded(mesh, 4))
     images, latents = run(models, cond_tokens, uncond_tokens, key,
                           jnp.float32(cfg_scale), jnp.int32(start_step),
