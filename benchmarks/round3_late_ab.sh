@@ -1,0 +1,19 @@
+#!/bin/bash
+# Queued round-3-late hardware A/Bs (see benchmarks/RESULTS.md "Queued").
+# Run on the TPU host once the axon relay recovers:
+#   bash benchmarks/round3_late_ab.sh | tee /tmp/ab_results.txt
+# Each line is bench.py's one-line JSON + its timing comment.
+set -u
+export PYTHONPATH=/root/repo:/root/.axon_site
+cd /root/repo
+
+run() { echo "### $*"; timeout 2400 python bench.py "$@" 2>&1 | tail -2; }
+
+run                                    # baseline 512^2/50 batch 4
+run --batch 1                          # latency baseline
+run --deepcache 3                      # DeepCache throughput
+run --batch 1 --deepcache 3            # DeepCache latency
+run --batch 1 --quant w8               # weight-only int8 latency
+run --sampler dpm++_sde                # SDE sampler cost check
+run --sampler lcm --steps 4 --no-cfg --batch 1   # few-step distilled config
+run --family sdxl --deepcache 3        # SDXL DeepCache (1024^2 batch 1)
