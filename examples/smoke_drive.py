@@ -46,3 +46,13 @@ try:
     print("missing-dir probe: NO ERROR (bad)")
 except FileNotFoundError as e:
     print("missing-dir probe ->", str(e)[:60], flush=True)
+
+# round-3-late additions: variation seeds + PAG through the wrapper
+img_v = sd.txt2img("a cat", seed=1, variation_seed=2, variation_strength=0.5,
+                   n_inference_steps=2, height=16, width=16)
+print("variation txt2img:", img_v.shape, "differs:", bool((img_v != img).any()),
+      flush=True)
+img_pag = sd.txt2img("a cat", seed=1, pag_scale=2.0,
+                     n_inference_steps=2, height=16, width=16)
+print("pag txt2img:", img_pag.shape, "differs:", bool((img_pag != img).any()),
+      flush=True)

@@ -44,8 +44,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--strength", type=float, default=0.8)
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--seed", type=int, default=1337)
+    p.add_argument("--variation-seed", type=int, default=None,
+                   help="A1111 subseed: slerp this seed's init noise into "
+                        "--seed's at --variation-strength")
+    p.add_argument("--variation-strength", type=float, default=0.0)
     p.add_argument("--cfg-scale", type=float, default=7.5)
     p.add_argument("--no-cfg", action="store_true")
+    p.add_argument("--pag-scale", type=float, default=0.0,
+                   help="Perturbed-Attention Guidance scale (0 = off); one "
+                        "extra cond-lane UNet eval per step")
     p.add_argument("--guidance-rescale", type=float, default=0.0,
                    help="CFG std-rescale factor (0.7 recommended for "
                         "SD-2.1-v checkpoints; 0 = off)")
@@ -188,6 +195,9 @@ def main(argv=None) -> int:
               long_prompts=args.long_prompts, emphasis=args.emphasis,
               clip_skip=args.clip_skip, timestep_spacing=args.spacing,
               deepcache=args.deepcache,
+              variation_seed=args.variation_seed,
+              variation_strength=args.variation_strength,
+              pag_scale=args.pag_scale,
               freeu=None if args.freeu is None
               else (True if not args.freeu else args.freeu))
     if args.control_image:

@@ -204,7 +204,7 @@ def _proj1x1(p, x, policy: Policy, quant: str = "none"):
 def apply_attn_block(p, x, context, n_heads: int, groups: int, policy: Policy,
                      *, backend: str = "xla", reference_quirks: bool = False,
                      fuse_qkv: bool = True, quant: str = "none",
-                     sp_mesh=None):
+                     sp_mesh=None, pag_self_attn: bool = False):
     """diffusion.py:212-381.
 
     The whole block runs in flattened (B, HW, C) form — one reshape at each
@@ -223,9 +223,16 @@ def apply_attn_block(p, x, context, n_heads: int, groups: int, policy: Policy,
     # a "blocks" list of stacked transformer layers
     for lp in p.get("blocks", [p]):
         t = norm.layer_norm(lp["ln1"], y, policy=policy)
-        y = y + attention.apply(lp["self_attn"], t, n_heads=n_heads,
-                                backend=backend, policy=policy,
-                                fuse=fuse_qkv, quant=quant, sp_mesh=sp_mesh)
+        if pag_self_attn:
+            # PAG perturbed branch: identity attention map (every token
+            # attends to itself) in this block's self-attention layers
+            y = y + attention.apply_identity(lp["self_attn"], t,
+                                             policy=policy, quant=quant)
+        else:
+            y = y + attention.apply(lp["self_attn"], t, n_heads=n_heads,
+                                    backend=backend, policy=policy,
+                                    fuse=fuse_qkv, quant=quant,
+                                    sp_mesh=sp_mesh)
         t = norm.layer_norm(lp["ln2"], y, policy=policy)
         y = y + attention.apply(lp["cross_attn"], t, context,
                                 n_heads=n_heads, backend=backend,
@@ -333,7 +340,7 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
           quant: str = "none", sp_mesh=None,
           add_cond: Optional[jax.Array] = None, control=None,
           t_cond: Optional[jax.Array] = None,
-          return_cache: bool = False, cache=None):
+          return_cache: bool = False, cache=None, pag: bool = False):
     """latents: (B, h, w, in_ch); context: (B, S, d_context); t: scalar timestep.
 
     Returns predicted noise (B, h, w, out_ch).
@@ -345,6 +352,10 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
     ``control``: ControlNet residuals ``{"down": [one per skip], "mid": r}``
     (models/controlnet.py) — added to the skip connections and the
     bottleneck output, the diffusers ``ControlNetModel`` contract.
+
+    ``pag=True`` runs the PERTURBED branch of Perturbed-Attention Guidance
+    (Ahn et al. 2024): the mid-block self-attention layers use an identity
+    attention map (diffusers' default ``pag_applied_layers=["mid"]``).
 
     DeepCache (Ma et al. 2023) support: ``return_cache=True`` additionally
     returns the backbone feature entering the SHALLOWEST decoder level;
@@ -409,7 +420,7 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
                              policy, backend=attention_backend,
                              reference_quirks=reference_quirks,
                              fuse_qkv=fuse_qkv, quant=quant,
-                             sp_mesh=sp_mesh)
+                             sp_mesh=sp_mesh, pag_self_attn=pag)
         x = apply_res_block(mid["res2"], x, t_emb, cfg.groups, policy,
                             backend=attention_backend, quant=quant)
         if control is not None:

@@ -127,6 +127,17 @@ def _sp_self_attention(q, k, v, n_heads: int, backend: str, policy: Policy,
                          out_specs=spec, check_vma=False)(q, k, v)
 
 
+def apply_identity(params, x, *, policy: Policy = FP32, quant: str = "none"):
+    """Self-attention with the attention map replaced by the identity
+    matrix: every token attends only to itself, so the output collapses to
+    ``out_proj(v_proj(x))`` — no scores, no softmax.  This is the
+    perturbed branch of Perturbed-Attention Guidance (Ahn et al. 2024,
+    diffusers' PAGIdentitySelfAttnProcessor); q/k projections are skipped
+    entirely (their output would be discarded)."""
+    v = linear.apply(params["v"], x, policy, quant)
+    return linear.apply(params["out"], v, policy, quant)
+
+
 def apply(params, x, context=None, *, n_heads: int, causal: bool = False,
           backend: str = "xla", policy: Policy = FP32, fuse: bool = True,
           quant: str = "none", sp_mesh=None):

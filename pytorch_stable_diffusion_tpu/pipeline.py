@@ -130,6 +130,32 @@ def _progress_tick(step_i, n_steps):
         print()
 
 
+def slerp_noise(t, low, high):
+    """Per-sample spherical interpolation between two noise tensors (the
+    A1111 variation-seed combiner).  Great-circle interpolation keeps the
+    result's norm on the gaussian shell, unlike a lerp which would shrink
+    it.  Exact at the ends: t == 0 returns ``low`` bitwise, t == 1 returns
+    ``high`` bitwise (sin(w)/sin(w) == 1.0 and sin(0) == 0.0 in IEEE).
+    Near-parallel inputs (sin(omega) ~ 0) fall back to a lerp.
+    """
+    b = low.shape[0]
+    lo = low.reshape(b, -1).astype(jnp.float32)
+    hi = high.reshape(b, -1).astype(jnp.float32)
+    lon = lo / jnp.linalg.norm(lo, axis=1, keepdims=True)
+    hin = hi / jnp.linalg.norm(hi, axis=1, keepdims=True)
+    dot = jnp.clip(jnp.sum(lon * hin, axis=1, keepdims=True), -1.0, 1.0)
+    omega = jnp.arccos(dot)
+    so = jnp.sin(omega)
+    safe = jnp.abs(so) > 1e-6
+    so_ = jnp.where(safe, so, 1.0)
+    out = jnp.where(
+        safe,
+        (jnp.sin((1.0 - t) * omega) / so_) * lo
+        + (jnp.sin(t * omega) / so_) * hi,
+        (1.0 - t) * lo + t * hi)
+    return out.reshape(low.shape)
+
+
 def get_time_embedding(timestep) -> jax.Array:
     """(1, 320) sinusoidal embedding — reference helper parity
     (``pipeline.py:310-349``)."""
@@ -149,7 +175,9 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                       timestep_spacing: str = "uniform",
                       emphasis: bool = False,
                       deepcache: Optional[int] = None,
-                      n_sched: int = 1):
+                      n_sched: int = 1,
+                      variation: bool = False,
+                      pag: bool = False):
     """Build + jit the full generate computation for one static shape.
 
     ``fixed_noise=True`` compiles a variant whose latent-init / encoder /
@@ -182,6 +210,20 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
     original per-row mean restored (the A1111 renormalization; each
     long-prompt window renormalizes independently, as A1111 processes
     chunks independently).
+
+    ``variation``: A1111 variation seeds — a second PRNG key
+    (``noises["variation_key"]``) draws an alternative initial noise and
+    the final init noise is the per-sample spherical interpolation between
+    the two at ``noises["variation_strength"]`` (traced — no recompile per
+    strength).  Strength 0 reproduces the base seed bitwise, strength 1
+    the variation seed's init noise bitwise.
+
+    ``pag``: Perturbed-Attention Guidance (Ahn et al. 2024) — every step
+    runs one extra UNet eval on the conditional lane with the mid-block
+    self-attention replaced by an identity map, and the prediction gains
+    ``pag_scale * (eps_cond - eps_perturbed)`` on top of CFG (the
+    diffusers StableDiffusionPAGPipeline combine).  The scale rides traced
+    in ``noises["pag_scale"]`` — no recompile per scale.
 
     ``deepcache``: DeepCache interval N — the full UNet runs every N-th
     denoise step; between refreshes only the shallow slice runs against
@@ -359,6 +401,15 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                 lambda k: jax.random.normal(k, lat_shape[1:], jnp.float32))(ks)
 
         init_noise = noises["latent_init"] if fixed_noise else draw("latent_init")
+        if variation:
+            vbase = rng_mod.stream(noises["variation_key"], "latent_init")
+            vks = jax.vmap(lambda i: jax.random.fold_in(vbase, i))(
+                jnp.arange(batch))
+            var_noise = jax.vmap(
+                lambda k: jax.random.normal(k, lat_shape[1:],
+                                            jnp.float32))(vks)
+            init_noise = slerp_noise(noises["variation_strength"],
+                                     init_noise, var_noise)
 
         def all_step_noises(name):
             # one fused PRNG draw for all steps (values identical to per-step
@@ -524,6 +575,24 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
 
                 eps, dc = jax.lax.cond(refresh, _full, _shallow, None)
                 dc = dc.astype(policy.compute_dtype)
+            if pag:
+                # perturbed eval: conditional lane only (lane 0 of the CFG
+                # stack), identity mid-block self-attention
+                pag_kw = dict(unet_kw)
+                if do_cfg:
+                    if add_c is not None:
+                        pag_kw["add_cond"] = add_c[:batch]
+                    if control is not None:
+                        pag_kw["control"] = {
+                            "mid": control["mid"][:batch],
+                            "down": [d[:batch] for d in control["down"]]}
+                pag_ctx = ctx[:batch] if do_cfg else ctx
+                pag_in = lat_in
+                if sp_mesh is not None:
+                    pag_in = jax.lax.with_sharding_constraint(pag_in, _sp)
+                eps_ptb = unet_mod.apply(params["diffusion"], pag_in,
+                                         pag_ctx, t, cfg.unet, policy,
+                                         pag=True, **pag_kw)
             if do_cfg:
                 eps_cond, eps_uncond = jnp.split(eps, 2, axis=0)
                 eps = cfg_scale * (eps_cond - eps_uncond) + eps_uncond  # pipeline.py:233
@@ -543,6 +612,10 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                                       ).astype(eps.dtype)
                     eps = (guidance_rescale * rescaled
                            + (1.0 - guidance_rescale) * eps)
+            if pag:
+                base = eps_cond if do_cfg else eps
+                eps = (eps + noises["pag_scale"]
+                       * (base - eps_ptb).astype(jnp.float32))
             # SD-2.x v-prediction -> epsilon (no-op for "epsilon"; CFG and
             # the conversion are both affine, so combining first is exact)
             eps = ddpm.to_epsilon(schedule, t, latents, eps, cfg.prediction_type)
@@ -719,6 +792,9 @@ def _run_generate(
     deepcache: Optional[int] = None,
     guidance_rescale: float = 0.0,
     timestep_spacing: str = "uniform",
+    variation_seed: Optional[int] = None,
+    variation_strength: float = 0.0,
+    pag_scale: float = 0.0,
     _device_output: bool = False,
     _key: Optional[jax.Array] = None,
 ):
@@ -968,6 +1044,27 @@ def _run_generate(
 
     key = jax.random.PRNGKey(0 if seed is None else seed) if _key is None \
         else _key
+    # A1111 variation seeds: slerp between the base seed's init noise and
+    # the variation seed's at variation_strength (modules/processing.py's
+    # subseed/subseed_strength semantics; strength is traced).
+    use_variation = variation_seed is not None and variation_strength != 0.0
+    if use_variation:
+        if not 0.0 <= variation_strength <= 1.0:
+            raise ValueError("variation_strength must be in [0, 1], got "
+                             f"{variation_strength}")
+        if fixed_noise is not None:
+            raise ValueError("variation seeds are not supported in "
+                             "fixed_noise parity mode")
+        noises["variation_key"] = jax.random.PRNGKey(int(variation_seed))
+        noises["variation_strength"] = jnp.float32(variation_strength)
+    # Perturbed-Attention Guidance: scale != 0 compiles the PAG variant
+    # (one extra cond-lane UNet eval per step); the scale itself is traced.
+    use_pag = pag_scale != 0.0
+    if use_pag:
+        if fixed_noise is not None:
+            raise ValueError("PAG is not supported in fixed_noise parity "
+                             "mode")
+        noises["pag_scale"] = jnp.float32(pag_scale)
     if deepcache is not None:
         deepcache = int(deepcache)
         if deepcache < 1:
@@ -979,7 +1076,8 @@ def _run_generate(
                             sampler_name, float(ddim_eta), decode_tile,
                             sp_mesh, inpaint, use_control,
                             float(guidance_rescale), timestep_spacing,
-                            emphasis, deepcache, n_sched)
+                            emphasis, deepcache, n_sched, use_variation,
+                            use_pag)
     if n_sched > 1:
         noises["sched_idx"] = jnp.asarray(sched_idx_arr)
     cond_tokens = jnp.asarray(cond_tokens)
