@@ -56,3 +56,7 @@ img_pag = sd.txt2img("a cat", seed=1, pag_scale=2.0,
                      n_inference_steps=2, height=16, width=16)
 print("pag txt2img:", img_pag.shape, "differs:", bool((img_pag != img).any()),
       flush=True)
+img_i2i = sd.img2img("a cat", img, strength=0.8, seed=1,
+                     n_inference_steps=2, height=16, width=16,
+                     encode_tile=4)
+print("tiled-encode img2img:", img_i2i.shape, flush=True)

@@ -71,6 +71,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "--guidance-rescale 0.7)")
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--height", type=int, default=512)
+    p.add_argument("--encode-tile", type=int, default=None,
+                   help="tiled VAE encode for hi-res img2img/inpaint "
+                        "(latent px per tile)")
     p.add_argument("--decode-tile", type=int, default=None,
                    help="tiled VAE decode (hi-res memory bound)")
     p.add_argument("--embedding", action="append", default=[],
@@ -191,6 +194,7 @@ def main(argv=None) -> int:
               cfg_scale=args.cfg_scale, do_cfg=not args.no_cfg,
               sampler_name=args.sampler, height=args.height,
               width=args.width, decode_tile=args.decode_tile,
+              encode_tile=args.encode_tile,
               guidance_rescale=args.guidance_rescale,
               long_prompts=args.long_prompts, emphasis=args.emphasis,
               clip_skip=args.clip_skip, timestep_spacing=args.spacing,

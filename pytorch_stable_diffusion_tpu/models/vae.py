@@ -138,12 +138,10 @@ def init_encoder(key, cfg: VAEConfig, dtype=jnp.float32):
     return params
 
 
-def apply_encoder(params, image, noise, cfg: VAEConfig, policy: Policy = FP32,
-                  *, attention_backend: str = "xla", reference_quirks: bool = False):
-    """image: (N, H, W, 3) in [-1, 1]; noise: (N, H/f, W/f, latent_channels).
-
-    Returns scaled latents (N, H/f, W/f, latent_channels).
-    """
+def _encoder_down(params, image, cfg: VAEConfig, policy: Policy):
+    """Image-resolution down path (conv_in + res/downsample levels) — the
+    memory-heavy prefix (128 channels at full image resolution); purely
+    local convs + GroupNorms, so it tiles."""
     x = image.astype(policy.compute_dtype)
     x = conv.apply(params["conv_in"], x, padding=1, policy=policy)
     for level in params["down"]:
@@ -153,8 +151,14 @@ def apply_encoder(params, image, noise, cfg: VAEConfig, policy: Policy = FP32,
             # stride-2, pad right/bottom only (encoder.py:62,118-122)
             x = conv.apply(level["downsample"], x, stride=2, padding=ASYM_DOWN,
                            policy=policy)
-    x = _apply_mid(params["mid"], x, cfg.groups, policy,
-                   attention_backend, reference_quirks)
+    return x
+
+
+def _encoder_tail(params, x, noise, cfg: VAEConfig, policy: Policy,
+                  backend, quirks):
+    """Latent-resolution suffix: mid res+attn+res (GLOBAL attention — runs
+    whole), head convs, and the reparameterized sample."""
+    x = _apply_mid(params["mid"], x, cfg.groups, policy, backend, quirks)
     x = silu(norm.group_norm(params["norm_out"], x, cfg.groups, policy=policy))
     x = conv.apply(params["conv_out"], x, padding=1, policy=policy)
     x = conv.apply(params["quant_conv"], x, policy=policy)
@@ -164,6 +168,96 @@ def apply_encoder(params, image, noise, cfg: VAEConfig, policy: Policy = FP32,
     std = jnp.exp(0.5 * log_var).astype(mean.dtype)
     latents = mean + std * noise.astype(mean.dtype)
     return latents * cfg.scale_factor
+
+
+def apply_encoder(params, image, noise, cfg: VAEConfig, policy: Policy = FP32,
+                  *, attention_backend: str = "xla", reference_quirks: bool = False):
+    """image: (N, H, W, 3) in [-1, 1]; noise: (N, H/f, W/f, latent_channels).
+
+    Returns scaled latents (N, H/f, W/f, latent_channels).
+    """
+    x = _encoder_down(params, image, cfg, policy)
+    return _encoder_tail(params, x, noise, cfg, policy,
+                         attention_backend, reference_quirks)
+
+
+def down_receptive_halo(cfg: VAEConfig) -> int:
+    """Conv receptive-field radius of the encoder down path, in LATENT px.
+
+    In image pixels: conv_in (1) + per level 2 res blocks x 2 convs at that
+    level's stride, + the stride-2 downsample conv; SD-1.5 (4 levels):
+    1 + (4+1) + (8+2) + (16+4) + 32 = 68 image px -> ceil(68/8) = 9.
+    """
+    r = 1.0  # conv_in
+    scale = 1.0
+    for i in range(len(cfg.ch_mults)):
+        r += 4.0 * scale          # 2 res blocks x 2 convs
+        if i < len(cfg.ch_mults) - 1:
+            r += 1.0 * scale      # downsample conv (reads at this scale)
+            scale *= 2.0
+    return int(np.ceil(r / cfg.downsample_factor))
+
+
+def apply_encoder_tiled(params, image, noise, cfg: VAEConfig,
+                        policy: Policy = FP32, *, tile: int = 64,
+                        halo: Optional[int] = None,
+                        attention_backend: str = "xla",
+                        reference_quirks: bool = False):
+    """Memory-bounded encode for hi-res img2img (no reference analog — the
+    reference materializes the whole image, ``encoder.py:95-123``).
+
+    The mirror of :func:`apply_decoder_tiled`: the down path — where memory
+    explodes (128 channels at image resolution) — runs as a sequential
+    ``lax.map`` over overlapping spatial tiles, while the mid block (incl.
+    the GLOBAL attention) and the reparameterized sample run whole at
+    latent resolution, where activations are small.
+
+    ``tile``/``halo`` are in LATENT pixels (image-space window =
+    ``(tile + 2*halo) * downsample_factor``); window starts land on latent
+    (= stride-phase) boundaries, so every tile interior is conv-exact and
+    the only approximation is per-window GroupNorm statistics.  ``halo``
+    defaults to :func:`down_receptive_halo`.
+    """
+    f = cfg.downsample_factor
+    n, h_img, w_img, _ = image.shape
+    h, w = h_img // f, w_img // f
+    if halo is None:
+        halo = down_receptive_halo(cfg)
+    if h <= tile and w <= tile:
+        x = _encoder_down(params, image, cfg, policy)
+        return _encoder_tail(params, x, noise, cfg, policy,
+                             attention_backend, reference_quirks)
+    if h % tile or w % tile:
+        raise ValueError(f"latent dims {h}x{w} must be multiples of "
+                         f"tile={tile} (pick a divisor)")
+    win = tile + 2 * halo
+    if win > min(h, w):
+        halo = (min(h, w) - tile) // 2
+        win = tile + 2 * halo
+    gh, gw = h // tile, w // tile
+
+    starts = []
+    for i in range(gh):
+        for j in range(gw):
+            si = min(max(i * tile - halo, 0), h - win)
+            sj = min(max(j * tile - halo, 0), w - win)
+            starts.append((si, sj, i * tile - si, j * tile - sj))
+    starts = jnp.asarray(starts, jnp.int32)  # (T, 4)
+
+    def one(st):
+        si, sj, oi, oj = st[0], st[1], st[2], st[3]
+        win_img = jax.lax.dynamic_slice(
+            image, (0, si * f, sj * f, 0),
+            (n, win * f, win * f, image.shape[-1]))
+        y = _encoder_down(params, win_img, cfg, policy)
+        return jax.lax.dynamic_slice(y, (0, oi, oj, 0),
+                                     (n, tile, tile, y.shape[-1]))
+
+    tiles = jax.lax.map(one, starts)  # sequential: one tile live at a time
+    tiles = tiles.reshape(gh, gw, n, tile, tile, tiles.shape[-1])
+    x = tiles.transpose(2, 0, 3, 1, 4, 5).reshape(n, h, w, tiles.shape[-1])
+    return _encoder_tail(params, x, noise, cfg, policy,
+                         attention_backend, reference_quirks)
 
 
 # ------------------------------------------------------------------ decoder

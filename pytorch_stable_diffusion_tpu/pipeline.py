@@ -177,7 +177,8 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                       deepcache: Optional[int] = None,
                       n_sched: int = 1,
                       variation: bool = False,
-                      pag: bool = False):
+                      pag: bool = False,
+                      encode_tile: Optional[int] = None):
     """Build + jit the full generate computation for one static shape.
 
     ``fixed_noise=True`` compiles a variant whose latent-init / encoder /
@@ -435,7 +436,10 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
             latents = ddpm.add_noise(schedule, lat0, t0, init_noise)
         elif img2img:
             enc_noise = noises["encoder_noise"] if fixed_noise else draw("encoder_noise")
-            lat0 = vae_mod.apply_encoder(
+            _enc = (functools.partial(vae_mod.apply_encoder_tiled,
+                                      tile=encode_tile)
+                    if encode_tile else vae_mod.apply_encoder)
+            lat0 = _enc(
                 params["encoder"], init_image, enc_noise, cfg.vae, policy,
                 attention_backend=cfg.vae_attention_backend,
                 reference_quirks=cfg.reference_quirks).astype(jnp.float32)
@@ -454,7 +458,10 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
             binm = (mask > 0.5).astype(init_image.dtype)
             m_noise = noises["mask_encoder_noise"] if fixed_noise \
                 else draw("mask_encoder_noise")
-            masked_lat = vae_mod.apply_encoder(
+            _menc = (functools.partial(vae_mod.apply_encoder_tiled,
+                                       tile=encode_tile)
+                     if encode_tile else vae_mod.apply_encoder)
+            masked_lat = _menc(
                 params["encoder"], init_image * (1.0 - binm), m_noise,
                 cfg.vae, policy,
                 attention_backend=cfg.vae_attention_backend,
@@ -795,6 +802,7 @@ def _run_generate(
     variation_seed: Optional[int] = None,
     variation_strength: float = 0.0,
     pag_scale: float = 0.0,
+    encode_tile: Optional[int] = None,
     _device_output: bool = False,
     _key: Optional[jax.Array] = None,
 ):
@@ -1077,7 +1085,8 @@ def _run_generate(
                             sp_mesh, inpaint, use_control,
                             float(guidance_rescale), timestep_spacing,
                             emphasis, deepcache, n_sched, use_variation,
-                            use_pag)
+                            use_pag,
+                            int(encode_tile) if encode_tile else None)
     if n_sched > 1:
         noises["sched_idx"] = jnp.asarray(sched_idx_arr)
     cond_tokens = jnp.asarray(cond_tokens)

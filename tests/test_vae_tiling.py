@@ -85,3 +85,62 @@ def test_pipeline_decode_tile(tiny_cfg, tiny_models, tiny_tokenizer):
     diff = np.abs(tiled.astype(int) - whole.astype(int))
     assert np.mean(diff <= 1) > 0.8
     assert diff.max() <= 8
+
+
+# ----------------------------------------------------------- tiled ENCODE
+@pytest.fixture(scope="module")
+def enc_bits(tiny_cfg, tiny_models):
+    rs = np.random.RandomState(1)
+    img = rs.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32)
+    noise = rs.randn(2, 32, 32, 4).astype(np.float32)
+    whole = np.asarray(jax.jit(
+        lambda p, im, nz: vae.apply_encoder(p, im, nz, tiny_cfg.vae)
+    )(tiny_models["encoder"], img, noise))
+    return tiny_models["encoder"], img, noise, whole
+
+
+def _enc_tiled(params, img, noise, cfg, **kw):
+    return np.asarray(jax.jit(
+        lambda p, im, nz: vae.apply_encoder_tiled(p, im, nz, cfg.vae, **kw)
+    )(params, img, noise))
+
+
+def test_encode_degenerate_window_is_exact(enc_bits, tiny_cfg):
+    """win = tile + 2*halo = 32 = whole latent grid -> every window sees
+    the full image (tiny-cfg default halo is 7, so force 8)."""
+    params, img, noise, whole = enc_bits
+    tiled = _enc_tiled(params, img, noise, tiny_cfg, tile=16, halo=8)
+    assert psnr(tiled, whole) > 100
+
+
+def test_encode_default_halo_quality(enc_bits, tiny_cfg):
+    params, img, noise, whole = enc_bits
+    tiled = _enc_tiled(params, img, noise, tiny_cfg, tile=8)
+    assert psnr(tiled, whole) > 45
+    assert np.abs(tiled - whole).max() < 0.1 * (whole.max() - whole.min())
+
+
+def test_encode_non_divisible_tile_rejected(enc_bits, tiny_cfg):
+    params, img, noise, _ = enc_bits
+    with pytest.raises(ValueError, match="multiple"):
+        vae.apply_encoder_tiled(params, img, noise, tiny_cfg.vae, tile=7)
+
+
+def test_encode_halo_formula():
+    """SD-1.5 down path: 68 image px -> ceil(68/8) = 9 latent px."""
+    assert vae.down_receptive_halo(sd15_config().vae) == 9
+
+
+def test_pipeline_encode_tile(tiny_cfg, tiny_models, tiny_tokenizer):
+    """encode_tile threads through img2img generate()."""
+    init = (np.random.RandomState(3).uniform(0, 255, (64, 64, 3))
+            .astype(np.uint8))
+    kw = dict(models=tiny_models, tokenizer=tiny_tokenizer, seed=11,
+              n_inference_steps=2, config=tiny_cfg, height=64, width=64,
+              input_image=init, strength=0.8)
+    whole = sdt.generate("a cat", **kw)
+    tiled = sdt.generate("a cat", encode_tile=8, **kw)
+    assert tiled.shape == whole.shape
+    diff = np.abs(tiled.astype(int) - whole.astype(int))
+    assert np.mean(diff <= 1) > 0.8
+    assert diff.max() <= 8
