@@ -60,3 +60,7 @@ img_i2i = sd.img2img("a cat", img, strength=0.8, seed=1,
                      n_inference_steps=2, height=16, width=16,
                      encode_tile=4)
 print("tiled-encode img2img:", img_i2i.shape, flush=True)
+img_exp = sd.txt2img("a cat", seed=1, n_inference_steps=2, height=16,
+                     width=16, timestep_spacing="exponential",
+                     sampler_name="dpm++")
+print("exponential-spacing txt2img:", img_exp.shape, flush=True)

@@ -58,7 +58,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "SD-2.1-v checkpoints; 0 = off)")
     p.add_argument("--sampler", default="ddpm")
     p.add_argument("--spacing", default="uniform",
-                   choices=["uniform", "karras", "trailing"],
+                   choices=["uniform", "karras", "exponential", "trailing"],
                    help="timestep grid: uniform (reference parity), the "
                         "Karras sigma schedule (denser low-sigma steps — "
                         "the community 'Karras' sampler variants), or "

@@ -247,6 +247,8 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
         ts_np = lcm.inference_timesteps(n_steps)
     elif timestep_spacing == "karras":
         ts_np = ddpm.karras_timesteps(schedule, n_steps)
+    elif timestep_spacing == "exponential":
+        ts_np = ddpm.exponential_timesteps(schedule, n_steps)
     elif timestep_spacing == "trailing":
         ts_np = ddpm.trailing_timesteps(n_steps)
     elif timestep_spacing == "uniform":

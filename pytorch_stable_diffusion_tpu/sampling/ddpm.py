@@ -134,12 +134,35 @@ def karras_timesteps(schedule: "DDPMSchedule", num_inference_steps: int,
     ramp = np.linspace(0.0, 1.0, num_inference_steps)
     inv = 1.0 / rho
     sigmas = (s_max**inv + ramp * (s_min**inv - s_max**inv)) ** rho  # desc
+    return _sigmas_to_timesteps(sigmas_all, sigmas)
+
+
+def exponential_timesteps(schedule: "DDPMSchedule", num_inference_steps: int,
+                          rho: float = 1.0) -> np.ndarray:
+    """Descending int32 timesteps on k-diffusion's exponential sigma grid
+    (``get_sigmas_exponential``): log-sigma uniform from sigma_max down to
+    sigma_min.  ``rho != 1`` gives the polyexponential generalization
+    (``get_sigmas_polyexponential``: the log-space ramp raised to rho).
+    Same nearest-log-sigma timestep quantization as the Karras grid.
+    """
+    abar = np.asarray(schedule.alphas_cumprod, np.float64)
+    sigmas_all = np.sqrt((1.0 - abar) / abar)  # ascending in t
+    s_min, s_max = sigmas_all[0], sigmas_all[-1]
+    ramp = np.linspace(1.0, 0.0, num_inference_steps) ** rho
+    sigmas = np.exp(np.log(s_min) + ramp * (np.log(s_max) - np.log(s_min)))
+    return _sigmas_to_timesteps(sigmas_all, sigmas)
+
+
+def _sigmas_to_timesteps(sigmas_all: np.ndarray,
+                         sigmas: np.ndarray) -> np.ndarray:
+    """Map a descending sigma grid to nearest training timesteps in
+    log-sigma, forced strictly descending."""
     log_all = np.log(sigmas_all)
     out = [int(np.abs(log_all - np.log(s)).argmin()) for s in sigmas]
     # enforce strictly descending after quantization: forward pass caps at
     # prev-1 (may dip below 0 near the tail), backward pass lifts the tail
     # onto ..., 2, 1, 0
-    prev = schedule.num_train_timesteps
+    prev = len(sigmas_all)
     for i, t in enumerate(out):
         out[i] = prev = min(t, prev - 1)
     out[-1] = max(out[-1], 0)

@@ -94,3 +94,41 @@ def test_unknown_spacing_raises(tiny_cfg, tiny_models, tiny_tokenizer):
                      tokenizer=tiny_tokenizer, config=tiny_cfg,
                      n_inference_steps=N_STEPS, height=H, width=W,
                      timestep_spacing="bogus")
+
+
+# -------------------------------------------- exponential (k-diffusion)
+def test_exponential_grid_properties():
+    schedule = ddpm.make_schedule()
+    ts = ddpm.exponential_timesteps(schedule, 50)
+    assert ts.shape == (50,)
+    assert (np.diff(ts) < 0).all()
+    assert ts[0] == 999 and ts[-1] == 0
+    # log-sigma uniform: consecutive log-sigma gaps are near-constant
+    abar = np.asarray(schedule.alphas_cumprod, np.float64)
+    sig = np.sqrt((1 - abar) / abar)
+    ls = np.log(sig[ts])
+    gaps = -np.diff(ls)
+    # interior gaps near-constant; the last few steps are bound by integer
+    # timestep resolution (log-sigma per train step near t=0 is ~0.35,
+    # coarser than the ideal grid wants), so exclude the tail
+    interior = gaps[2:30]
+    assert np.all(np.abs(interior - interior.mean()) < 0.15 * interior.mean())
+
+
+def test_exponential_differs_from_karras_and_uniform():
+    schedule = ddpm.make_schedule()
+    e = ddpm.exponential_timesteps(schedule, 20)
+    k = ddpm.karras_timesteps(schedule, 20)
+    u = ddpm.inference_timesteps(20)
+    assert not np.array_equal(e, k)
+    assert not np.array_equal(e, u)
+
+
+def test_pipeline_exponential_spacing(tiny_models, tiny_tokenizer, tiny_cfg):
+    kw = dict(models=tiny_models, tokenizer=tiny_tokenizer, config=tiny_cfg,
+              n_inference_steps=N_STEPS, height=H, width=W, seed=0,
+              sampler_name="dpm++")
+    img_e = sdt.generate("a cat", timestep_spacing="exponential", **kw)
+    img_u = sdt.generate("a cat", **kw)
+    assert img_e.shape == (H, W, 3)
+    assert (img_e != img_u).any()
