@@ -64,3 +64,9 @@ img_exp = sd.txt2img("a cat", seed=1, n_inference_steps=2, height=16,
                      width=16, timestep_spacing="exponential",
                      sampler_name="dpm++")
 print("exponential-spacing txt2img:", img_exp.shape, flush=True)
+_m = np.zeros((32, 32), np.float32); _m[8:16, 8:16] = 1.0
+_src = np.zeros((32, 32, 3), np.uint8)
+img_fr = sd.inpaint("a cat", _src, _m, full_res=True, full_res_padding=4,
+                    height=16, width=16, n_inference_steps=2, seed=1)
+print("full-res inpaint:", img_fr.shape, "outside kept:",
+      bool((img_fr[:2] == _src[:2]).all()), flush=True)

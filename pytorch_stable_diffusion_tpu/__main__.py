@@ -37,6 +37,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--uncond-prompt", default="")
     p.add_argument("--image", default=None,
                    help="init image file for img2img")
+    p.add_argument("--inpaint-full-res", action="store_true",
+                   help="A1111 'inpaint at full resolution': crop the mask "
+                        "region, inpaint at full processing res, paste back")
+    p.add_argument("--inpaint-full-res-padding", type=int, default=32)
     p.add_argument("--mask", default=None,
                    help="inpainting mask image (white = repaint); with a "
                         "9-channel inpaint checkpoint it conditions the "
@@ -228,6 +232,8 @@ def main(argv=None) -> int:
         init = Image.open(args.image).convert("RGB")
         mask = Image.open(args.mask)
         img = sd.inpaint(args.prompt, init, mask, strength=args.strength,
+                         full_res=args.inpaint_full_res,
+                         full_res_padding=args.inpaint_full_res_padding,
                          uncond_prompt=args.uncond_prompt, **kw)
     elif args.image:
         from PIL import Image

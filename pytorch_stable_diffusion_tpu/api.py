@@ -183,18 +183,93 @@ class StableDiffusion:
         return out
 
     def inpaint(self, prompt: str, init_image, mask_image,
-                strength: float = 1.0, uncond_prompt: str = "", **kwargs) -> np.ndarray:
+                strength: float = 1.0, uncond_prompt: str = "", *,
+                full_res: bool = False, full_res_padding: int = 32,
+                **kwargs) -> np.ndarray:
         """Repaint the masked region (mask 1 = repaint, 0 = keep).
 
         With a 9-channel inpaint checkpoint (``sd15_inpaint_config`` /
         ``sd2_inpaint_config``) the mask conditions the UNet directly; with
         any standard 4-channel checkpoint the pipeline falls back to
         latent-blend masking.  ``strength`` works like img2img (1.0 =
-        repaint from full noise)."""
-        return pipeline_mod.generate(prompt, uncond_prompt,
-                                     input_image=init_image,
-                                     mask_image=mask_image,
-                                     strength=strength, **self._kw(kwargs))
+        repaint from full noise).
+
+        ``full_res=True`` is A1111's "inpaint at full resolution": the
+        mask's bounding box (+ ``full_res_padding`` source pixels, expanded
+        toward the processing aspect ratio) is cropped out, inpainted at
+        the full ``height``x``width`` processing resolution, downscaled,
+        and blended back into the ORIGINAL image — so a small masked
+        region gets the model's native pixel density.  The return value is
+        at the original image's resolution (not ``height``x``width``)."""
+        if not full_res:
+            return pipeline_mod.generate(prompt, uncond_prompt,
+                                         input_image=init_image,
+                                         mask_image=mask_image,
+                                         strength=strength,
+                                         **self._kw(kwargs))
+        import jax
+
+        h = kwargs.get("height", 512)
+        w = kwargs.get("width", 512)
+        img = np.asarray(init_image, np.float32)  # (H0, W0, 3), 0..255
+        if img.ndim == 2:
+            img = np.stack([img] * 3, axis=-1)
+        img = img[..., :3]
+        if img.max() <= 1.0:
+            img = img * 255.0
+        m = np.asarray(
+            mask_image.convert("L") if hasattr(mask_image, "convert")
+            else mask_image, np.float32)
+        if m.ndim == 3:
+            m = m[..., 0]
+        if m.max() > 1.0:
+            m = m / 255.0
+        H0, W0 = img.shape[:2]
+        if m.shape != (H0, W0):
+            raise ValueError(f"mask shape {m.shape} != image {(H0, W0)}")
+
+        ys, xs = np.nonzero(m > 0.5)
+        if len(ys) == 0:  # empty mask: nothing to crop around
+            return pipeline_mod.generate(prompt, uncond_prompt,
+                                         input_image=init_image,
+                                         mask_image=mask_image,
+                                         strength=strength,
+                                         **self._kw(kwargs))
+        y0 = max(int(ys.min()) - full_res_padding, 0)
+        y1 = min(int(ys.max()) + 1 + full_res_padding, H0)
+        x0 = max(int(xs.min()) - full_res_padding, 0)
+        x1 = min(int(xs.max()) + 1 + full_res_padding, W0)
+        # expand the short side toward the processing aspect ratio (h/w),
+        # clamped to the image — keeps the upscale near-isotropic
+        ch, cw = y1 - y0, x1 - x0
+        if ch * w < cw * h:  # too wide: grow height
+            want = min(int(round(cw * h / w)), H0)
+            extra = want - ch
+            y0 = max(y0 - extra // 2, 0)
+            y1 = min(y0 + want, H0)
+            y0 = max(y1 - want, 0)
+        elif cw * h < ch * w:  # too tall: grow width
+            want = min(int(round(ch * w / h)), W0)
+            extra = want - cw
+            x0 = max(x0 - extra // 2, 0)
+            x1 = min(x0 + want, W0)
+            x0 = max(x1 - want, 0)
+
+        crop = img[y0:y1, x0:x1]
+        mcrop = m[y0:y1, x0:x1]
+        up_img = np.asarray(jax.image.resize(crop, (h, w, 3), "bilinear"))
+        up_mask = np.asarray(jax.image.resize(mcrop, (h, w), "bilinear"))
+        out = pipeline_mod.generate(prompt, uncond_prompt,
+                                    input_image=np.clip(up_img, 0, 255)
+                                    .astype(np.uint8),
+                                    mask_image=np.clip(up_mask, 0, 1),
+                                    strength=strength, **self._kw(kwargs))
+        back = np.asarray(jax.image.resize(
+            out.astype(np.float32), (y1 - y0, x1 - x0, 3), "bilinear"))
+        blend = mcrop[..., None]
+        result = img.copy()
+        result[y0:y1, x0:x1] = blend * back + (1.0 - blend) * crop
+        return np.clip(np.round(result), 0, 255).astype(np.uint8)
 
     def generate_batch(self, prompts: Sequence[str], uncond_prompts="",
                        **kwargs) -> np.ndarray:

@@ -1,0 +1,75 @@
+"""A1111 "inpaint at full resolution" (api.StableDiffusion.inpaint
+full_res=True): crop the mask's padded bounding box, inpaint the crop at
+the full processing resolution, downscale and blend back into the original.
+
+No reference analog (the reference has no inpainting at all); host-side
+choreography around the one compiled inpaint program, so the compiled
+shape stays fixed regardless of the source image size.
+"""
+
+import numpy as np
+import pytest
+
+import pytorch_stable_diffusion_tpu as sdt
+
+SRC = 64          # source image resolution
+PROC = 32         # processing resolution (the compiled shape)
+
+
+@pytest.fixture(scope="module")
+def sd(tiny_models, tiny_tokenizer, tiny_cfg):
+    return sdt.StableDiffusion(tiny_models, tiny_tokenizer, tiny_cfg)
+
+
+def _src():
+    rs = np.random.RandomState(0)
+    img = rs.uniform(0, 255, (SRC, SRC, 3)).astype(np.uint8)
+    mask = np.zeros((SRC, SRC), np.float32)
+    mask[20:32, 24:36] = 1.0  # small box well inside the image
+    return img, mask
+
+
+def test_fullres_keeps_outside_and_repaints_inside(sd):
+    img, mask = _src()
+    out = sd.inpaint("a cat", img, mask, full_res=True, full_res_padding=8,
+                     height=PROC, width=PROC, n_inference_steps=2, seed=0)
+    assert out.shape == (SRC, SRC, 3)
+    assert out.dtype == np.uint8
+    # far outside the padded crop: bit-identical to the source
+    np.testing.assert_array_equal(out[:8], img[:8])
+    np.testing.assert_array_equal(out[-8:], img[-8:])
+    np.testing.assert_array_equal(out[:, :8], img[:, :8])
+    # the masked region actually changed
+    changed = np.abs(out[20:32, 24:36].astype(int)
+                     - img[20:32, 24:36].astype(int))
+    assert changed.mean() > 2
+
+
+def test_fullres_crop_tracks_mask_position(sd):
+    img, _ = _src()
+    mask2 = np.zeros((SRC, SRC), np.float32)
+    mask2[4:12, 4:12] = 1.0  # corner box
+    out = sd.inpaint("a cat", img, mask2, full_res=True, full_res_padding=4,
+                     height=PROC, width=PROC, n_inference_steps=2, seed=0)
+    # opposite corner untouched
+    np.testing.assert_array_equal(out[40:, 40:], img[40:, 40:])
+    assert np.abs(out[4:12, 4:12].astype(int)
+                  - img[4:12, 4:12].astype(int)).mean() > 2
+
+
+def test_fullres_empty_mask_falls_back(sd):
+    img = np.random.RandomState(1).uniform(
+        0, 255, (PROC, PROC, 3)).astype(np.uint8)
+    mask = np.zeros((PROC, PROC), np.float32)
+    out = sd.inpaint("a cat", img, mask, full_res=True, height=PROC,
+                     width=PROC, n_inference_steps=2, seed=0)
+    # nothing to repaint: latent-blend keeps the whole image (up to the
+    # VAE encode/decode round trip baked into the final exact projection)
+    assert out.shape == (PROC, PROC, 3)
+
+
+def test_fullres_mask_shape_mismatch_rejected(sd):
+    img, _ = _src()
+    with pytest.raises(ValueError, match="mask shape"):
+        sd.inpaint("a cat", img, np.ones((8, 8), np.float32), full_res=True,
+                   height=PROC, width=PROC, n_inference_steps=2)
