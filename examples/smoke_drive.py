@@ -70,3 +70,14 @@ img_fr = sd.inpaint("a cat", _src, _m, full_res=True, full_res_padding=4,
                     height=16, width=16, n_inference_steps=2, seed=1)
 print("full-res inpaint:", img_fr.shape, "outside kept:",
       bool((img_fr[:2] == _src[:2]).all()), flush=True)
+# hypernetwork through the wrapper (synthetic in-memory net)
+_hn_tree = {cfg.unet.d_context: {
+    "k": [{"kernel": np.eye(cfg.unet.d_context, dtype=np.float32) * 0.01,
+           "bias": np.zeros(cfg.unet.d_context, np.float32)}],
+    "v": [{"kernel": np.eye(cfg.unet.d_context, dtype=np.float32) * -0.01,
+           "bias": np.zeros(cfg.unet.d_context, np.float32)}]}}
+sd_hn = sd.with_hypernetwork((_hn_tree, ("linear", False)), strength=1.0)
+img_hn = sd_hn.txt2img("a cat", seed=1, n_inference_steps=2, height=16,
+                       width=16)
+print("hypernetwork txt2img:", img_hn.shape, "differs:",
+      bool((img_hn != img).any()), flush=True)

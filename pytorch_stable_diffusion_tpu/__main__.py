@@ -114,6 +114,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--long-prompts", action="store_true",
                    help=">77-token prompts via window-concat context "
                         "instead of truncation")
+    p.add_argument("--hypernetwork", default=None, metavar="PATH[:STRENGTH]",
+                   help="A1111 hypernetwork .pt (cross-attention k/v "
+                        "context MLPs)")
     p.add_argument("--lora", action="append", default=[], metavar="PATH[:SCALE]",
                    help="merge a LoRA adapter (kohya or PEFT .safetensors); "
                         "repeatable; optional :scale suffix (default 1.0)")
@@ -193,6 +196,13 @@ def main(argv=None) -> int:
             else args.controlnet[0]
         sd = sd.with_controlnet(nets)
         print(f"[cli] attached controlnet {args.controlnet}", flush=True)
+
+    if args.hypernetwork:
+        path, _, s = args.hypernetwork.rpartition(":")
+        if not path or not path.endswith(".pt"):
+            path, s = args.hypernetwork, ""
+        sd = sd.with_hypernetwork(path, float(s) if s else 1.0)
+        print(f"[cli] attached hypernetwork {path}", flush=True)
 
     kw = dict(seed=args.seed, n_inference_steps=args.steps,
               cfg_scale=args.cfg_scale, do_cfg=not args.no_cfg,

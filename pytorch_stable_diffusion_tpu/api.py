@@ -85,7 +85,29 @@ class StableDiffusion:
         kwargs.setdefault("config", self.config)
         if self.mesh is not None:
             kwargs.setdefault("mesh", self.mesh)
+        if getattr(self, "_hyper", None) is not None:
+            kwargs.setdefault("hypernetwork", self._hyper[0])
+            kwargs.setdefault("hypernetwork_strength", self._hyper[1])
         return kwargs
+
+    def with_hypernetwork(self, hypernetwork, strength: float = 1.0):
+        """Return a bundle with an A1111 hypernetwork active
+        (weights/hypernetwork.py): small residual MLPs transform the
+        cross-attention context (k and v separately) at every layer.
+
+        ``hypernetwork`` is a ``.pt`` path or the loader's
+        ``(tree, (activation, activate_output))`` pair; ``strength`` is
+        A1111's multiplier (traced — changing it recompiles nothing)."""
+        from .weights import hypernetwork as hyper_mod
+
+        tree, meta = hyper_mod.load_hypernetwork(hypernetwork) \
+            if isinstance(hypernetwork, str) else hypernetwork
+        out = type(self).__new__(type(self))
+        out.models = dict(self.models, hypernetwork=tree)
+        out.tokenizer, out.config, out.mesh = \
+            self.tokenizer, self.config, self.mesh
+        out._hyper = (meta, float(strength))
+        return out
 
     def txt2img(self, prompt: str, uncond_prompt: str = "", **kwargs) -> np.ndarray:
         return pipeline_mod.generate(prompt, uncond_prompt, **self._kw(kwargs))

@@ -180,14 +180,18 @@ def apply(params, x, context=None, *, n_heads: int, causal: bool = False,
                         jnp.dtype(k.dtype).itemsize, batch=eff_batch):
                 out = flash_attention_bsc(q, k, v, n_heads=n_heads)
                 return linear.apply(params["out"], out, policy, quant)
-    else:  # cross-attention: k/v share the context input
+    else:  # cross-attention: k/v share the context input — except under a
+        # hypernetwork, which feeds k and v DIFFERENT context transforms
+        # (A1111 semantics; context arrives as a (ctx_k, ctx_v) tuple)
+        ctx_k, ctx_v = context if isinstance(context, tuple) \
+            else (context, context)
         q = linear.apply(params["q"], x, policy, quant)
-        if fuse:
-            k, v = _fused_proj((params["k"], params["v"]), context, policy,
+        if fuse and ctx_k is ctx_v:
+            k, v = _fused_proj((params["k"], params["v"]), ctx_k, policy,
                                quant)
         else:
-            k = linear.apply(params["k"], context, policy, quant)
-            v = linear.apply(params["v"], context, policy, quant)
+            k = linear.apply(params["k"], ctx_k, policy, quant)
+            v = linear.apply(params["v"], ctx_v, policy, quant)
     qh, kh, vh = (_split_heads(t, n_heads) for t in (q, k, v))
     # Flash pays off for long KV (it exists to keep O(S²) scores in VMEM);
     # for short KV (cross-attention over 77 context tokens) the grid's tiny

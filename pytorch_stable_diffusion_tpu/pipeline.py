@@ -31,7 +31,7 @@ config) — repeated calls with the same shape reuse the compilation.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -178,7 +178,8 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                       n_sched: int = 1,
                       variation: bool = False,
                       pag: bool = False,
-                      encode_tile: Optional[int] = None):
+                      encode_tile: Optional[int] = None,
+                      hyper: Optional[Tuple[str, bool]] = None):
     """Build + jit the full generate computation for one static shape.
 
     ``fixed_noise=True`` compiles a variant whose latent-init / encoder /
@@ -393,6 +394,16 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
             context = jnp.concatenate([context, uncond_ctx], axis=0)
             if add_cond is not None:
                 add_cond = jnp.concatenate([add_cond, uncond_add], axis=0)
+
+        if hyper is not None:
+            # A1111 hypernetwork: transform the cross-attention context —
+            # separately for k and v — once per generation; the tuple rides
+            # through every cross-attention (ops/attention.apply)
+            from .weights import hypernetwork as hyper_mod
+
+            context = hyper_mod.apply_hypernetwork(
+                params["hypernetwork"], context, noises["hyper_strength"],
+                activation=hyper[0], activate_output=hyper[1])
 
         lat_shape = (batch, h_lat, w_lat, lc)
 
@@ -805,6 +816,8 @@ def _run_generate(
     variation_strength: float = 0.0,
     pag_scale: float = 0.0,
     encode_tile: Optional[int] = None,
+    hypernetwork: Optional[Tuple[str, bool]] = None,
+    hypernetwork_strength: float = 1.0,
     _device_output: bool = False,
     _key: Optional[jax.Array] = None,
 ):
@@ -1075,6 +1088,26 @@ def _run_generate(
             raise ValueError("PAG is not supported in fixed_noise parity "
                              "mode")
         noises["pag_scale"] = jnp.float32(pag_scale)
+    # A1111 hypernetwork: ``hypernetwork`` is the loader's static metadata
+    # (activation, activate_output); the module tree must ride in
+    # ``models["hypernetwork"]`` and the multiplier is traced.
+    hyper = None
+    if hypernetwork is not None:
+        if "hypernetwork" not in models:
+            raise ValueError("hypernetwork metadata given but models has no "
+                             "'hypernetwork' entry "
+                             "(weights/hypernetwork.load_hypernetwork)")
+        if n_sched > 1:
+            raise ValueError("hypernetworks are not supported with prompt "
+                             "editing/alternation")
+        if cfg.unet.d_context not in models["hypernetwork"]:
+            raise ValueError(
+                f"hypernetwork has no entry for context width "
+                f"{cfg.unet.d_context} (has "
+                f"{sorted(models['hypernetwork'])})")
+        act, act_out = hypernetwork
+        hyper = (str(act), bool(act_out))
+        noises["hyper_strength"] = jnp.float32(hypernetwork_strength)
     if deepcache is not None:
         deepcache = int(deepcache)
         if deepcache < 1:
@@ -1088,7 +1121,8 @@ def _run_generate(
                             float(guidance_rescale), timestep_spacing,
                             emphasis, deepcache, n_sched, use_variation,
                             use_pag,
-                            int(encode_tile) if encode_tile else None)
+                            int(encode_tile) if encode_tile else None,
+                            hyper)
     if n_sched > 1:
         noises["sched_idx"] = jnp.asarray(sched_idx_arr)
     cond_tokens = jnp.asarray(cond_tokens)
