@@ -81,3 +81,7 @@ img_hn = sd_hn.txt2img("a cat", seed=1, n_inference_steps=2, height=16,
                        width=16)
 print("hypernetwork txt2img:", img_hn.shape, "differs:",
       bool((img_hn != img).any()), flush=True)
+for _s in ("lms", "dpm2_a"):
+    img_s = sd.txt2img("a cat", seed=1, n_inference_steps=3, height=16,
+                       width=16, sampler_name=_s)
+    print(f"{_s} txt2img:", img_s.shape, flush=True)

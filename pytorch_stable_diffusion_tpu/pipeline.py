@@ -44,10 +44,10 @@ from .models import unet as unet_mod
 from .models import vae as vae_mod
 from .models.config import SDConfig, sd15_config
 from . import prompt_schedule
-from .sampling import ddim, ddpm, dpm, euler, lcm, pndm, unipc
+from .sampling import ddim, ddpm, dpm, dpm2, euler, lcm, lms, pndm, unipc
 
 SAMPLERS = ("ddpm", "ddim", "dpm++", "dpm++_sde", "euler", "euler_a",
-            "heun", "unipc", "lcm", "plms")
+            "heun", "unipc", "lcm", "plms", "lms", "dpm2", "dpm2_a")
 
 # --------------------------------------------------------------- tokenizing
 def _encode_tokens(tokenizer, prompts, max_len: int) -> np.ndarray:
@@ -527,11 +527,13 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
             t_cond = unet_mod.guidance_scale_embedding(
                 cfg_scale - 1.0, cfg.unet.time_cond_dim)
 
-        def eps_at(step_i, latents, dc, dc_refresh=None):
+        def eps_at(step_i, latents, dc, dc_refresh=None, t_override=None):
             """-> (eps, t, dc').  ``dc`` is the DeepCache backbone carry (a
             dummy scalar when deepcache is off); ``dc_refresh`` overrides
             the step-index refresh predicate (heun's corrector eval is
-            always shallow)."""
+            always shallow).  ``t_override`` conditions the UNet on an
+            off-grid timestep (DPM2's log-space midpoint) while keeping
+            step_i's context/hint selection."""
             if n_sched == 1:
                 ctx, add_c = context, add_cond
             else:  # prompt editing: this step's realized conditioning
@@ -540,7 +542,7 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                 add_c = None if add_cond is None else \
                     jax.lax.dynamic_index_in_dim(
                         add_cond, sched_idx[step_i], 0, keepdims=False)
-            t = timesteps[step_i]
+            t = timesteps[step_i] if t_override is None else t_override
             lat_c = latents.astype(policy.compute_dtype)
             lat_in = lat_c
             if inpaint == "unet9":
@@ -695,6 +697,62 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                 start_step, n_steps + 1, body,
                 (latents.astype(jnp.float32), pndm.init_state(lat_shape),
                  dc0))
+        elif sampler == "lms":
+            # k-diffusion sample_lms: exact Lagrange-basis integrals
+            # precomputed on the host for every (step, warmup-order) pair;
+            # the derivative history rides in the carry (sampling/lms.py)
+            lms_tab = jnp.asarray(lms.coeff_table(schedule, ts_np))
+
+            def body(step_i, carry):
+                lat, hist, dc = carry
+                lat = inpaint_blend(step_i, lat)
+                eps, t, dc = eps_at(step_i, lat, dc)
+                new_lat, hist = lms.step(schedule, lms_tab, step_i,
+                                         start_step, t, lat, eps, hist,
+                                         prev_t=prev_timesteps[step_i])
+                return new_lat.astype(jnp.float32), hist, dc
+
+            latents, _, _ = jax.lax.fori_loop(
+                start_step, n_steps, body,
+                (latents.astype(jnp.float32), lms.init_state(lat_shape),
+                 dc0))
+        elif sampler in ("dpm2", "dpm2_a"):
+            # k-diffusion sample_dpm_2[_ancestral]: half step to the
+            # host-quantized log-space midpoint timestep, second eval
+            # there, full step with the midpoint derivative; final step
+            # falls back to Euler (sigma_next = 0) — sampling/dpm2.py
+            mid_ts = jnp.asarray(dpm2.mid_timesteps(
+                schedule, ts_np, ancestral=(sampler == "dpm2_a")))
+
+            def body(step_i, carry):
+                lat, dc = carry
+                lat = inpaint_blend(step_i, lat)
+                eps, t, dc = eps_at(step_i, lat, dc)
+                lat32 = lat.astype(jnp.float32)
+                prev = prev_timesteps[step_i]
+                t_mid = mid_ts[step_i]
+                pred_mid = euler.step(schedule, t, lat32, eps, None,
+                                      num_inference_steps=n_steps,
+                                      prev_t=t_mid)
+                eps2, _, _ = eps_at(step_i, pred_mid, dc,
+                                    dc_refresh=False if deepcache else None,
+                                    t_override=t_mid)
+                if sampler == "dpm2":
+                    full2 = euler.step(schedule, t, lat32, eps2, None,
+                                       num_inference_steps=n_steps,
+                                       prev_t=prev)
+                else:
+                    full2 = dpm2.step_ancestral_second(
+                        schedule, t, lat32, eps2, step_noises[step_i],
+                        prev_t=prev)
+                full1 = euler.step(schedule, t, lat32, eps, None,
+                                   num_inference_steps=n_steps, prev_t=prev)
+                new_lat = jnp.where(prev < 0, full1, full2)
+                return new_lat.astype(jnp.float32), dc
+
+            latents, _ = jax.lax.fori_loop(
+                start_step, n_steps, body,
+                (latents.astype(jnp.float32), dc0))
         elif sampler == "heun":
             # two model evals per step: Euler predict, then trapezoidal
             # correct with eps at (prediction, next timestep).  The final
