@@ -85,3 +85,7 @@ for _s in ("lms", "dpm2_a"):
     img_s = sd.txt2img("a cat", seed=1, n_inference_steps=3, height=16,
                        width=16, sampler_name=_s)
     print(f"{_s} txt2img:", img_s.shape, flush=True)
+img_sag = sd.txt2img("a cat", seed=1, n_inference_steps=2, height=16,
+                     width=16, sag_scale=0.75)
+print("sag txt2img:", img_sag.shape, "differs:", bool((img_sag != img).any()),
+      flush=True)

@@ -57,6 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pag-scale", type=float, default=0.0,
                    help="Perturbed-Attention Guidance scale (0 = off); one "
                         "extra cond-lane UNet eval per step")
+    p.add_argument("--sag-scale", type=float, default=0.0,
+                   help="Self-Attention Guidance scale (0 = off); blurs "
+                        "attention-salient regions and adds one extra UNet "
+                        "eval per step")
     p.add_argument("--guidance-rescale", type=float, default=0.0,
                    help="CFG std-rescale factor (0.7 recommended for "
                         "SD-2.1-v checkpoints; 0 = off)")
@@ -216,6 +220,7 @@ def main(argv=None) -> int:
               variation_seed=args.variation_seed,
               variation_strength=args.variation_strength,
               pag_scale=args.pag_scale,
+              sag_scale=args.sag_scale,
               freeu=None if args.freeu is None
               else (True if not args.freeu else args.freeu))
     if args.control_image:

@@ -204,7 +204,8 @@ def _proj1x1(p, x, policy: Policy, quant: str = "none"):
 def apply_attn_block(p, x, context, n_heads: int, groups: int, policy: Policy,
                      *, backend: str = "xla", reference_quirks: bool = False,
                      fuse_qkv: bool = True, quant: str = "none",
-                     sp_mesh=None, pag_self_attn: bool = False):
+                     sp_mesh=None, pag_self_attn: bool = False,
+                     return_self_probs: bool = False):
     """diffusion.py:212-381.
 
     The whole block runs in flattened (B, HW, C) form — one reshape at each
@@ -221,13 +222,23 @@ def apply_attn_block(p, x, context, n_heads: int, groups: int, policy: Policy,
 
     # depth-1 blocks keep the flat SD-1.x layout; SDXL-style blocks carry
     # a "blocks" list of stacked transformer layers
-    for lp in p.get("blocks", [p]):
+    self_probs = None
+    for li, lp in enumerate(p.get("blocks", [p])):
         t = norm.layer_norm(lp["ln1"], y, policy=policy)
         if pag_self_attn:
             # PAG perturbed branch: identity attention map (every token
             # attends to itself) in this block's self-attention layers
             y = y + attention.apply_identity(lp["self_attn"], t,
                                              policy=policy, quant=quant)
+        elif return_self_probs and li == 0:
+            # SAG attention-map capture: the first transformer layer's
+            # self-attention probabilities (diffusers hooks
+            # transformer_blocks[0].attn1)
+            a, self_probs = attention.apply(
+                lp["self_attn"], t, n_heads=n_heads, backend=backend,
+                policy=policy, fuse=fuse_qkv, quant=quant,
+                return_probs=True)
+            y = y + a
         else:
             y = y + attention.apply(lp["self_attn"], t, n_heads=n_heads,
                                     backend=backend, policy=policy,
@@ -243,6 +254,8 @@ def apply_attn_block(p, x, context, n_heads: int, groups: int, policy: Policy,
         y = y + linear.apply(lp["geglu_out"], t, policy, quant)
 
     y = _proj1x1(p["conv_out"], y, policy, quant) + y0
+    if return_self_probs:
+        return y.reshape(n, h, w, c), self_probs
     return y.reshape(n, h, w, c)
 
 
@@ -340,7 +353,8 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
           quant: str = "none", sp_mesh=None,
           add_cond: Optional[jax.Array] = None, control=None,
           t_cond: Optional[jax.Array] = None,
-          return_cache: bool = False, cache=None, pag: bool = False):
+          return_cache: bool = False, cache=None, pag: bool = False,
+          return_mid_attn: bool = False):
     """latents: (B, h, w, in_ch); context: (B, S, d_context); t: scalar timestep.
 
     Returns predicted noise (B, h, w, out_ch).
@@ -364,6 +378,9 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
     substituting the cached deep feature — with identical inputs the
     result is exactly the full forward (tests/test_deepcache.py).
     """
+    if return_mid_attn and (cache is not None or return_cache):
+        raise ValueError("return_mid_attn (SAG) is incompatible with "
+                         "DeepCache (the shallow step skips the mid block)")
     if t_emb is None:
         t_emb = timestep_embedding(t, cfg.model_channels)
     if t_cond is not None:
@@ -415,12 +432,19 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
         mid = params["bottleneck"]
         x = apply_res_block(mid["res1"], x, t_emb, cfg.groups, policy,
                             backend=attention_backend, quant=quant)
-        x = apply_attn_block(mid["attn"], x, context,
-                             cfg.heads_for(x.shape[-1]), cfg.groups,
-                             policy, backend=attention_backend,
-                             reference_quirks=reference_quirks,
-                             fuse_qkv=fuse_qkv, quant=quant,
-                             sp_mesh=sp_mesh, pag_self_attn=pag)
+        if return_mid_attn:
+            x, mid_probs = apply_attn_block(
+                mid["attn"], x, context, cfg.heads_for(x.shape[-1]),
+                cfg.groups, policy, backend=attention_backend,
+                reference_quirks=reference_quirks, fuse_qkv=fuse_qkv,
+                quant=quant, pag_self_attn=pag, return_self_probs=True)
+        else:
+            x = apply_attn_block(mid["attn"], x, context,
+                                 cfg.heads_for(x.shape[-1]), cfg.groups,
+                                 policy, backend=attention_backend,
+                                 reference_quirks=reference_quirks,
+                                 fuse_qkv=fuse_qkv, quant=quant,
+                                 sp_mesh=sp_mesh, pag_self_attn=pag)
         x = apply_res_block(mid["res2"], x, t_emb, cfg.groups, policy,
                             backend=attention_backend, quant=quant)
         if control is not None:
@@ -468,6 +492,8 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
     out = conv.apply(params["conv_out"], x, padding=1, policy=policy)
     if return_cache:
         return out, out_cache
+    if return_mid_attn:
+        return out, mid_probs
     return out
 
 

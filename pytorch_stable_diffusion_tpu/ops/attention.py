@@ -58,7 +58,8 @@ def _merge_heads(x):
     return x.transpose(0, 2, 1, 3).reshape(b, s, h * dh)
 
 
-def _xla_attention(q, k, v, causal: bool, policy: Policy):
+def _xla_attention(q, k, v, causal: bool, policy: Policy,
+                   return_probs: bool = False):
     """q,k,v: (B, H, S, Dh).  Softmax in policy.softmax_dtype."""
     dh = q.shape[-1]
     scale = 1.0 / (dh**0.5)
@@ -71,6 +72,8 @@ def _xla_attention(q, k, v, causal: bool, policy: Policy):
     probs = jax.nn.softmax(scores.astype(policy.softmax_dtype), axis=-1)
     out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(q.dtype), v,
                      preferred_element_type=policy.compute_dtype)
+    if return_probs:
+        return out.astype(q.dtype), probs
     return out.astype(q.dtype)
 
 
@@ -140,7 +143,7 @@ def apply_identity(params, x, *, policy: Policy = FP32, quant: str = "none"):
 
 def apply(params, x, context=None, *, n_heads: int, causal: bool = False,
           backend: str = "xla", policy: Policy = FP32, fuse: bool = True,
-          quant: str = "none", sp_mesh=None):
+          quant: str = "none", sp_mesh=None, return_probs: bool = False):
     """x: (B, S, D); context: (B, S_kv, D_cross) for cross-attention.
 
     ``fuse=False`` applies q/k/v as separate linears instead of the fused
@@ -161,7 +164,7 @@ def apply(params, x, context=None, *, n_heads: int, causal: bool = False,
             q = linear.apply(params["q"], x, policy, quant)
             k = linear.apply(params["k"], x, policy, quant)
             v = linear.apply(params["v"], x, policy, quant)
-        if sp_mesh is not None and not causal:
+        if sp_mesh is not None and not causal and not return_probs:
             out = _sp_self_attention(q, k, v, n_heads, backend, policy,
                                      sp_mesh)
             return linear.apply(params["out"], out, policy, quant)
@@ -169,7 +172,7 @@ def apply(params, x, context=None, *, n_heads: int, causal: bool = False,
         # transposes around the custom call (-3.3% whole-UNet at CFG batch 8;
         # benchmarks/exp_bsc_insitu.py).  Falls through when the whole-C KV
         # exceeds the kernel's VMEM model (e.g. 9216 tokens at 768²).
-        if backend == "pallas" and not causal:
+        if backend == "pallas" and not causal and not return_probs:
             from .pallas.flash_attention import bsc_fits, flash_attention_bsc
 
             # quant graphs shift Mosaic's scoped-vmem stack enough to push
@@ -200,6 +203,13 @@ def apply(params, x, context=None, *, n_heads: int, causal: bool = False,
     # = 17 GB — measured: whole 2048² VAE decode fails on xla, runs on
     # flash at 459 ms), so extreme sequences escape to flash regardless of
     # the configured backend.
+    if return_probs:
+        # SAG's attention-map capture: materialized scores, XLA path only
+        # (used at the mid block, whose sequence is tiny)
+        out, probs = _xla_attention(qh, kh, vh, causal, policy,
+                                    return_probs=True)
+        return linear.apply(params["out"], _merge_heads(out), policy,
+                            quant), probs
     if (backend == "pallas" and kh.shape[2] >= 256) or kh.shape[2] >= 40960:
         from .pallas.flash_attention import flash_attention
 

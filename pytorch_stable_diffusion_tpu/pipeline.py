@@ -130,6 +130,35 @@ def _progress_tick(step_i, n_steps):
         print()
 
 
+def _lane(ctx, sl):
+    """Slice a batch-lane range out of a context that may be a hypernetwork
+    (ctx_k, ctx_v) tuple."""
+    return tuple(t[sl] for t in ctx) if isinstance(ctx, tuple) else ctx[sl]
+
+
+def gaussian_blur(x, ksize: int = 9, sigma: float = 1.0):
+    """Separable depthwise gaussian blur on NHWC with reflect padding —
+    diffusers' ``gaussian_blur_2d`` (the SAG degradation operator)."""
+    ax = np.arange(ksize, dtype=np.float64) - (ksize - 1) / 2.0
+    k1 = np.exp(-0.5 * (ax / sigma) ** 2)
+    k1 /= k1.sum()
+    c = x.shape[-1]
+    kv = jnp.asarray(np.tile(k1.reshape(ksize, 1, 1, 1), (1, 1, 1, c)),
+                     x.dtype)
+    kh = jnp.asarray(np.tile(k1.reshape(1, ksize, 1, 1), (1, 1, 1, c)),
+                     x.dtype)
+    pad = ksize // 2
+    y = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+    dn = jax.lax.conv_dimension_numbers(y.shape, kv.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(y, kv, (1, 1), "VALID",
+                                     dimension_numbers=dn,
+                                     feature_group_count=c)
+    return jax.lax.conv_general_dilated(y, kh, (1, 1), "VALID",
+                                        dimension_numbers=dn,
+                                        feature_group_count=c)
+
+
 def slerp_noise(t, low, high):
     """Per-sample spherical interpolation between two noise tensors (the
     A1111 variation-seed combiner).  Great-circle interpolation keeps the
@@ -179,7 +208,8 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                       variation: bool = False,
                       pag: bool = False,
                       encode_tile: Optional[int] = None,
-                      hyper: Optional[Tuple[str, bool]] = None):
+                      hyper: Optional[Tuple[str, bool]] = None,
+                      sag: bool = False):
     """Build + jit the full generate computation for one static shape.
 
     ``fixed_noise=True`` compiles a variant whose latent-init / encoder /
@@ -578,9 +608,15 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                 reference_quirks=cfg.reference_quirks,
                 fuse_qkv=cfg.fuse_qkv, quant=cfg.quant, sp_mesh=sp_mesh,
                 add_cond=add_c, control=control, t_cond=t_cond)
+            mid_probs = None
             if deepcache is None:
-                eps = unet_mod.apply(params["diffusion"], model_in, ctx,
-                                     t, cfg.unet, policy, **unet_kw)
+                if sag:
+                    eps, mid_probs = unet_mod.apply(
+                        params["diffusion"], model_in, ctx, t, cfg.unet,
+                        policy, return_mid_attn=True, **unet_kw)
+                else:
+                    eps = unet_mod.apply(params["diffusion"], model_in, ctx,
+                                         t, cfg.unet, policy, **unet_kw)
             else:
                 refresh = ((step_i - start_step) % deepcache == 0) \
                     if dc_refresh is None else dc_refresh
@@ -608,13 +644,61 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                         pag_kw["control"] = {
                             "mid": control["mid"][:batch],
                             "down": [d[:batch] for d in control["down"]]}
-                pag_ctx = ctx[:batch] if do_cfg else ctx
+                pag_ctx = _lane(ctx, slice(None, batch)) if do_cfg else ctx
                 pag_in = lat_in
                 if sp_mesh is not None:
                     pag_in = jax.lax.with_sharding_constraint(pag_in, _sp)
                 eps_ptb = unet_mod.apply(params["diffusion"], pag_in,
                                          pag_ctx, t, cfg.unet, policy,
                                          pag=True, **pag_kw)
+            if sag:
+                # Self-Attention Guidance (Hong et al. 2023; diffusers SAG
+                # pipeline): blur pred_x0 where the mid-block self-attention
+                # mass concentrates, re-noise with the predicted eps, and
+                # re-evaluate the BASE lane (uncond under CFG — the
+                # diffusers convention) on the degraded latents.
+                base_raw = (eps[batch:] if do_cfg else eps) \
+                    .astype(jnp.float32)
+                base_ctx = _lane(ctx, slice(batch, None)) if do_cfg else ctx
+                base_add = None if add_c is None else \
+                    (add_c[batch:] if do_cfg else add_c)
+                probs = (mid_probs[batch:] if do_cfg else mid_probs) \
+                    .astype(jnp.float32)
+                lat32s = latents.astype(jnp.float32)
+                base_eps = ddpm.to_epsilon(schedule, t, lat32s, base_raw,
+                                           cfg.prediction_type)
+                a_t = schedule.alphas_cumprod[t]
+                x0 = (lat32s - jnp.sqrt(1.0 - a_t) * base_eps) \
+                    / jnp.sqrt(a_t)
+                # per-key attention mass > 1 marks the salient tokens
+                mass = probs.mean(axis=1).sum(axis=1)  # (B, S_mid)
+                down = 2 ** (len(cfg.unet.ch_mults) - 1)
+                mh, mw = h_lat // down, w_lat // down
+                mask = (mass > 1.0).astype(jnp.float32).reshape(
+                    batch, mh, mw, 1)
+                mask = jax.image.resize(mask, (batch, h_lat, w_lat, 1),
+                                        "nearest")
+                x0_deg = gaussian_blur(x0) * mask + x0 * (1.0 - mask)
+                lat_deg = jnp.sqrt(a_t) * x0_deg \
+                    + jnp.sqrt(1.0 - a_t) * base_eps
+                deg_in = lat_deg.astype(policy.compute_dtype)
+                if inpaint == "unet9":
+                    deg_in = jnp.concatenate([deg_in, inpaint_extra],
+                                             axis=-1)
+                if sp_mesh is not None:
+                    deg_in = jax.lax.with_sharding_constraint(deg_in, _sp)
+                sag_kw = dict(unet_kw)
+                sag_kw["add_cond"] = base_add
+                if control is not None and do_cfg:
+                    sag_kw["control"] = {
+                        "mid": control["mid"][batch:],
+                        "down": [d[batch:] for d in control["down"]]}
+                eps_deg_raw = unet_mod.apply(
+                    params["diffusion"], deg_in, base_ctx, t, cfg.unet,
+                    policy, **sag_kw)
+                eps_deg = ddpm.to_epsilon(schedule, t, lat_deg,
+                                          eps_deg_raw.astype(jnp.float32),
+                                          cfg.prediction_type)
             if do_cfg:
                 eps_cond, eps_uncond = jnp.split(eps, 2, axis=0)
                 eps = cfg_scale * (eps_cond - eps_uncond) + eps_uncond  # pipeline.py:233
@@ -641,6 +725,8 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
             # SD-2.x v-prediction -> epsilon (no-op for "epsilon"; CFG and
             # the conversion are both affine, so combining first is exact)
             eps = ddpm.to_epsilon(schedule, t, latents, eps, cfg.prediction_type)
+            if sag:
+                eps = eps + noises["sag_scale"] * (base_eps - eps_deg)
             if progress:  # reference's tqdm bar (ref pipeline.py:205), opt-in
                 jax.debug.callback(_progress_tick, step_i, n_steps,
                                    ordered=False)
@@ -873,6 +959,7 @@ def _run_generate(
     variation_seed: Optional[int] = None,
     variation_strength: float = 0.0,
     pag_scale: float = 0.0,
+    sag_scale: float = 0.0,
     encode_tile: Optional[int] = None,
     hypernetwork: Optional[Tuple[str, bool]] = None,
     hypernetwork_strength: float = 1.0,
@@ -1146,6 +1233,18 @@ def _run_generate(
             raise ValueError("PAG is not supported in fixed_noise parity "
                              "mode")
         noises["pag_scale"] = jnp.float32(pag_scale)
+    # Self-Attention Guidance: scale != 0 compiles the SAG variant (mid
+    # attention-map capture + one extra base-lane eval on blurred-salient
+    # latents per step); the scale itself is traced.
+    use_sag = sag_scale != 0.0
+    if use_sag:
+        if fixed_noise is not None:
+            raise ValueError("SAG is not supported in fixed_noise parity "
+                             "mode")
+        if deepcache is not None:
+            raise ValueError("SAG needs the mid block every step; it does "
+                             "not compose with deepcache")
+        noises["sag_scale"] = jnp.float32(sag_scale)
     # A1111 hypernetwork: ``hypernetwork`` is the loader's static metadata
     # (activation, activate_output); the module tree must ride in
     # ``models["hypernetwork"]`` and the multiplier is traced.
@@ -1180,7 +1279,7 @@ def _run_generate(
                             emphasis, deepcache, n_sched, use_variation,
                             use_pag,
                             int(encode_tile) if encode_tile else None,
-                            hyper)
+                            hyper, use_sag)
     if n_sched > 1:
         noises["sched_idx"] = jnp.asarray(sched_idx_arr)
     cond_tokens = jnp.asarray(cond_tokens)

@@ -180,3 +180,18 @@ def test_missing_width_rejected(tmp_path, tiny_models, tiny_tokenizer,
     models = dict(tiny_models, hypernetwork=tree)
     with pytest.raises(ValueError, match="context width"):
         _gen(models, tiny_tokenizer, tiny_cfg, hypernetwork=meta)
+
+
+def test_hypernetwork_composes_with_pag_and_sag(tmp_path, tiny_models,
+                                                tiny_tokenizer, tiny_cfg):
+    """PAG/SAG slice conditioning lanes out of the context — which under a
+    hypernetwork is a (ctx_k, ctx_v) TUPLE (pipeline._lane)."""
+    rs = np.random.RandomState(8)
+    tree, meta = hyper.load_hypernetwork(_hn_file(tmp_path, rs))
+    models = dict(tiny_models, hypernetwork=tree)
+    img_p, _ = _gen(models, tiny_tokenizer, tiny_cfg, hypernetwork=meta,
+                    pag_scale=1.0)
+    img_s, _ = _gen(models, tiny_tokenizer, tiny_cfg, hypernetwork=meta,
+                    sag_scale=0.75)
+    assert img_p.shape == (H, W, 3) and img_s.shape == (H, W, 3)
+    assert (img_p != img_s).any()
