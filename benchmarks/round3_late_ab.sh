@@ -17,3 +17,9 @@ run --batch 1 --quant w8               # weight-only int8 latency
 run --sampler dpm++_sde                # SDE sampler cost check
 run --sampler lcm --steps 4 --no-cfg --batch 1   # few-step distilled config
 run --family sdxl --deepcache 3        # SDXL DeepCache (1024^2 batch 1)
+
+# round-3-late guidance/feature extras (added after the queue above):
+run --batch 1 --pag-scale 3.0           # PAG: one extra cond-lane eval/step
+run --batch 1 --sag-scale 0.75          # SAG: capture + degraded eval/step
+run --sampler lms                       # LMS (one eval/step, ~ddpm cost)
+run --sampler dpm2                      # DPM2 (two evals/step, ~heun cost)
