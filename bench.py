@@ -51,9 +51,10 @@ def main():
                     choices=["none", "wide", "conv", "w8"],
                     help="UNet int8 tier (ops/quant.py; w8 = weight-only)")
     ap.add_argument("--family", default="sd15",
-                    choices=["sd15", "sd21", "sdxl"],
+                    choices=["sd15", "sd21", "sdxl", "tiny"],
                     help="model family (driver headline stays sd15; "
-                         "sdxl defaults its native 1024 size)")
+                         "sdxl defaults its native 1024 size; tiny is the "
+                         "CPU-drivable smoke config — pair with --size 16)")
     ap.add_argument("--deepcache", type=int, default=None, metavar="N",
                     help="DeepCache interval: full UNet every N-th step, "
                          "cached-deep-feature shallow steps between")
@@ -64,19 +65,27 @@ def main():
     ap.add_argument("--no-cfg", action="store_true",
                     help="single-pass UNet (no classifier-free guidance "
                          "doubling)")
+    ap.add_argument("--pag-scale", type=float, default=0.0,
+                    help="Perturbed-Attention Guidance (extra cond-lane "
+                         "eval per step)")
+    ap.add_argument("--sag-scale", type=float, default=0.0,
+                    help="Self-Attention Guidance (map capture + degraded "
+                         "eval per step)")
     args = ap.parse_args()
 
     from pytorch_stable_diffusion_tpu.core.cache import enable_compilation_cache
     from pytorch_stable_diffusion_tpu.core.dtypes import BF16
     from pytorch_stable_diffusion_tpu.models.config import (sd15_config,
                                                             sd21_config,
-                                                            sdxl_config)
+                                                            sdxl_config,
+                                                            tiny_sd_config)
     from pytorch_stable_diffusion_tpu.pipeline import _compiled_txt2img
 
     enable_compilation_cache()
 
     backend = args.backend if jax.default_backend() == "tpu" else "xla"
-    mk = {"sd15": sd15_config, "sd21": sd21_config, "sdxl": sdxl_config}
+    mk = {"sd15": sd15_config, "sd21": sd21_config, "sdxl": sdxl_config,
+          "tiny": tiny_sd_config}
     cfg = mk[args.family](policy=BF16, attention_backend=backend,
                           quant=args.quant)
     if args.family == "sdxl" and args.size == 512 and args.batch == 4:
@@ -87,13 +96,20 @@ def main():
     h_lat = w_lat = args.size // cfg.vae.downsample_factor
     do_cfg = not args.no_cfg
     run = _compiled_txt2img(cfg, args.steps, do_cfg, b, h_lat, w_lat, False,
-                            sampler=args.sampler, deepcache=args.deepcache)
+                            sampler=args.sampler, deepcache=args.deepcache,
+                            pag=args.pag_scale != 0.0,
+                            sag=args.sag_scale != 0.0)
 
-    cond = jnp.full((b, cfg.clip.max_len), 49406, jnp.int32)
-    uncond = jnp.full((b, cfg.clip.max_len), 49407, jnp.int32)
+    sot = min(49406, cfg.clip.vocab_size - 2)  # tiny family: small vocab
+    cond = jnp.full((b, cfg.clip.max_len), sot, jnp.int32)
+    uncond = jnp.full((b, cfg.clip.max_len), sot + 1, jnp.int32)
     key = jax.random.PRNGKey(1337)
     image = jnp.zeros((b, args.size, args.size, 3), jnp.float32)
     noises = {"latent_init": jnp.zeros((1,), jnp.float32)}  # PRNG path
+    if args.pag_scale:
+        noises["pag_scale"] = jnp.float32(args.pag_scale)
+    if args.sag_scale:
+        noises["sag_scale"] = jnp.float32(args.sag_scale)
     call = lambda k: run(models, cond, uncond, k, jnp.float32(7.5),
                          jnp.int32(0), image, noises)
 
@@ -123,7 +139,10 @@ def main():
                   f"{'+CFG' if do_cfg else ''} "
                   f"batch={b} images/sec/chip ({backend} attention, bf16"
                   + (f", deepcache={args.deepcache}" if args.deepcache
-                     else "") + ")",
+                     else "")
+                  + (f", pag={args.pag_scale}" if args.pag_scale else "")
+                  + (f", sag={args.sag_scale}" if args.sag_scale else "")
+                  + ")",
         "value": round(ips, 4),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / 1.0, 4),
