@@ -71,7 +71,7 @@ img_fr = sd.inpaint("a cat", _src, _m, full_res=True, full_res_padding=4,
 print("full-res inpaint:", img_fr.shape, "outside kept:",
       bool((img_fr[:2] == _src[:2]).all()), flush=True)
 # hypernetwork through the wrapper (synthetic in-memory net)
-_hn_tree = {cfg.unet.d_context: {
+_hn_tree = {str(cfg.unet.d_context): {
     "k": [{"kernel": np.eye(cfg.unet.d_context, dtype=np.float32) * 0.01,
            "bias": np.zeros(cfg.unet.d_context, np.float32)}],
     "v": [{"kernel": np.eye(cfg.unet.d_context, dtype=np.float32) * -0.01,

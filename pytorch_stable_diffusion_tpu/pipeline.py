@@ -1257,7 +1257,7 @@ def _run_generate(
         if n_sched > 1:
             raise ValueError("hypernetworks are not supported with prompt "
                              "editing/alternation")
-        if cfg.unet.d_context not in models["hypernetwork"]:
+        if str(cfg.unet.d_context) not in models["hypernetwork"]:
             raise ValueError(
                 f"hypernetwork has no entry for context width "
                 f"{cfg.unet.d_context} (has "

@@ -35,7 +35,12 @@ def export_pipeline(cfg: SDConfig, models, *, n_steps: int = 50, batch: int = 1,
                     decode_tile: Optional[int] = None,
                     inpaint: Optional[str] = None,
                     use_control: bool = False,
-                    emphasis: bool = False) -> bytes:
+                    emphasis: bool = False,
+                    guidance_rescale: float = 0.0,
+                    timestep_spacing: str = "uniform",
+                    pag: bool = False, sag: bool = False,
+                    variation: bool = False,
+                    hypernetwork=None) -> bytes:
     """Serialize the full generation program for one static configuration.
 
     ``models`` supplies only shapes/dtypes for the export signature; the
@@ -51,6 +56,14 @@ def export_pipeline(cfg: SDConfig, models, *, n_steps: int = 50, batch: int = 1,
     conditioning scale) ride in the aux dict like the live pipeline's.
     ``emphasis`` exports the A1111 prompt-weighting graph; per-token
     weight rows (from ``tokenizer.encode_weighted``) ride in the aux dict.
+
+    Round-3-late additions: ``pag``/``sag`` export the Perturbed- /
+    Self-Attention-Guidance graphs (their scales are runtime aux inputs),
+    ``variation`` the A1111 subseed slerp (variation key + strength in
+    aux), ``hypernetwork`` the loader's static (activation,
+    activate_output) metadata — the module tree then rides in ``models``
+    at call time, ``guidance_rescale``/``timestep_spacing`` the CFG
+    rescale and non-uniform grids.
     """
     f = cfg.vae.downsample_factor
     if height % f or width % f:
@@ -64,10 +77,15 @@ def export_pipeline(cfg: SDConfig, models, *, n_steps: int = 50, batch: int = 1,
     if use_control and "controlnet" not in models:
         raise ValueError("use_control=True needs models['controlnet']")
     h_lat, w_lat = height // f, width // f
+    if hypernetwork is not None and "hypernetwork" not in models:
+        raise ValueError("hypernetwork metadata given but models has no "
+                         "'hypernetwork' entry")
     run = _compiled_txt2img(cfg, n_steps, do_cfg, batch, h_lat, w_lat,
                             img2img, False, False, sampler, float(ddim_eta),
                             decode_tile, None, inpaint, use_control,
-                            0.0, "uniform", emphasis)
+                            float(guidance_rescale), timestep_spacing,
+                            emphasis, variation=variation, pag=pag,
+                            hyper=hypernetwork, sag=sag)
 
     aux = {"latent_init": jnp.zeros((1,), jnp.float32)}
     if inpaint is not None:
@@ -82,6 +100,15 @@ def export_pipeline(cfg: SDConfig, models, *, n_steps: int = 50, batch: int = 1,
         aux["cond_weights"] = jnp.ones((batch, cfg.clip.max_len), jnp.float32)
         aux["uncond_weights"] = jnp.ones((batch, cfg.clip.max_len),
                                          jnp.float32)
+    if pag:
+        aux["pag_scale"] = jnp.float32(1.0)
+    if sag:
+        aux["sag_scale"] = jnp.float32(1.0)
+    if variation:
+        aux["variation_key"] = jax.random.PRNGKey(0)
+        aux["variation_strength"] = jnp.float32(0.0)
+    if hypernetwork is not None:
+        aux["hyper_strength"] = jnp.float32(1.0)
     args = (
         models,
         jnp.zeros((batch, cfg.clip.max_len), jnp.int32),
@@ -136,7 +163,9 @@ class LoadedPipeline:
 
     def __call__(self, models, cond_tokens, uncond_tokens, key, cfg_scale,
                  start_step=0, input_image=None, mask=None, control_hint=None,
-                 control_scale=1.0, cond_weights=None, uncond_weights=None):
+                 control_scale=1.0, cond_weights=None, uncond_weights=None,
+                 pag_scale=1.0, sag_scale=1.0, variation_seed=0,
+                 variation_strength=0.0, hypernetwork_strength=1.0):
         """``input_image``: (batch, H, W, 3) float32 in [-1, 1] for an
         img2img artifact — or ready (batch, h_lat, w_lat, C) latents for
         an ``img2img="latent"`` artifact (ignored — and zero-filled — for
@@ -173,6 +202,15 @@ class LoadedPipeline:
             aux["uncond_weights"] = jnp.ones(ws, jnp.float32) \
                 if uncond_weights is None \
                 else jnp.asarray(uncond_weights, jnp.float32).reshape(ws)
+        if "pag_scale" in shapes:
+            aux["pag_scale"] = jnp.float32(pag_scale)
+        if "sag_scale" in shapes:
+            aux["sag_scale"] = jnp.float32(sag_scale)
+        if "variation_key" in shapes:
+            aux["variation_key"] = jax.random.PRNGKey(int(variation_seed))
+            aux["variation_strength"] = jnp.float32(variation_strength)
+        if "hyper_strength" in shapes:
+            aux["hyper_strength"] = jnp.float32(hypernetwork_strength)
         out = self._exported.call(
             models, jnp.asarray(cond_tokens, jnp.int32),
             jnp.asarray(uncond_tokens, jnp.int32), key,

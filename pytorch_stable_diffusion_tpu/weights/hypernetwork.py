@@ -79,7 +79,8 @@ def load_hypernetwork(obj_or_path) -> Tuple[dict, Tuple[str, bool]]:
     """Load an A1111 hypernetwork ``.pt`` (path or the already-unpickled
     dict) -> ``(tree, (activation, activate_output))``.
 
-    ``tree[dim]["k"|"v"]`` is the module list for that context width; the
+    ``tree[str(dim)]["k"|"v"]`` is the module list for that context width
+    (string keys: jax.export serialization rejects non-str dict keys); the
     static metadata tuple keys the compiled pipeline variant.
     """
     obj = obj_or_path
@@ -94,13 +95,13 @@ def load_hypernetwork(obj_or_path) -> Tuple[dict, Tuple[str, bool]]:
         raise ValueError(f"unsupported hypernetwork activation {act!r} "
                          f"(known: {sorted(ACTIVATIONS)})")
     activate_output = bool(obj.get("activate_output", False))
-    tree: Dict[int, dict] = {}
+    tree: Dict[str, dict] = {}
     for key, val in obj.items():
         if isinstance(key, int):
             if not (isinstance(val, (tuple, list)) and len(val) == 2):
                 raise ValueError(f"size {key}: expected (k_sd, v_sd) pair")
-            tree[key] = {"k": _parse_module(dict(val[0])),
-                         "v": _parse_module(dict(val[1]))}
+            tree[str(key)] = {"k": _parse_module(dict(val[0])),
+                              "v": _parse_module(dict(val[1]))}
         elif key not in _META_KEYS:
             raise ValueError(f"unexpected hypernetwork key {key!r}")
     if not tree:
@@ -136,7 +137,7 @@ def apply_hypernetwork(tree: dict, context, strength, *, activation: str,
     """context (..., D) -> (ctx_k, ctx_v); ``strength`` is traced (A1111's
     multiplier scales the residual: ``x + net(x) * strength``)."""
     d = context.shape[-1]
-    layers = tree.get(d)
+    layers = tree.get(str(d))
     if layers is None:
         raise ValueError(f"hypernetwork has no entry for context width {d} "
                          f"(has {sorted(tree)})")

@@ -299,3 +299,80 @@ def test_export_latent_img2img_roundtrip(tiny_cfg, tiny_models,
         aot.export_pipeline(tiny_cfg, tiny_models, n_steps=N_STEPS,
                             height=H, width=W, img2img="latent",
                             inpaint="unet9")
+
+
+def test_export_guidance_variation_roundtrip(tiny_cfg, tiny_models,
+                                             tiny_tokenizer):
+    """Round-3-late surface: PAG + SAG + variation seeds export; runtime
+    scales/seed are aux inputs, bit-matching the live pipeline."""
+    blob = aot.export_pipeline(tiny_cfg, tiny_models, n_steps=N_STEPS,
+                               batch=1, height=H, width=W, pag=True,
+                               sag=True, variation=True)
+    loaded = aot.load_pipeline(blob)
+    assert {"pag_scale", "sag_scale", "variation_key",
+            "variation_strength"} <= set(loaded.aux_keys)
+
+    toks = np.asarray([tiny_tokenizer.encode("a cat")], np.int32)
+    un = np.asarray([tiny_tokenizer.encode("")], np.int32)
+    key = jax.random.PRNGKey(5)
+    images, _ = loaded(tiny_models, toks, un, key, 7.5, pag_scale=2.0,
+                       sag_scale=0.5, variation_seed=9,
+                       variation_strength=0.4)
+
+    import pytorch_stable_diffusion_tpu as sdt
+
+    live = sdt.generate("a cat", "", models=tiny_models,
+                        tokenizer=tiny_tokenizer, seed=5,
+                        n_inference_steps=N_STEPS, config=tiny_cfg,
+                        height=H, width=W, pag_scale=2.0, sag_scale=0.5,
+                        variation_seed=9, variation_strength=0.4)
+    np.testing.assert_array_equal(images[0], live)
+
+
+def test_export_hypernetwork_roundtrip(tiny_cfg, tiny_models,
+                                       tiny_tokenizer):
+    rs = np.random.RandomState(0)
+    d = tiny_cfg.unet.d_context
+    tree = {str(d): {lane: [{"kernel": rs.randn(d, d).astype(np.float32) * 0.05,
+                             "bias": np.zeros(d, np.float32)}]
+                     for lane in ("k", "v")}}
+    meta = ("linear", False)
+    models = dict(tiny_models, hypernetwork=tree)
+    blob = aot.export_pipeline(tiny_cfg, models, n_steps=N_STEPS, batch=1,
+                               height=H, width=W, hypernetwork=meta)
+    loaded = aot.load_pipeline(blob)
+    assert "hyper_strength" in loaded.aux_keys
+
+    toks = np.asarray([tiny_tokenizer.encode("a cat")], np.int32)
+    un = np.asarray([tiny_tokenizer.encode("")], np.int32)
+    images, _ = loaded(models, toks, un, jax.random.PRNGKey(5), 7.5,
+                       hypernetwork_strength=0.7)
+
+    import pytorch_stable_diffusion_tpu as sdt
+
+    live = sdt.generate("a cat", "", models=models, tokenizer=tiny_tokenizer,
+                        seed=5, n_inference_steps=N_STEPS, config=tiny_cfg,
+                        height=H, width=W, hypernetwork=meta,
+                        hypernetwork_strength=0.7)
+    np.testing.assert_array_equal(images[0], live)
+
+
+def test_export_spacing_rescale_variant(tiny_cfg, tiny_models,
+                                        tiny_tokenizer):
+    blob = aot.export_pipeline(tiny_cfg, tiny_models, n_steps=N_STEPS,
+                               batch=1, height=H, width=W, sampler="dpm++",
+                               timestep_spacing="karras",
+                               guidance_rescale=0.7)
+    loaded = aot.load_pipeline(blob)
+    toks = np.asarray([tiny_tokenizer.encode("a cat")], np.int32)
+    un = np.asarray([tiny_tokenizer.encode("")], np.int32)
+    images, _ = loaded(tiny_models, toks, un, jax.random.PRNGKey(5), 7.5)
+
+    import pytorch_stable_diffusion_tpu as sdt
+
+    live = sdt.generate("a cat", "", models=tiny_models,
+                        tokenizer=tiny_tokenizer, seed=5,
+                        n_inference_steps=N_STEPS, config=tiny_cfg,
+                        height=H, width=W, sampler_name="dpm++",
+                        timestep_spacing="karras", guidance_rescale=0.7)
+    np.testing.assert_array_equal(images[0], live)

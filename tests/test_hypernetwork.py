@@ -59,8 +59,8 @@ def test_load_and_oracle(tmp_path):
     p = _hn_file(tmp_path, rs, act="relu")
     tree, (act, act_out) = hyper.load_hypernetwork(p)
     assert act == "relu" and act_out is False
-    assert sorted(tree) == [D]
-    mods = tree[D]["k"]
+    assert sorted(tree) == [str(D)]  # string keys (jax.export-serializable)
+    mods = tree[str(D)]["k"]
     assert [list(m) for m in mods] == [["kernel", "bias"]] * 2
     assert mods[0]["kernel"].shape == (D, 2 * D)  # transposed to x @ W
 
@@ -101,7 +101,7 @@ def test_layernorm_module_parses():
     mods = hyper._parse_module(sd)
     assert "ln_scale" in mods[1] and "kernel" in mods[2]
     # zero output layer -> residual 0 -> identity
-    tree = {4: {"k": mods, "v": mods}}
+    tree = {"4": {"k": mods, "v": mods}}
     x = jnp.asarray(np.random.RandomState(2).randn(1, 3, 4), jnp.float32)
     ctx_k, _ = hyper.apply_hypernetwork(tree, x, jnp.float32(1.0),
                                         activation="linear",
