@@ -89,3 +89,12 @@ img_sag = sd.txt2img("a cat", seed=1, n_inference_steps=2, height=16,
                      width=16, sag_scale=0.75)
 print("sag txt2img:", img_sag.shape, "differs:", bool((img_sag != img).any()),
       flush=True)
+img_brk = sd.txt2img("a cat BREAK dog", seed=1, n_inference_steps=2,
+                     height=16, width=16, long_prompts=True)
+print("BREAK long-prompt txt2img:", img_brk.shape, flush=True)
+sd_m = sd.merged_with(jax.tree_util.tree_map(lambda x: x * 0.9, models),
+                      alpha=0.5)
+img_m = sd_m.txt2img("a cat", seed=1, n_inference_steps=2, height=16,
+                     width=16)
+print("merged-checkpoint txt2img:", img_m.shape, "differs:",
+      bool((img_m != img).any()), flush=True)

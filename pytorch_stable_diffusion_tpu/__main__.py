@@ -118,6 +118,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--long-prompts", action="store_true",
                    help=">77-token prompts via window-concat context "
                         "instead of truncation")
+    p.add_argument("--vae", default=None, metavar="PATH",
+                   help="standalone VAE override (A1111 .vae.pt / "
+                        ".safetensors or diffusers vae/ dir)")
     p.add_argument("--hypernetwork", default=None, metavar="PATH[:STRENGTH]",
                    help="A1111 hypernetwork .pt (cross-attention k/v "
                         "context MLPs)")
@@ -200,6 +203,10 @@ def main(argv=None) -> int:
             else args.controlnet[0]
         sd = sd.with_controlnet(nets)
         print(f"[cli] attached controlnet {args.controlnet}", flush=True)
+
+    if args.vae:
+        sd = sd.with_vae(args.vae)
+        print(f"[cli] swapped VAE {args.vae}", flush=True)
 
     if args.hypernetwork:
         path, _, s = args.hypernetwork.rpartition(":")

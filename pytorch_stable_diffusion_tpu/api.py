@@ -90,6 +90,46 @@ class StableDiffusion:
             kwargs.setdefault("hypernetwork_strength", self._hyper[1])
         return kwargs
 
+    def with_vae(self, vae):
+        """Return a bundle with a standalone VAE swapped in (the A1111
+        "SD VAE" override, e.g. ``vae-ft-mse-840000``): a CompVis-layout
+        ``.vae.pt``/``.ckpt``/``.safetensors`` file, a diffusers ``vae/``
+        directory, or a ready ``(encoder, decoder)`` pytree pair."""
+        if isinstance(vae, str):
+            from .weights.convert import load_vae
+
+            enc, dec = load_vae(vae, self.config)
+        else:
+            enc, dec = vae
+        out = type(self).__new__(type(self))
+        out.models = dict(self.models, encoder=enc, decoder=dec)
+        out.tokenizer, out.config, out.mesh = \
+            self.tokenizer, self.config, self.mesh
+        return out
+
+    def merged_with(self, other, alpha: float = 0.5, third=None):
+        """A1111 checkpoint merger: weighted-sum this bundle's weights with
+        ``other``'s at ``alpha`` (0 = self, 1 = other), or add-difference
+        ``self + alpha·(other − third)`` when ``third`` is given.
+        ``other``/``third`` may be bundles or raw models dicts."""
+        from .weights.merge import merge_models
+
+        def _models(x):
+            return x.models if isinstance(x, StableDiffusion) else x
+
+        keys = [k for k in ("clip", "clip2", "encoder", "decoder",
+                            "diffusion") if k in self.models]
+        ours = {k: self.models[k] for k in keys}
+        theirs = {k: _models(other)[k] for k in keys}
+        merged = merge_models(
+            ours, theirs, alpha,
+            None if third is None else {k: _models(third)[k] for k in keys})
+        out = type(self).__new__(type(self))
+        out.models = dict(self.models, **merged)
+        out.tokenizer, out.config, out.mesh = \
+            self.tokenizer, self.config, self.mesh
+        return out
+
     def with_hypernetwork(self, hypernetwork, strength: float = 1.0):
         """Return a bundle with an A1111 hypernetwork active
         (weights/hypernetwork.py): small residual MLPs transform the

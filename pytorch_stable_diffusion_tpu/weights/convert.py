@@ -580,6 +580,74 @@ def load_state_dict(path: str, *,
                 for k, v in sd.items()}
 
 
+def convert_vae(state_dict: Dict[str, np.ndarray], cfg: SDConfig,
+                dtype=None):
+    """Standalone VAE checkpoint -> (encoder pytree, decoder pytree).
+
+    The A1111 ``.vae.pt`` / ``.vae.safetensors`` convention (e.g.
+    ``vae-ft-mse-840000``): first-stage keys WITHOUT the full checkpoint's
+    ``first_stage_model.`` prefix; a prefixed (full-checkpoint) dict is
+    accepted too.  Training-only ``loss.*`` / ``model_ema.*`` keys are
+    ignored; every other VAE key must be consumed (exact coverage)."""
+    dtype = dtype or cfg.policy.param_dtype
+    if not any(k.startswith("first_stage_model.") for k in state_dict):
+        state_dict = {"first_stage_model." + k: v
+                      for k, v in state_dict.items()}
+    out = {}
+    consumed = set()
+    for name, rule_fn in (("encoder", vae_encoder_rules),
+                          ("decoder", vae_decoder_rules)):
+        flat = {}
+        for src_key, dst_path, kind in rule_fn(cfg):
+            if src_key not in state_dict:
+                raise KeyError(f"[vae {name}] missing source key: {src_key}")
+            flat[dst_path] = jnp.asarray(
+                _fwd_transform(kind, np.asarray(state_dict[src_key])), dtype)
+            consumed.add(src_key)
+        out[name] = _nest(flat)
+    skip = ("first_stage_model.loss.", "first_stage_model.model_ema.")
+    leftover = [k for k in state_dict
+                if k.startswith("first_stage_model.") and k not in consumed
+                and not any(k.startswith(p) for p in skip)]
+    if leftover:
+        raise KeyError(f"{len(leftover)} unconsumed VAE keys (first 10): "
+                       f"{sorted(leftover)[:10]}")
+    return out["encoder"], out["decoder"]
+
+
+def load_vae(path: str, cfg: SDConfig, dtype=None, *,
+             allow_unsafe_fallback: bool = False):
+    """Standalone VAE file (CompVis layout ``.pt``/``.ckpt``/
+    ``.safetensors``) or diffusers ``vae/`` directory ->
+    (encoder pytree, decoder pytree) — the A1111 "SD VAE" override."""
+    import os
+
+    if os.path.isdir(path):
+        from . import diffusers as dif
+
+        sd = None
+        for n in ("diffusion_pytorch_model.safetensors",
+                  "diffusion_pytorch_model.bin"):
+            p = os.path.join(path, n)
+            if os.path.exists(p):
+                sd = load_state_dict(p)
+                break
+        if sd is None:
+            raise FileNotFoundError(f"no VAE weight file under {path}")
+        dtype = dtype or cfg.policy.param_dtype
+        enc, used_e = dif._convert_one(sd, dif.vae_encoder_rules, cfg,
+                                       dtype, "vae")
+        dec, used_d = dif._convert_one(sd, dif.vae_decoder_rules, cfg,
+                                       dtype, "vae")
+        leftover = [k for k in sd if k not in used_e | used_d]
+        if leftover:
+            raise KeyError(f"{len(leftover)} unconsumed diffusers VAE keys "
+                           f"(first 10): {sorted(leftover)[:10]}")
+        return enc, dec
+    sd = load_state_dict(path, allow_unsafe_fallback=allow_unsafe_fallback)
+    return convert_vae(sd, cfg, dtype)
+
+
 def load_sd_checkpoint(path: str, cfg: SDConfig, dtype=None, *,
                        allow_unsafe_fallback: bool = False):
     """File path -> converted framework pytrees (the

@@ -261,14 +261,30 @@ class CLIPTokenizer:
     def batch_encode(self, texts: Sequence[str]) -> List[List[int]]:
         return [self.encode(t) for t in texts]
 
+    @staticmethod
+    def _break_segments(text: str) -> List[str]:
+        """A1111's ``BREAK`` keyword (uppercase, standalone): force a
+        window boundary.  Split BEFORE tokenization — tokenize()
+        lowercases, so the keyword must be caught at the string level."""
+        import re
+
+        if "BREAK" not in text:
+            return [text]
+        return re.split(r"\bBREAK\b", text)
+
     def encode_windows(self, text: str) -> List[List[int]]:
         """Long-prompt encoding: split the raw BPE ids into
         ``max_len - 2``-token windows, each framed sot/eot and padded —
         the de-facto community scheme (the window hiddens are concatenated
-        into one long cross-attention context).  Always >= 1 window."""
-        ids = self.tokenize(text)
+        into one long cross-attention context).  Always >= 1 window.
+        The A1111 ``BREAK`` keyword ends the current window early (the
+        remainder is eot-padded) and starts a new one."""
         cap = self.max_len - 2
-        chunks = [ids[i:i + cap] for i in range(0, len(ids), cap)] or [[]]
+        chunks: List[List[int]] = []
+        for seg in self._break_segments(text):
+            ids = self.tokenize(seg)
+            chunks.extend([ids[i:i + cap]
+                           for i in range(0, len(ids), cap)] or [[]])
         out = []
         for ch in chunks:
             full = [self.sot] + ch + [self.eot]
@@ -306,19 +322,20 @@ class CLIPTokenizer:
     def encode_windows_weighted(
             self, text: str) -> Tuple[List[List[int]], List[List[float]]]:
         """Long-prompt + emphasis: :meth:`encode_windows` with aligned
-        per-window weight rows."""
-        ids, ws = self.tokenize_weighted(text)
+        per-window weight rows (honors the ``BREAK`` keyword)."""
         cap = self.max_len - 2
-        spans = [(i, min(i + cap, len(ids)))
-                 for i in range(0, len(ids), cap)] or [(0, 0)]
         wins, wws = [], []
-        for a, b in spans:
-            full = [self.sot] + ids[a:b] + [self.eot]
-            wfull = [1.0] + ws[a:b] + [1.0]
-            full.extend([self.eot] * (self.max_len - len(full)))
-            wfull.extend([1.0] * (self.max_len - len(wfull)))
-            wins.append(full)
-            wws.append(wfull)
+        for seg in self._break_segments(text):
+            ids, ws = self.tokenize_weighted(seg)
+            spans = [(i, min(i + cap, len(ids)))
+                     for i in range(0, len(ids), cap)] or [(0, 0)]
+            for a, b in spans:
+                full = [self.sot] + ids[a:b] + [self.eot]
+                wfull = [1.0] + ws[a:b] + [1.0]
+                full.extend([self.eot] * (self.max_len - len(full)))
+                wfull.extend([1.0] * (self.max_len - len(wfull)))
+                wins.append(full)
+                wws.append(wfull)
         return wins, wws
 
     # ------------------------------------------------------------- decoding
