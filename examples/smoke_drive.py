@@ -98,3 +98,6 @@ img_m = sd_m.txt2img("a cat", seed=1, n_inference_steps=2, height=16,
                      width=16)
 print("merged-checkpoint txt2img:", img_m.shape, "differs:",
       bool((img_m != img).any()), flush=True)
+img_up = sd.sd_upscale("a cat", img, scale=2.0, strength=0.4, overlap=8,
+                       height=16, width=16, n_inference_steps=2, seed=1)
+print("sd-upscale:", img_up.shape, flush=True)

@@ -333,6 +333,76 @@ class StableDiffusion:
         result[y0:y1, x0:x1] = blend * back + (1.0 - blend) * crop
         return np.clip(np.round(result), 0, 255).astype(np.uint8)
 
+    def sd_upscale(self, prompt: str, image, *, scale: float = 2.0,
+                   strength: float = 0.3, overlap: int = 64,
+                   uncond_prompt: str = "", height: int = 512,
+                   width: int = 512, batch_size: int = 4,
+                   **kwargs) -> np.ndarray:
+        """A1111's built-in "SD upscale" script: lanczos-upscale the image
+        by ``scale``, split it into overlapping ``height``x``width`` tiles,
+        img2img every tile at ``strength``, and stitch with linear
+        feathering across the ``overlap`` bands.  Every tile shares ONE
+        compiled shape (the processing size), batched ``batch_size`` at a
+        time through the serving path; per-sample PRNG folding gives each
+        tile distinct, deterministic noise.  Returns the full upscaled
+        image (uint8)."""
+        import jax
+
+        img = np.asarray(image, np.float32)
+        if img.ndim == 2:
+            img = np.stack([img] * 3, axis=-1)
+        img = img[..., :3]
+        if img.max() <= 1.0:
+            img = img * 255.0
+        h0, w0 = img.shape[:2]
+        th, tw = int(round(h0 * scale)), int(round(w0 * scale))
+        up = np.asarray(jax.image.resize(jax.numpy.asarray(img),
+                                         (th, tw, 3), "lanczos3"))
+        up = np.clip(up, 0, 255)
+        if th <= height and tw <= width:
+            raise ValueError(f"upscaled size {th}x{tw} fits one processing "
+                             f"tile {height}x{width}; use img2img directly")
+        if overlap >= min(height, width):
+            raise ValueError("overlap must be smaller than the tile size")
+
+        def starts(total, tile):
+            if total <= tile:
+                return [0]
+            stride = tile - overlap
+            s = list(range(0, total - tile, stride)) + [total - tile]
+            return sorted(set(s))
+
+        ys, xs = starts(th, height), starts(tw, width)
+        tiles = np.stack([up[y:y + height, x:x + width]
+                          for y in ys for x in xs]).astype(np.uint8)
+        outs = self.generate_many([prompt] * len(tiles),
+                                  [uncond_prompt] * len(tiles),
+                                  batch_size=batch_size,
+                                  input_image=tiles, height=height,
+                                  width=width, strength=strength, **kwargs)
+
+        # feathered accumulation: weight ramps 0->1 across overlap bands
+        def ramp(n, tile):
+            w = np.ones(tile, np.float32)
+            e = min(overlap, tile)
+            if n > 0:
+                w[:e] = np.linspace(0.0, 1.0, e, endpoint=False) + 1e-3
+            return w
+
+        acc = np.zeros((th, tw, 3), np.float64)
+        wacc = np.zeros((th, tw, 1), np.float64)
+        i = 0
+        for yi, y in enumerate(ys):
+            for xi, x in enumerate(xs):
+                wy = ramp(yi, height)[:, None]
+                wx = ramp(xi, width)[None, :]
+                wt = (wy * wx)[..., None]
+                acc[y:y + height, x:x + width] += outs[i].astype(np.float64) * wt
+                wacc[y:y + height, x:x + width] += wt
+                i += 1
+        return np.clip(np.round(acc / np.maximum(wacc, 1e-8)), 0,
+                       255).astype(np.uint8)
+
     def generate_batch(self, prompts: Sequence[str], uncond_prompts="",
                        **kwargs) -> np.ndarray:
         return pipeline_mod.generate_images(list(prompts), uncond_prompts,

@@ -73,19 +73,23 @@ def rescale(x, old_range, new_range, clamp: bool = False):
 
 
 def _prepare_image(input_image, width: int, height: int) -> np.ndarray:
-    """PIL image / array -> (1, H, W, 3) float32 in [-1, 1]."""
+    """PIL image / array -> (1, H, W, 3) float32 in [-1, 1].
+
+    A 4-D array is a per-sample batch (each sample its own init image —
+    the tiled sd_upscale path) and returns (B, H, W, 3)."""
     if not isinstance(input_image, np.ndarray) and hasattr(input_image, "resize"):
         input_image = input_image.resize((width, height))  # PIL
         arr = np.asarray(input_image, np.float32)
     else:
         arr = np.asarray(input_image, np.float32)
-        if arr.shape[:2] != (height, width):
+        spatial = arr.shape[1:3] if arr.ndim == 4 else arr.shape[:2]
+        if spatial != (height, width):
             raise ValueError(f"input image must be {height}x{width}, got {arr.shape}")
     if arr.ndim == 2:
         arr = np.stack([arr] * 3, axis=-1)
     arr = arr[..., :3]
     arr = rescale(arr, (0.0, 255.0), (-1.0, 1.0))
-    return arr[None]
+    return arr if arr.ndim == 4 else arr[None]
 
 
 def _prepare_mask(mask_image, width: int, height: int) -> np.ndarray:
@@ -1363,11 +1367,27 @@ def generate_many(prompts, uncond_prompts="", *, batch_size: int = 4,
     if n == 0:
         return np.zeros((0, kwargs.get("height", 512),
                          kwargs.get("width", 512), 3), np.uint8)
+    # per-sample init images (4-D array, one per prompt — the sd_upscale
+    # tiled path) are chunked alongside the prompts
+    per_sample_img = None
+    img_arg = kwargs.get("input_image")
+    if img_arg is not None and np.ndim(img_arg) == 4:
+        per_sample_img = np.asarray(img_arg)
+        if len(per_sample_img) != n:
+            raise ValueError(f"{len(per_sample_img)} input images for "
+                             f"{n} prompts")
     root = jax.random.PRNGKey(0 if seed is None else seed)
     device_outs = []
     for i in range(0, n, batch_size):
         chunk = prompts[i:i + batch_size]
         cu = uncond[i:i + batch_size]
+        ckw = dict(kwargs)
+        if per_sample_img is not None:
+            imgs = per_sample_img[i:i + batch_size]
+            if len(imgs) < batch_size:
+                pad = np.repeat(imgs[-1:], batch_size - len(imgs), axis=0)
+                imgs = np.concatenate([imgs, pad], axis=0)
+            ckw["input_image"] = imgs
         while len(chunk) < batch_size:  # pad to keep one compiled shape
             chunk.append(chunk[-1])
             cu.append(cu[-1])
@@ -1375,7 +1395,7 @@ def generate_many(prompts, uncond_prompts="", *, batch_size: int = 4,
         chunk_key = root if k == 0 \
             else jax.random.fold_in(rng_mod.stream(root, "chunk"), k)
         images, _ = _run_generate(chunk, cu, _key=chunk_key,
-                                  _device_output=True, **kwargs)
+                                  _device_output=True, **ckw)
         device_outs.append(images)
     out = np.concatenate([np.asarray(o) for o in device_outs], axis=0)
     return out[:n].astype(np.uint8)

@@ -92,3 +92,25 @@ def test_dp_with_controlnet_matches_single(tiny_cfg, tiny_models,
     single = sdt.generate_images(prompts, **kw)
     dp = generate_images_dp(prompts, mesh=mesh_mod.make_mesh(), **kw)
     assert np.abs(dp.astype(int) - single.astype(int)).max() <= 1
+
+
+def test_dp_guidance_extras_match_single_device(tiny_cfg, tiny_models,
+                                                tiny_tokenizer):
+    """PAG/SAG/variation graphs partition under DP: the 8-way result
+    matches single device up to uint8 rounding (round-3-late features)."""
+    prompts = ["a cat", "a dog", "a photo", "a photo of a dog",
+               "cat", "dog", "a", "of a cat"]
+    kw = dict(models=tiny_models, tokenizer=tiny_tokenizer, seed=11,
+              n_inference_steps=N_STEPS, config=tiny_cfg, height=H, width=W,
+              pag_scale=1.5, sag_scale=0.5, variation_seed=3,
+              variation_strength=0.4)
+    single = sdt.generate_images(prompts, **kw)
+
+    m = mesh_mod.make_mesh()
+    dp = generate_images_dp(prompts, mesh=m, models=tiny_models,
+                            tokenizer=tiny_tokenizer, seed=11,
+                            n_inference_steps=N_STEPS, config=tiny_cfg,
+                            height=H, width=W, pag_scale=1.5, sag_scale=0.5,
+                            variation_seed=3, variation_strength=0.4)
+    assert dp.shape == single.shape == (8, H, W, 3)
+    assert np.abs(dp.astype(int) - single.astype(int)).max() <= 1
