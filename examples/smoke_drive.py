@@ -101,3 +101,7 @@ print("merged-checkpoint txt2img:", img_m.shape, "differs:",
 img_up = sd.sd_upscale("a cat", img, scale=2.0, strength=0.4, overlap=8,
                        height=16, width=16, n_inference_steps=2, seed=1)
 print("sd-upscale:", img_up.shape, flush=True)
+img_and = sd.txt2img("a cat AND dog:0.8", "a", seed=1, n_inference_steps=2,
+                     height=16, width=16)
+print("composable AND txt2img:", img_and.shape, "differs:",
+      bool((img_and != img).any()), flush=True)

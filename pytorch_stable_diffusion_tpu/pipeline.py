@@ -213,7 +213,8 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                       pag: bool = False,
                       encode_tile: Optional[int] = None,
                       hyper: Optional[Tuple[str, bool]] = None,
-                      sag: bool = False):
+                      sag: bool = False,
+                      n_and: int = 1):
     """Build + jit the full generate computation for one static shape.
 
     ``fixed_noise=True`` compiles a variant whose latent-init / encoder /
@@ -583,7 +584,10 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                 # [latents, mask, masked-image latents] per step (the
                 # diffusers SD-inpaint channel order)
                 lat_in = jnp.concatenate([lat_in, inpaint_extra], axis=-1)
-            model_in = jnp.concatenate([lat_in, lat_in], axis=0) if do_cfg else lat_in
+            # CFG doubles the lanes; composable AND runs n_and cond lanes
+            # plus the uncond lane ((n_and+1)·B total)
+            model_in = jnp.concatenate([lat_in] * (n_and + 1), axis=0) \
+                if do_cfg else lat_in
             if sp_mesh is not None:
                 model_in = jax.lax.with_sharding_constraint(model_in, _sp)
             control = None
@@ -703,7 +707,18 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                 eps_deg = ddpm.to_epsilon(schedule, t, lat_deg,
                                           eps_deg_raw.astype(jnp.float32),
                                           cfg.prediction_type)
-            if do_cfg:
+            if do_cfg and n_and > 1:
+                # composable diffusion (A1111 AND): eps_uncond +
+                # cfg Σ w_i (eps_cond_i − eps_uncond); lanes are part-major
+                parts = jnp.split(eps, n_and + 1, axis=0)
+                eps_u = parts[-1].astype(jnp.float32)
+                w = noises["and_weights"]  # (B, n_and), traced
+                eps = eps_u
+                for i in range(n_and):
+                    wi = w[:, i][:, None, None, None]
+                    eps = eps + cfg_scale * wi \
+                        * (parts[i].astype(jnp.float32) - eps_u)
+            elif do_cfg:
                 eps_cond, eps_uncond = jnp.split(eps, 2, axis=0)
                 eps = cfg_scale * (eps_cond - eps_uncond) + eps_uncond  # pipeline.py:233
                 if guidance_rescale > 0.0:
@@ -743,7 +758,7 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
         if deepcache is None:
             dc0 = jnp.zeros((), policy.compute_dtype)
         else:
-            b_eff = batch * 2 if do_cfg else batch
+            b_eff = batch * (n_and + 1) if do_cfg else batch
             dc0 = jnp.zeros(unet_mod.deepcache_shape(
                 cfg.unet, b_eff, h_lat, w_lat), policy.compute_dtype)
 
@@ -1037,6 +1052,40 @@ def _run_generate(
             prompts, uncond = list(realized[0][0]), list(realized[0][1])
             sched_idx_arr = None
 
+    # A1111 composable diffusion ("a cat AND a dog:1.2"): every prompt
+    # splits into the same number of sub-conditionings; the UNet runs
+    # n_and cond lanes + uncond, combined eps_u + cfg Σ w_i (eps_i − eps_u)
+    n_and = 1
+    and_w = None
+    if any(prompt_schedule.has_composable(p) for p in prompts):
+        if n_sched > 1:
+            raise ValueError("AND does not compose with prompt "
+                             "editing/alternation")
+        if not do_cfg:
+            raise ValueError("AND (composable diffusion) requires do_cfg")
+        split = [prompt_schedule.split_composable(p) for p in prompts]
+        ks = {len(parts) for parts, _ in split}
+        if len(ks) != 1:
+            raise ValueError("all prompts in a batch must have the same "
+                             f"number of AND segments (got {sorted(ks)})")
+        n_and = ks.pop()
+        if n_and > 1:
+            if control_image is not None:
+                raise ValueError("AND does not compose with ControlNet")
+            if pag_scale or sag_scale:
+                raise ValueError("AND does not compose with PAG/SAG")
+            if guidance_rescale:
+                raise ValueError("AND does not compose with "
+                                 "guidance_rescale")
+            if fixed_noise is not None:
+                raise ValueError("AND is not supported in fixed_noise "
+                                 "parity mode")
+            and_w = np.asarray([ws for _, ws in split], np.float32)  # (B,K)
+            # part-major expansion: lane i carries sub-prompt i of every
+            # batch sample (matches the split order in the compiled combine)
+            prompts = [split[b][0][i] for i in range(n_and)
+                       for b in range(len(split))]
+
     cond_w = uncond_w = None
     if emphasis and not hasattr(tokenizer, "encode_weighted"):
         raise ValueError("emphasis requires the built-in CLIPTokenizer "
@@ -1283,19 +1332,21 @@ def _run_generate(
                             emphasis, deepcache, n_sched, use_variation,
                             use_pag,
                             int(encode_tile) if encode_tile else None,
-                            hyper, use_sag)
+                            hyper, use_sag, n_and)
     if n_sched > 1:
         noises["sched_idx"] = jnp.asarray(sched_idx_arr)
+    if n_and > 1:
+        noises["and_weights"] = jnp.asarray(and_w)
     cond_tokens = jnp.asarray(cond_tokens)
     uncond_tokens = jnp.asarray(uncond_tokens)
     image = jnp.asarray(image)
     if mesh is not None:
         from .core.mesh import data_sharded
 
-        if n_sched == 1:
-            # prompt-editing stacks carry K*B on the leading axis — leave
-            # them replicated (CLIP runs replicated; the UNet loop is still
-            # data-sharded through the latents)
+        if n_sched == 1 and n_and == 1:
+            # prompt-editing / AND stacks carry K*B on the leading axis —
+            # leave them replicated (CLIP runs replicated; the UNet loop is
+            # still data-sharded through the latents)
             cond_tokens = jax.device_put(
                 cond_tokens, data_sharded(mesh, cond_tokens.ndim))
             uncond_tokens = jax.device_put(

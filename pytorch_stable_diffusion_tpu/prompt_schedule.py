@@ -28,6 +28,7 @@ The reference has no prompt scheduling (single conditioning,
 
 from __future__ import annotations
 
+import re
 from typing import List, Sequence, Tuple
 
 import numpy as np
@@ -128,3 +129,35 @@ def schedule_prompts(
             uniq.append(key)
         idx[s - 1] = seen[key]
     return uniq, idx
+
+
+# ------------------------------------------------- composable diffusion
+_AND_WEIGHT = re.compile(r"^(.*):([+-]?\d+(?:\.\d+)?)\s*$", re.S)
+
+
+def split_composable(text: str) -> Tuple[List[str], List[float]]:
+    """A1111 composable-diffusion ``AND`` syntax -> (sub-prompts, weights).
+
+    ``"a cat AND a dog:1.2"`` denoises against BOTH conditionings:
+    ``eps = eps_uncond + cfg Σ w_i (eps_cond_i − eps_uncond)``.  The weight
+    is a trailing ``:number`` on each segment (default 1.0); the greedy
+    match takes the LAST colon, so emphasis weights like ``(cat:1.3)``
+    inside the segment are untouched.  A prompt with no ``AND`` returns a
+    single unit-weight segment.
+    """
+    if " AND " not in text:
+        return [text], [1.0]
+    parts, ws = [], []
+    for seg in text.split(" AND "):
+        m = _AND_WEIGHT.match(seg)
+        if m and not m.group(1).rstrip().endswith(("(", "[")):
+            parts.append(m.group(1).strip())
+            ws.append(float(m.group(2)))
+        else:
+            parts.append(seg.strip())
+            ws.append(1.0)
+    return parts, ws
+
+
+def has_composable(text: str) -> bool:
+    return " AND " in text
