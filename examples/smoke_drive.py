@@ -105,3 +105,7 @@ img_and = sd.txt2img("a cat AND dog:0.8", "a", seed=1, n_inference_steps=2,
                      height=16, width=16)
 print("composable AND txt2img:", img_and.shape, "differs:",
       bool((img_and != img).any()), flush=True)
+img_tile = sd.txt2img("a cat", seed=1, n_inference_steps=2, height=16,
+                      width=16, tiling=True)
+print("tiling txt2img:", img_tile.shape, "differs:",
+      bool((img_tile != img).any()), flush=True)

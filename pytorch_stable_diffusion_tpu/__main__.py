@@ -118,6 +118,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--long-prompts", action="store_true",
                    help=">77-token prompts via window-concat context "
                         "instead of truncation")
+    p.add_argument("--tiling", action="store_true",
+                   help="seamless-texture mode: circular conv padding "
+                        "everywhere (A1111 --tiling)")
     p.add_argument("--vae", default=None, metavar="PATH",
                    help="standalone VAE override (A1111 .vae.pt / "
                         ".safetensors or diffusers vae/ dir)")
@@ -228,6 +231,7 @@ def main(argv=None) -> int:
               variation_strength=args.variation_strength,
               pag_scale=args.pag_scale,
               sag_scale=args.sag_scale,
+              tiling=args.tiling,
               freeu=None if args.freeu is None
               else (True if not args.freeu else args.freeu))
     if args.control_image:

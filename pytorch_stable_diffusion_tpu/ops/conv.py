@@ -14,6 +14,8 @@ per-edge ((top,bottom),(left,right)).
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 from typing import Tuple, Union
 
 import jax
@@ -28,6 +30,21 @@ PadT = Union[int, Tuple[Tuple[int, int], Tuple[int, int]]]
 ASYM_DOWN: PadT = ((0, 1), (0, 1))
 
 _DIMNUMS = ("NHWC", "HWIO", "NHWC")
+
+#: trace-time flag: every conv pads circularly (wrap) instead of with
+#: zeros — A1111's --tiling / seamless-texture mode.  Set via the context
+#: manager around the traced function; compiled variants are keyed by the
+#: pipeline's static ``tiling`` flag, so graphs never mix.
+_CIRCULAR = contextvars.ContextVar("conv_circular", default=False)
+
+
+@contextlib.contextmanager
+def circular_padding(on: bool = True):
+    token = _CIRCULAR.set(on)
+    try:
+        yield
+    finally:
+        _CIRCULAR.reset(token)
 
 
 def init(key, c_in: int, c_out: int, ksize: int = 3, bias: bool = True, dtype=jnp.float32):
@@ -52,6 +69,10 @@ def apply(params, x, stride: int = 1, padding: PadT = 0, policy: Policy = FP32,
         pad = ((padding, padding), (padding, padding))
     else:
         pad = padding
+    if _CIRCULAR.get() and pad != ((0, 0), (0, 0)):
+        # seamless-tiling mode: wrap-pad (periodic boundary), then VALID
+        x = jnp.pad(x, ((0, 0), pad[0], pad[1], (0, 0)), mode="wrap")
+        pad = ((0, 0), (0, 0))
     if quant != "none":
         from . import quant as quant_mod
 

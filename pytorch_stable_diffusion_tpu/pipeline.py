@@ -214,7 +214,8 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                       encode_tile: Optional[int] = None,
                       hyper: Optional[Tuple[str, bool]] = None,
                       sag: bool = False,
-                      n_and: int = 1):
+                      n_and: int = 1,
+                      tiling: bool = False):
     """Build + jit the full generate computation for one static shape.
 
     ``fixed_noise=True`` compiles a variant whose latent-init / encoder /
@@ -936,6 +937,21 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                          clamp=True)
         return images, latents
 
+    if tiling:
+        # A1111 --tiling (seamless textures): every conv pads circularly.
+        # The contextvar is read at TRACE time; wrapping the traced
+        # function keeps it active across retraces, and the static flag
+        # keys a distinct compiled variant.
+        from .ops import conv as conv_ops
+
+        inner_run = run
+
+        def run(params, cond_tokens, uncond_tokens, key, cfg_scale,
+                start_step, init_image, noises):
+            with conv_ops.circular_padding():
+                return inner_run(params, cond_tokens, uncond_tokens, key,
+                                 cfg_scale, start_step, init_image, noises)
+
     return jax.jit(run)
 
 
@@ -982,6 +998,7 @@ def _run_generate(
     encode_tile: Optional[int] = None,
     hypernetwork: Optional[Tuple[str, bool]] = None,
     hypernetwork_strength: float = 1.0,
+    tiling: bool = False,
     _device_output: bool = False,
     _key: Optional[jax.Array] = None,
 ):
@@ -1332,7 +1349,7 @@ def _run_generate(
                             emphasis, deepcache, n_sched, use_variation,
                             use_pag,
                             int(encode_tile) if encode_tile else None,
-                            hyper, use_sag, n_and)
+                            hyper, use_sag, n_and, bool(tiling))
     if n_sched > 1:
         noises["sched_idx"] = jnp.asarray(sched_idx_arr)
     if n_and > 1:
