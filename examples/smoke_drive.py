@@ -109,3 +109,7 @@ img_tile = sd.txt2img("a cat", seed=1, n_inference_steps=2, height=16,
                       width=16, tiling=True)
 print("tiling txt2img:", img_tile.shape, "differs:",
       bool((img_tile != img).any()), flush=True)
+img_out = sd.outpaint("a cat", np.zeros((14, 14, 3), np.uint8), pixels=2,
+                      directions=("right", "down"), n_inference_steps=2,
+                      seed=1)
+print("outpaint:", img_out.shape, flush=True)

@@ -333,6 +333,44 @@ class StableDiffusion:
         result[y0:y1, x0:x1] = blend * back + (1.0 - blend) * crop
         return np.clip(np.round(result), 0, 255).astype(np.uint8)
 
+    def outpaint(self, prompt: str, image, *, pixels: int = 64,
+                 directions=("left", "right", "up", "down"),
+                 strength: float = 1.0, mask_blur: int = 4,
+                 uncond_prompt: str = "", **kwargs) -> np.ndarray:
+        """A1111's "poor man's outpainting": grow the canvas by ``pixels``
+        in the given directions, seed the new area with edge-replicated
+        content, and inpaint it (the kept region is the original image).
+        The processing resolution is the padded canvas — ``pixels`` and the
+        image dims must keep it a multiple of the VAE factor.  Returns the
+        full padded canvas (uint8)."""
+        img = np.asarray(image, np.float32)
+        if img.ndim == 2:
+            img = np.stack([img] * 3, axis=-1)
+        img = img[..., :3]
+        if img.max() <= 1.0:
+            img = img * 255.0
+        h0, w0 = img.shape[:2]
+        top = pixels if "up" in directions else 0
+        bot = pixels if "down" in directions else 0
+        lef = pixels if "left" in directions else 0
+        rig = pixels if "right" in directions else 0
+        if not (top or bot or lef or rig):
+            raise ValueError("no outpaint directions given")
+        canvas = np.pad(img, ((top, bot), (lef, rig), (0, 0)), mode="edge")
+        mask = np.ones(canvas.shape[:2], np.float32)
+        mask[top:top + h0, lef:lef + w0] = 0.0  # keep the original
+        h, w = canvas.shape[:2]
+        f = self.config.vae.downsample_factor
+        if h % f or w % f:
+            raise ValueError(f"padded canvas {h}x{w} must be a multiple of "
+                             f"{f}; adjust pixels/image size")
+        kwargs.pop("height", None), kwargs.pop("width", None)
+        return pipeline_mod.generate(
+            prompt, uncond_prompt,
+            input_image=np.clip(canvas, 0, 255).astype(np.uint8),
+            mask_image=mask, mask_blur=mask_blur, strength=strength,
+            height=h, width=w, **self._kw(kwargs))
+
     def sd_upscale(self, prompt: str, image, *, scale: float = 2.0,
                    strength: float = 0.3, overlap: int = 64,
                    uncond_prompt: str = "", height: int = 512,

@@ -976,6 +976,7 @@ def _run_generate(
     width: int = 512,
     init_latents=None,
     mask_image=None,
+    mask_blur: int = 0,
     control_image=None,
     controlnet_scale: float = 1.0,
     fixed_noise: Optional[Dict[str, np.ndarray]] = None,
@@ -1224,6 +1225,12 @@ def _run_generate(
     if inpaint is not None:
         mask = np.ones((1, height, width, 1), np.float32) if mask_image is None \
             else _prepare_mask(mask_image, width, height)
+        if mask_blur:
+            # A1111 mask blur: gaussian-soften the repaint boundary
+            k = 4 * int(mask_blur) + 1
+            mask = np.clip(np.asarray(gaussian_blur(
+                jnp.asarray(mask), ksize=k,
+                sigma=float(mask_blur))), 0.0, 1.0)
         mask = np.broadcast_to(mask, (batch, height, width, 1)).copy()
 
     use_control = control_image is not None
