@@ -94,6 +94,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(residuals sum; pair each with a --control-image)")
     p.add_argument("--control-image", action="append", default=[],
                    help="conditioning image for --controlnet; repeatable")
+    p.add_argument("--control-preprocess", default=None,
+                   choices=["canny", "lineart", "scribble", "blur",
+                            "invert"],
+                   help="derive the ControlNet hint from --control-image "
+                        "with a built-in annotator (utils/annotators.py)")
     p.add_argument("--controlnet-scale", type=float, action="append",
                    default=[], help="per-net scale (default 1.0); repeatable")
     p.add_argument("--clip-skip", type=int, default=None,
@@ -243,6 +248,15 @@ def main(argv=None) -> int:
             raise SystemExit(f"{len(args.control_image)} --control-image for "
                              f"{len(args.controlnet)} --controlnet")
         imgs = [Image.open(p).convert("RGB") for p in args.control_image]
+        if args.control_preprocess:
+            import numpy as np
+
+            from pytorch_stable_diffusion_tpu.utils import annotators as an
+
+            fn = getattr(an, args.control_preprocess)
+            imgs = [an.hint_rgb(fn(np.asarray(im))) for im in imgs]
+            print(f"[cli] preprocessed hints with {args.control_preprocess}",
+                  flush=True)
         scales = args.controlnet_scale or [1.0] * len(imgs)
         if len(scales) != len(imgs):
             raise SystemExit(f"{len(scales)} --controlnet-scale for "
