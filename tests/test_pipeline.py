@@ -124,7 +124,11 @@ def test_input_validation(tiny_cfg, tiny_models, tiny_tokenizer):
     with pytest.raises(ValueError, match="strength"):
         sdt.generate("x", strength=0.0, **kw)
     with pytest.raises(ValueError, match="sampler"):
-        sdt.generate("x", sampler_name="plms", **kw)
+        # NOTE: must stay a name that never becomes a real sampler — this
+        # test once used "plms", which round 3 then implemented, silently
+        # turning the expected-raise into a full default-size 512x512
+        # 50-step CPU run that stalled the suite for hours.
+        sdt.generate("x", sampler_name="not_a_sampler", **kw)
     with pytest.raises(ValueError, match="models"):
         sdt.generate("x", tokenizer=tiny_tokenizer)
 
