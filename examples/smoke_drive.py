@@ -113,3 +113,6 @@ img_out = sd.outpaint("a cat", np.zeros((14, 14, 3), np.uint8), pixels=2,
                       directions=("right", "down"), n_inference_steps=2,
                       seed=1)
 print("outpaint:", img_out.shape, flush=True)
+img_rst = sd.txt2img("a cat", seed=1, n_inference_steps=20, height=16,
+                     width=16, sampler_name="restart")
+print("restart txt2img:", img_rst.shape, flush=True)

@@ -44,10 +44,12 @@ from .models import unet as unet_mod
 from .models import vae as vae_mod
 from .models.config import SDConfig, sd15_config
 from . import prompt_schedule
-from .sampling import ddim, ddpm, dpm, dpm2, euler, lcm, lms, pndm, unipc
+from .sampling import (ddim, ddpm, dpm, dpm2, euler, lcm, lms, pndm,
+                       restart as restart_mod, unipc)
 
 SAMPLERS = ("ddpm", "ddim", "dpm++", "dpm++_sde", "euler", "euler_a",
-            "heun", "unipc", "lcm", "plms", "lms", "dpm2", "dpm2_a")
+            "heun", "unipc", "lcm", "plms", "lms", "dpm2", "dpm2_a",
+            "restart")
 
 # --------------------------------------------------------------- tokenizing
 def _encode_tokens(tokenizer, prompts, max_len: int) -> np.ndarray:
@@ -292,6 +294,12 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
         ts_np = ddpm.inference_timesteps(n_steps)
     else:
         raise ValueError(f"unknown timestep_spacing {timestep_spacing!r}")
+    restart_plan = None
+    if sampler == "restart":
+        # restart builds its own (reduced) Karras main grid + segments
+        # (sampling/restart.py); the pipeline grid is used only for the
+        # strength->entry mapping
+        restart_plan = restart_mod.build_plan(schedule, n_steps)
     timesteps = jnp.asarray(ts_np)
     # explicit next-step timestep per index (-1 past the end): identical to
     # the samplers' internal t - T//n on the uniform grid, required for the
@@ -476,12 +484,17 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
             else all_step_noises("sampler")
 
         lat0 = None
+        # restart: the state enters the (reduced) restart grid, so
+        # img2img must noise to ITS entry timestep, not the
+        # pipeline grid's
+        entry_ts = jnp.asarray(restart_plan["start_t"]) \
+            if restart_plan is not None else timesteps
         if img2img == "latent":
             # init_image slot carries ready latents in the model's scaled
             # latent space (e.g. a base pass's output for hires-fix or a
             # base->refiner latent handoff — no decode/encode round trip)
             lat0 = init_image.astype(jnp.float32)
-            t0 = timesteps[start_step]
+            t0 = entry_ts[start_step]
             latents = ddpm.add_noise(schedule, lat0, t0, init_noise)
         elif img2img:
             enc_noise = noises["encoder_noise"] if fixed_noise else draw("encoder_noise")
@@ -492,7 +505,7 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                 params["encoder"], init_image, enc_noise, cfg.vae, policy,
                 attention_backend=cfg.vae_attention_backend,
                 reference_quirks=cfg.reference_quirks).astype(jnp.float32)
-            t0 = timesteps[start_step]
+            t0 = entry_ts[start_step]
             latents = ddpm.add_noise(schedule, lat0, t0, init_noise)
         else:
             latents = init_noise
@@ -858,6 +871,48 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
 
             latents, _ = jax.lax.fori_loop(
                 start_step, n_steps, body,
+                (latents.astype(jnp.float32), dc0))
+        elif sampler == "restart":
+            # Restart sampling (sampling/restart.py): one fori_loop over
+            # the precomputed op list — Heun steps with occasional
+            # sigma-space noise re-injection to climb back up the interval
+            rp = restart_plan
+            t_prev_a = jnp.asarray(rp["t_prev"])
+            t_start_a = jnp.asarray(rp["t_start"])
+            t_end_a = jnp.asarray(rp["t_end"])
+            rvar_a = jnp.asarray(rp["rvar"])
+            op_start_a = jnp.asarray(rp["op_start"])
+            n_ops = rp["n_ops"]
+
+            def op_draw(i):
+                base = rng_mod.step_key(key, "restart", i)
+                ks = jax.vmap(lambda j: jax.random.fold_in(base, j))(
+                    jnp.arange(batch))
+                return jax.vmap(lambda kk: jax.random.normal(
+                    kk, lat_shape[1:], jnp.float32))(ks)
+
+            op_noises = jax.vmap(op_draw)(jnp.arange(n_ops))
+
+            def body(i, carry):
+                lat, dc = carry
+                tp, ts_, te = t_prev_a[i], t_start_a[i], t_end_a[i]
+                a_prev = schedule.alphas_cumprod[tp]
+                a_start = schedule.alphas_cumprod[ts_]
+                x_k = lat.astype(jnp.float32) / jnp.sqrt(a_prev)
+                x_k = x_k + op_noises[i] * jnp.sqrt(rvar_a[i])
+                lat32 = jnp.sqrt(a_start) * x_k
+                disp = jnp.minimum(i, n_steps - 1)  # progress display only
+                eps, _, dc = eps_at(disp, lat32, dc, t_override=ts_)
+                pred = euler.step(schedule, ts_, lat32, eps, None,
+                                  num_inference_steps=n_steps, prev_t=te)
+                eps2, _, _ = eps_at(disp, pred, dc, t_override=jnp.maximum(te, 0))
+                new_lat = euler.step_heun_correct(
+                    schedule, ts_, lat32, eps, eps2,
+                    num_inference_steps=n_steps, prev_t=te)
+                return new_lat.astype(jnp.float32), dc
+
+            latents, _ = jax.lax.fori_loop(
+                op_start_a[start_step], n_ops, body,
                 (latents.astype(jnp.float32), dc0))
         elif sampler == "heun":
             # two model evals per step: Euler predict, then trapezoidal
@@ -1287,6 +1342,22 @@ def _run_generate(
         noises["cond_weights"] = jnp.asarray(cond_w)
         noises["uncond_weights"] = jnp.asarray(uncond_w)
 
+    if sampler_name == "restart":
+        # the restart op list replaces the per-step arrays the other
+        # features key off (sampler noises, blend schedule, per-step
+        # context switching, DeepCache refresh counting)
+        if inpaint is not None:
+            raise ValueError("sampler 'restart' does not support "
+                             "inpainting")
+        if deepcache is not None:
+            raise ValueError("sampler 'restart' does not compose with "
+                             "deepcache")
+        if n_sched > 1:
+            raise ValueError("sampler 'restart' does not compose with "
+                             "prompt editing/alternation")
+        if fixed_noise is not None:
+            raise ValueError("sampler 'restart' is not supported in "
+                             "fixed_noise parity mode")
     key = jax.random.PRNGKey(0 if seed is None else seed) if _key is None \
         else _key
     # A1111 variation seeds: slerp between the base seed's init noise and

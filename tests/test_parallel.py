@@ -114,3 +114,20 @@ def test_dp_guidance_extras_match_single_device(tiny_cfg, tiny_models,
                             variation_seed=3, variation_strength=0.4)
     assert dp.shape == single.shape == (8, H, W, 3)
     assert np.abs(dp.astype(int) - single.astype(int)).max() <= 1
+
+
+def test_dp_composable_and_tiling_match_single_device(tiny_cfg, tiny_models,
+                                                      tiny_tokenizer):
+    """Composable-AND lanes (replicated K*B tokens) and circular-padding
+    convs both partition under DP."""
+    prompts = ["a cat AND a dog:0.7"] * 8
+    kw = dict(models=tiny_models, tokenizer=tiny_tokenizer, seed=4,
+              n_inference_steps=N_STEPS, config=tiny_cfg, height=H, width=W,
+              tiling=True)
+    single = sdt.generate_images(prompts, **kw)
+    m = mesh_mod.make_mesh()
+    dp = generate_images_dp(prompts, mesh=m, models=tiny_models,
+                            tokenizer=tiny_tokenizer, seed=4,
+                            n_inference_steps=N_STEPS, config=tiny_cfg,
+                            height=H, width=W, tiling=True)
+    assert np.abs(dp.astype(int) - single.astype(int)).max() <= 1
