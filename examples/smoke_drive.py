@@ -116,3 +116,7 @@ print("outpaint:", img_out.shape, flush=True)
 img_rst = sd.txt2img("a cat", seed=1, n_inference_steps=20, height=16,
                      width=16, sampler_name="restart")
 print("restart txt2img:", img_rst.shape, flush=True)
+img_dt = sd.txt2img("a cat", seed=1, n_inference_steps=2, height=16,
+                    width=16, dynamic_threshold=0.9)
+print("dynamic-threshold txt2img:", img_dt.shape, "differs:",
+      bool((img_dt != img).any()), flush=True)

@@ -123,6 +123,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--long-prompts", action="store_true",
                    help=">77-token prompts via window-concat context "
                         "instead of truncation")
+    p.add_argument("--dynamic-threshold", type=float, default=None,
+                   metavar="RATIO",
+                   help="Imagen/diffusers dynamic thresholding quantile "
+                        "(e.g. 0.995); clips/rescales predicted x0")
     p.add_argument("--tiling", action="store_true",
                    help="seamless-texture mode: circular conv padding "
                         "everywhere (A1111 --tiling)")
@@ -237,6 +241,7 @@ def main(argv=None) -> int:
               pag_scale=args.pag_scale,
               sag_scale=args.sag_scale,
               tiling=args.tiling,
+              dynamic_threshold=args.dynamic_threshold,
               freeu=None if args.freeu is None
               else (True if not args.freeu else args.freeu))
     if args.control_image:

@@ -217,7 +217,8 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                       hyper: Optional[Tuple[str, bool]] = None,
                       sag: bool = False,
                       n_and: int = 1,
-                      tiling: bool = False):
+                      tiling: bool = False,
+                      dyn_thresh: bool = False):
     """Build + jit the full generate computation for one static shape.
 
     ``fixed_noise=True`` compiles a variant whose latent-init / encoder /
@@ -760,6 +761,20 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
             eps = ddpm.to_epsilon(schedule, t, latents, eps, cfg.prediction_type)
             if sag:
                 eps = eps + noises["sag_scale"] * (base_eps - eps_deg)
+            if dyn_thresh:
+                # Imagen/diffusers dynamic thresholding (`thresholding=
+                # True`, `_threshold_sample`): per-sample |x0| quantile s
+                # (>= 1), clip x0 to [-s, s] and rescale by s, then map
+                # back to eps.  Sample-space [-1, 1] semantics — meant for
+                # pixel/v-pred models; opt-in here.
+                a_t = schedule.alphas_cumprod[t]
+                l32 = latents.astype(jnp.float32)
+                x0 = (l32 - jnp.sqrt(1.0 - a_t) * eps) / jnp.sqrt(a_t)
+                flat = jnp.abs(x0.reshape(x0.shape[0], -1))
+                s = jnp.quantile(flat, noises["dyn_thresh_ratio"], axis=1)
+                s = jnp.maximum(s, 1.0)[:, None, None, None]
+                x0 = jnp.clip(x0, -s, s) / s
+                eps = (l32 - jnp.sqrt(a_t) * x0) / jnp.sqrt(1.0 - a_t)
             if progress:  # reference's tqdm bar (ref pipeline.py:205), opt-in
                 jax.debug.callback(_progress_tick, step_i, n_steps,
                                    ordered=False)
@@ -1055,6 +1070,7 @@ def _run_generate(
     hypernetwork: Optional[Tuple[str, bool]] = None,
     hypernetwork_strength: float = 1.0,
     tiling: bool = False,
+    dynamic_threshold: Optional[float] = None,
     _device_output: bool = False,
     _key: Optional[jax.Array] = None,
 ):
@@ -1413,6 +1429,12 @@ def _run_generate(
         act, act_out = hypernetwork
         hyper = (str(act), bool(act_out))
         noises["hyper_strength"] = jnp.float32(hypernetwork_strength)
+    use_dyn_thresh = dynamic_threshold is not None
+    if use_dyn_thresh:
+        if not 0.0 < float(dynamic_threshold) <= 1.0:
+            raise ValueError("dynamic_threshold is a quantile ratio in "
+                             f"(0, 1], got {dynamic_threshold}")
+        noises["dyn_thresh_ratio"] = jnp.float32(dynamic_threshold)
     if deepcache is not None:
         deepcache = int(deepcache)
         if deepcache < 1:
@@ -1427,7 +1449,8 @@ def _run_generate(
                             emphasis, deepcache, n_sched, use_variation,
                             use_pag,
                             int(encode_tile) if encode_tile else None,
-                            hyper, use_sag, n_and, bool(tiling))
+                            hyper, use_sag, n_and, bool(tiling),
+                            use_dyn_thresh)
     if n_sched > 1:
         noises["sched_idx"] = jnp.asarray(sched_idx_arr)
     if n_and > 1:
