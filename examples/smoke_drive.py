@@ -120,3 +120,8 @@ img_dt = sd.txt2img("a cat", seed=1, n_inference_steps=2, height=16,
                     width=16, dynamic_threshold=0.9)
 print("dynamic-threshold txt2img:", img_dt.shape, "differs:",
       bool((img_dt != img).any()), flush=True)
+_ref = np.full((16, 16, 3), 120, np.uint8)
+img_cc = sd.img2img("a cat", _ref, strength=0.9, seed=1,
+                    n_inference_steps=2, height=16, width=16,
+                    color_correction=True)
+print("color-correction img2img:", img_cc.shape, flush=True)

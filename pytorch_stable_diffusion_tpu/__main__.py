@@ -46,6 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "9-channel inpaint checkpoint it conditions the "
                         "UNet, else latent-blend masking is used")
     p.add_argument("--strength", type=float, default=0.8)
+    p.add_argument("--color-correction", action="store_true",
+                   help="img2img: histogram-match the output to the init "
+                        "image (A1111 'apply color correction')")
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--seed", type=int, default=1337)
     p.add_argument("--variation-seed", type=int, default=None,
@@ -285,6 +288,7 @@ def main(argv=None) -> int:
 
         init = Image.open(args.image).convert("RGB")
         img = sd.img2img(args.prompt, init, strength=args.strength,
+                         color_correction=args.color_correction,
                          uncond_prompt=args.uncond_prompt, **kw)
     elif args.hires_fix:
         img = sd.hires_fix(args.prompt, uncond_prompt=args.uncond_prompt,
@@ -299,7 +303,26 @@ def main(argv=None) -> int:
 
     from PIL import Image
 
-    Image.fromarray(img).save(args.out)
+    pil = Image.fromarray(img)
+    if args.out.lower().endswith(".png"):
+        # A1111 infotext convention: generation parameters in the PNG
+        # "parameters" tEXt chunk, so images are reproducible from file
+        from PIL.PngImagePlugin import PngInfo
+
+        info = PngInfo()
+        neg = f"\nNegative prompt: {args.uncond_prompt}" \
+            if args.uncond_prompt else ""
+        info.add_text(
+            "parameters",
+            f"{args.prompt}{neg}\n"
+            f"Steps: {args.steps}, Sampler: {args.sampler}, "
+            f"CFG scale: {args.cfg_scale}, Seed: {args.seed}, "
+            f"Size: {args.width}x{args.height}, "
+            f"Denoising strength: {args.strength}, "
+            f"Model: {args.ckpt}")
+        pil.save(args.out, pnginfo=info)
+    else:
+        pil.save(args.out)
     print(f"[cli] wrote {args.out} ({img.shape[1]}x{img.shape[0]})",
           flush=True)
     return 0

@@ -136,6 +136,24 @@ def _progress_tick(step_i, n_steps):
         print()
 
 
+def match_histograms(src: np.ndarray, ref: np.ndarray) -> np.ndarray:
+    """Per-channel exact histogram matching (skimage ``match_histograms``
+    semantics) — A1111's img2img "apply color correction" uses this to pin
+    the output's palette to the init image's.  uint8 HWC in/out."""
+    out = np.empty_like(src)
+    for c in range(src.shape[-1]):
+        s = src[..., c].ravel().astype(np.float64)
+        r = ref[..., c].ravel().astype(np.float64)
+        s_vals, s_inv, s_counts = np.unique(s, return_inverse=True,
+                                            return_counts=True)
+        r_vals, r_counts = np.unique(r, return_counts=True)
+        s_q = np.cumsum(s_counts) / s.size
+        r_q = np.cumsum(r_counts) / r.size
+        mapped = np.interp(s_q, r_q, r_vals)
+        out[..., c] = mapped[s_inv].reshape(src.shape[:-1])
+    return out.astype(src.dtype)
+
+
 def _lane(ctx, sl):
     """Slice a batch-lane range out of a context that may be a hypernetwork
     (ctx_k, ctx_v) tuple."""
@@ -1047,6 +1065,7 @@ def _run_generate(
     init_latents=None,
     mask_image=None,
     mask_blur: int = 0,
+    color_correction: bool = False,
     control_image=None,
     controlnet_scale: float = 1.0,
     fixed_noise: Optional[Dict[str, np.ndarray]] = None,
@@ -1476,8 +1495,21 @@ def _run_generate(
     if _device_output:
         # async-dispatch path (generate_many): the caller collects device
         # arrays later, overlapping further dispatches with device compute
+        if color_correction:
+            raise ValueError("color_correction is not supported on the "
+                             "async generate_many path")
         return images, latents
-    return np.asarray(images).astype(np.uint8), np.asarray(latents)
+    out = np.asarray(images).astype(np.uint8)
+    if color_correction:
+        # A1111 img2img "apply color correction": histogram-match each
+        # output to its init image (host-side post-processing)
+        if input_image is None:
+            raise ValueError("color_correction requires input_image")
+        ref = np.clip(rescale(np.asarray(image), (-1.0, 1.0), (0.0, 255.0)),
+                      0, 255).astype(np.uint8)
+        out = np.stack([match_histograms(out[i], ref[i])
+                        for i in range(out.shape[0])])
+    return out, np.asarray(latents)
 
 
 def generate(prompt, uncond_prompt="", **kwargs):

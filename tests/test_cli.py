@@ -213,3 +213,40 @@ def test_cli_zero_snr_and_new_samplers(assets):
     out_c = os.path.join(d, "zs_c.png")
     rc = main(base + ["--sampler", "lcm", "--no-cfg", "--out", out_c])
     assert rc == 0
+
+
+def test_cli_png_infotext(assets):
+    """A1111 infotext: PNGs carry a 'parameters' tEXt chunk with the
+    generation settings."""
+    d, ckpt, vocab, merges = assets
+    out = os.path.join(d, "meta.png")
+    rc = main(["--ckpt", ckpt, "--vocab", vocab, "--merges", merges,
+               "--prompt", "a cat", "--uncond-prompt", "a dog",
+               "--steps", "2", "--seed", "9", "--width", "16",
+               "--height", "16", "--config-preset", "tiny", "--out", out])
+    assert rc == 0
+    meta = Image.open(out).text
+    assert "parameters" in meta
+    p = meta["parameters"]
+    assert p.startswith("a cat")
+    assert "Negative prompt: a dog" in p
+    assert "Seed: 9" in p and "Steps: 2" in p and "Size: 16x16" in p
+
+
+def test_cli_color_correction(assets):
+    d, ckpt, vocab, merges = assets
+    init = os.path.join(d, "cc_init.png")
+    rng = np.random.RandomState(1)
+    Image.fromarray(rng.randint(0, 256, size=(16, 16, 3)).astype(np.uint8)
+                    ).save(init)
+    out = os.path.join(d, "cc.png")
+    rc = main(["--ckpt", ckpt, "--vocab", vocab, "--merges", merges,
+               "--prompt", "a dog", "--image", init, "--strength", "0.7",
+               "--steps", "2", "--width", "16", "--height", "16",
+               "--config-preset", "tiny", "--color-correction",
+               "--out", out])
+    assert rc == 0
+    got = np.asarray(Image.open(out)).astype(np.float64)
+    ref = np.asarray(Image.open(init)).astype(np.float64)
+    # histogram-matched output: per-channel means track the init image
+    assert np.abs(got.mean(axis=(0, 1)) - ref.mean(axis=(0, 1))).max() < 12
