@@ -162,7 +162,8 @@ class StableDiffusion:
                   height: int = 1024, width: int = 1024,
                   base_height: Optional[int] = None,
                   base_width: Optional[int] = None,
-                  strength: float = 0.6, **kwargs) -> np.ndarray:
+                  strength: float = 0.6,
+                  upscale_method: str = "bilinear", **kwargs) -> np.ndarray:
         """Two-pass hi-res generation (the community "highres fix").
 
         Pass 1 runs txt2img at the base resolution (default: half the
@@ -179,10 +180,14 @@ class StableDiffusion:
         _, lat = pipeline_mod.generate(prompt, uncond_prompt, height=bh,
                                        width=bw, return_latents=True, **kw)
         f = self.config.vae.downsample_factor
+        # latent upscaler choice — A1111's "Latent"/"Latent (nearest)" etc.
+        if upscale_method not in ("bilinear", "nearest", "lanczos3",
+                                  "cubic"):
+            raise ValueError(f"unknown upscale_method {upscale_method!r}")
         up = jax.image.resize(
             jnp.asarray(lat, jnp.float32),
             (lat.shape[0], height // f, width // f, lat.shape[-1]),
-            method="bilinear")
+            method=upscale_method)
         return pipeline_mod.generate(prompt, uncond_prompt, height=height,
                                      width=width, init_latents=np.asarray(up),
                                      strength=strength, **kw)

@@ -236,7 +236,8 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                       sag: bool = False,
                       n_and: int = 1,
                       tiling: bool = False,
-                      dyn_thresh: bool = False):
+                      dyn_thresh: bool = False,
+                      noise_multiplier: bool = False):
     """Build + jit the full generate computation for one static shape.
 
     ``fixed_noise=True`` compiles a variant whose latent-init / encoder /
@@ -478,6 +479,10 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                 lambda k: jax.random.normal(k, lat_shape[1:], jnp.float32))(ks)
 
         init_noise = noises["latent_init"] if fixed_noise else draw("latent_init")
+        if noise_multiplier:
+            # A1111 "img2img initial noise multiplier" (also applies to
+            # txt2img init noise when set); traced — no recompile per value
+            init_noise = init_noise * noises["noise_multiplier"]
         if variation:
             vbase = rng_mod.stream(noises["variation_key"], "latent_init")
             vks = jax.vmap(lambda i: jax.random.fold_in(vbase, i))(
@@ -1090,6 +1095,7 @@ def _run_generate(
     hypernetwork_strength: float = 1.0,
     tiling: bool = False,
     dynamic_threshold: Optional[float] = None,
+    noise_multiplier: Optional[float] = None,
     _device_output: bool = False,
     _key: Optional[jax.Array] = None,
 ):
@@ -1448,6 +1454,12 @@ def _run_generate(
         act, act_out = hypernetwork
         hyper = (str(act), bool(act_out))
         noises["hyper_strength"] = jnp.float32(hypernetwork_strength)
+    use_noise_mult = noise_multiplier is not None
+    if use_noise_mult:
+        if fixed_noise is not None:
+            raise ValueError("noise_multiplier is not supported in "
+                             "fixed_noise parity mode")
+        noises["noise_multiplier"] = jnp.float32(noise_multiplier)
     use_dyn_thresh = dynamic_threshold is not None
     if use_dyn_thresh:
         if not 0.0 < float(dynamic_threshold) <= 1.0:
@@ -1469,7 +1481,7 @@ def _run_generate(
                             use_pag,
                             int(encode_tile) if encode_tile else None,
                             hyper, use_sag, n_and, bool(tiling),
-                            use_dyn_thresh)
+                            use_dyn_thresh, use_noise_mult)
     if n_sched > 1:
         noises["sched_idx"] = jnp.asarray(sched_idx_arr)
     if n_and > 1:

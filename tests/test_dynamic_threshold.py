@@ -81,3 +81,16 @@ def test_color_correction_pipeline(tiny_models, tiny_tokenizer, tiny_cfg):
         sdt.generate("a cat", color_correction=True, models=tiny_models,
                      tokenizer=tiny_tokenizer, config=tiny_cfg,
                      n_inference_steps=N_STEPS, height=H, width=W)
+
+
+# ------------------------------------------------- initial noise multiplier
+def test_noise_multiplier(tiny_models, tiny_tokenizer, tiny_cfg):
+    kw = dict(models=tiny_models, tokenizer=tiny_tokenizer, config=tiny_cfg,
+              n_inference_steps=N_STEPS, height=H, width=W, seed=0)
+    base = sdt.generate("a cat", **kw)
+    boosted = sdt.generate("a cat", noise_multiplier=1.1, **kw)
+    same = sdt.generate("a cat", noise_multiplier=1.0, **kw)
+    assert (boosted != base).any()
+    # multiplier 1.0 scales by exactly 1 -> bitwise no-op vs... the graph
+    # differs (the multiply exists), so allow rounding-level wiggle
+    assert np.abs(same.astype(int) - base.astype(int)).max() <= 1

@@ -130,3 +130,18 @@ def test_cli_hires_fix(tmp_path):
                "--hires-fix", "--strength", "0.6", "--out", out])
     assert rc == 0
     assert np.asarray(PILImage.open(out)).shape == (32, 32, 3)
+
+
+def test_hires_upscale_methods(tiny_models, tiny_tokenizer, tiny_cfg):
+    import pytorch_stable_diffusion_tpu as sdt
+
+    sd = sdt.StableDiffusion(tiny_models, tiny_tokenizer, tiny_cfg)
+    kw = dict(height=32, width=32, base_height=16, base_width=16,
+              strength=0.6, n_inference_steps=2, seed=0)
+    a = sd.hires_fix("a cat", **kw)
+    b = sd.hires_fix("a cat", upscale_method="nearest", **kw)
+    assert a.shape == b.shape == (32, 32, 3)
+    assert (a != b).any()
+    import pytest as _pt
+    with _pt.raises(ValueError, match="upscale_method"):
+        sd.hires_fix("a cat", upscale_method="esrgan", **kw)
