@@ -17,6 +17,18 @@ from .weights.convert import load_sd_checkpoint
 from .weights.tokenizer import CLIPTokenizer
 
 
+def _to_rgb_float(image) -> np.ndarray:
+    """Any image input -> (H, W, 3) float32 in 0..255 (grayscale stacked,
+    alpha dropped, [0, 1]-ranged floats rescaled)."""
+    img = np.asarray(image, np.float32)
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    img = img[..., :3]
+    if img.max() <= 1.0:
+        img = img * 255.0
+    return img
+
+
 class StableDiffusion:
     """Loaded SD model bundle.
 
@@ -74,10 +86,7 @@ class StableDiffusion:
         sd = lora_mod.load_lora(lora) if isinstance(lora, str) else lora
         merged = lora_mod.apply_lora(self.models, self.config, sd, scale,
                                      strict=strict)
-        out = type(self).__new__(type(self))
-        out.models, out.tokenizer = merged, self.tokenizer
-        out.config, out.mesh = self.config, self.mesh
-        return out
+        return self._clone(models=merged, reshard=True)
 
     def _kw(self, kwargs):
         kwargs.setdefault("models", self.models)
@@ -90,6 +99,35 @@ class StableDiffusion:
             kwargs.setdefault("hypernetwork_strength", self._hyper[1])
         return kwargs
 
+    def _clone(self, *, models=None, tokenizer=None, config=None,
+               reshard: bool = False):
+        """New bundle sharing this one's state (INCLUDING the attached
+        hypernetwork — every ``with_*`` builder must go through here or an
+        active feature silently drops off the clone).  ``reshard=True``
+        re-applies the mesh placement to ``models`` — required whenever a
+        builder installs freshly loaded host arrays on a meshed bundle."""
+        out = type(self).__new__(type(self))
+        out.models = self.models if models is None else models
+        out.tokenizer = self.tokenizer if tokenizer is None else tokenizer
+        out.config = self.config if config is None else config
+        out.mesh = self.mesh
+        out._hyper = getattr(self, "_hyper", None)
+        if reshard and self.mesh is not None:
+            # re-place only the standard model entries; extras (controlnet
+            # list, hypernetwork tree) keep their existing placement
+            std_keys = ("clip", "clip2", "encoder", "decoder", "diffusion")
+            std = {k: v for k, v in out.models.items() if k in std_keys}
+            if self.mesh.shape.get("model", 1) > 1:
+                from .parallel.tp import shard_models
+
+                std = shard_models(std, self.mesh)
+            else:
+                from .parallel.dp import replicate_params
+
+                std = replicate_params(std, self.mesh)
+            out.models = {**out.models, **std}
+        return out
+
     def with_vae(self, vae):
         """Return a bundle with a standalone VAE swapped in (the A1111
         "SD VAE" override, e.g. ``vae-ft-mse-840000``): a CompVis-layout
@@ -101,11 +139,8 @@ class StableDiffusion:
             enc, dec = load_vae(vae, self.config)
         else:
             enc, dec = vae
-        out = type(self).__new__(type(self))
-        out.models = dict(self.models, encoder=enc, decoder=dec)
-        out.tokenizer, out.config, out.mesh = \
-            self.tokenizer, self.config, self.mesh
-        return out
+        return self._clone(models=dict(self.models, encoder=enc,
+                                       decoder=dec), reshard=True)
 
     def merged_with(self, other, alpha: float = 0.5, third=None):
         """A1111 checkpoint merger: weighted-sum this bundle's weights with
@@ -124,11 +159,7 @@ class StableDiffusion:
         merged = merge_models(
             ours, theirs, alpha,
             None if third is None else {k: _models(third)[k] for k in keys})
-        out = type(self).__new__(type(self))
-        out.models = dict(self.models, **merged)
-        out.tokenizer, out.config, out.mesh = \
-            self.tokenizer, self.config, self.mesh
-        return out
+        return self._clone(models=dict(self.models, **merged), reshard=True)
 
     def with_hypernetwork(self, hypernetwork, strength: float = 1.0):
         """Return a bundle with an A1111 hypernetwork active
@@ -142,10 +173,7 @@ class StableDiffusion:
 
         tree, meta = hyper_mod.load_hypernetwork(hypernetwork) \
             if isinstance(hypernetwork, str) else hypernetwork
-        out = type(self).__new__(type(self))
-        out.models = dict(self.models, hypernetwork=tree)
-        out.tokenizer, out.config, out.mesh = \
-            self.tokenizer, self.config, self.mesh
+        out = self._clone(models=dict(self.models, hypernetwork=tree))
         out._hyper = (meta, float(strength))
         return out
 
@@ -214,10 +242,8 @@ class StableDiffusion:
             embs = {token: embedding} if token is not None else dict(embedding)
         models, tok, cfg = ti.add_embeddings(self.models, self.tokenizer,
                                              self.config, embs)
-        out = type(self).__new__(type(self))
-        out.models, out.tokenizer = models, tok
-        out.config, out.mesh = cfg, self.mesh
-        return out
+        return self._clone(models=models, tokenizer=tok, config=cfg,
+                           reshard=True)
 
     def with_controlnet(self, controlnet, *, config: Optional[SDConfig] = None):
         """Return a bundle with a ControlNet attached (models/controlnet.py).
@@ -243,11 +269,8 @@ class StableDiffusion:
 
         controlnet = [_load(c) for c in controlnet] \
             if isinstance(controlnet, (list, tuple)) else _load(controlnet)
-        out = type(self).__new__(type(self))
-        out.models = dict(self.models, controlnet=controlnet)
-        out.tokenizer, out.config, out.mesh = \
-            self.tokenizer, self.config, self.mesh
-        return out
+        return self._clone(models=dict(self.models, controlnet=controlnet),
+                           reshard=True)
 
     def inpaint(self, prompt: str, init_image, mask_image,
                 strength: float = 1.0, uncond_prompt: str = "", *,
@@ -278,12 +301,7 @@ class StableDiffusion:
 
         h = kwargs.get("height", 512)
         w = kwargs.get("width", 512)
-        img = np.asarray(init_image, np.float32)  # (H0, W0, 3), 0..255
-        if img.ndim == 2:
-            img = np.stack([img] * 3, axis=-1)
-        img = img[..., :3]
-        if img.max() <= 1.0:
-            img = img * 255.0
+        img = _to_rgb_float(init_image)  # (H0, W0, 3), 0..255
         m = np.asarray(
             mask_image.convert("L") if hasattr(mask_image, "convert")
             else mask_image, np.float32)
@@ -348,12 +366,7 @@ class StableDiffusion:
         The processing resolution is the padded canvas — ``pixels`` and the
         image dims must keep it a multiple of the VAE factor.  Returns the
         full padded canvas (uint8)."""
-        img = np.asarray(image, np.float32)
-        if img.ndim == 2:
-            img = np.stack([img] * 3, axis=-1)
-        img = img[..., :3]
-        if img.max() <= 1.0:
-            img = img * 255.0
+        img = _to_rgb_float(image)
         h0, w0 = img.shape[:2]
         top = pixels if "up" in directions else 0
         bot = pixels if "down" in directions else 0
@@ -391,12 +404,7 @@ class StableDiffusion:
         image (uint8)."""
         import jax
 
-        img = np.asarray(image, np.float32)
-        if img.ndim == 2:
-            img = np.stack([img] * 3, axis=-1)
-        img = img[..., :3]
-        if img.max() <= 1.0:
-            img = img * 255.0
+        img = _to_rgb_float(image)
         h0, w0 = img.shape[:2]
         th, tw = int(round(h0 * scale)), int(round(w0 * scale))
         up = np.asarray(jax.image.resize(jax.numpy.asarray(img),
@@ -405,6 +413,11 @@ class StableDiffusion:
         if th <= height and tw <= width:
             raise ValueError(f"upscaled size {th}x{tw} fits one processing "
                              f"tile {height}x{width}; use img2img directly")
+        if th < height or tw < width:
+            raise ValueError(
+                f"upscaled size {th}x{tw} is smaller than the processing "
+                f"tile {height}x{width} in one dimension; pick a tile size "
+                "that fits both")
         if overlap >= min(height, width):
             raise ValueError("overlap must be smaller than the tile size")
 
@@ -424,12 +437,18 @@ class StableDiffusion:
                                   input_image=tiles, height=height,
                                   width=width, strength=strength, **kwargs)
 
-        # feathered accumulation: weight ramps 0->1 across overlap bands
-        def ramp(n, tile):
+        # feathered accumulation: BOTH edges of an interior tile ramp
+        # (leading 0->1, trailing 1->0), so neighbours crossfade fully —
+        # one-sided ramps leave a ~50% blend jump at the old tile's edge.
+        # Ramps stay strictly positive so total weight never vanishes.
+        def ramp(idx, last, tile):
             w = np.ones(tile, np.float32)
             e = min(overlap, tile)
-            if n > 0:
-                w[:e] = np.linspace(0.0, 1.0, e, endpoint=False) + 1e-3
+            edge = np.linspace(0.0, 1.0, e + 2)[1:-1]  # in (0, 1)
+            if idx > 0:
+                w[:e] = edge
+            if idx < last:
+                w[-e:] = np.minimum(w[-e:], edge[::-1])
             return w
 
         acc = np.zeros((th, tw, 3), np.float64)
@@ -437,8 +456,8 @@ class StableDiffusion:
         i = 0
         for yi, y in enumerate(ys):
             for xi, x in enumerate(xs):
-                wy = ramp(yi, height)[:, None]
-                wx = ramp(xi, width)[None, :]
+                wy = ramp(yi, len(ys) - 1, height)[:, None]
+                wx = ramp(xi, len(xs) - 1, width)[None, :]
                 wt = (wy * wx)[..., None]
                 acc[y:y + height, x:x + width] += outs[i].astype(np.float64) * wt
                 wacc[y:y + height, x:x + width] += wt

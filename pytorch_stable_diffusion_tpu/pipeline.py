@@ -31,6 +31,7 @@ config) — repeated calls with the same shape reuse the compilation.
 from __future__ import annotations
 
 import functools
+import re
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -479,10 +480,6 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                 lambda k: jax.random.normal(k, lat_shape[1:], jnp.float32))(ks)
 
         init_noise = noises["latent_init"] if fixed_noise else draw("latent_init")
-        if noise_multiplier:
-            # A1111 "img2img initial noise multiplier" (also applies to
-            # txt2img init noise when set); traced — no recompile per value
-            init_noise = init_noise * noises["noise_multiplier"]
         if variation:
             vbase = rng_mod.stream(noises["variation_key"], "latent_init")
             vks = jax.vmap(lambda i: jax.random.fold_in(vbase, i))(
@@ -492,6 +489,12 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                                             jnp.float32))(vks)
             init_noise = slerp_noise(noises["variation_strength"],
                                      init_noise, var_noise)
+        if noise_multiplier:
+            # A1111 "img2img initial noise multiplier" (also applies to
+            # txt2img init noise when set); traced — no recompile per
+            # value.  Applied AFTER the variation slerp, matching A1111's
+            # processing order (ImageRNG slerps, then the multiplier).
+            init_noise = init_noise * noises["noise_multiplier"]
 
         def all_step_noises(name):
             # one fused PRNG draw for all steps (values identical to per-step
@@ -1200,6 +1203,13 @@ def _run_generate(
             prompts = [split[b][0][i] for i in range(n_and)
                        for b in range(len(split))]
 
+    if not long_prompts and hasattr(tokenizer, "encode_windows") and any(
+            "BREAK" in t and re.search(r"\bBREAK\b", t)
+            for t in prompts + uncond):
+        # A1111 honors BREAK unconditionally (its chunking is always on);
+        # without windows the keyword would silently BPE-encode as a
+        # literal "break" token — auto-enable the window scheme instead
+        long_prompts = True
     cond_w = uncond_w = None
     if emphasis and not hasattr(tokenizer, "encode_weighted"):
         raise ValueError("emphasis requires the built-in CLIPTokenizer "
@@ -1322,11 +1332,14 @@ def _run_generate(
         mask = np.ones((1, height, width, 1), np.float32) if mask_image is None \
             else _prepare_mask(mask_image, width, height)
         if mask_blur:
-            # A1111 mask blur: gaussian-soften the repaint boundary
-            k = 4 * int(mask_blur) + 1
-            mask = np.clip(np.asarray(gaussian_blur(
-                jnp.asarray(mask), ksize=k,
-                sigma=float(mask_blur))), 0.0, 1.0)
+            # A1111 mask blur: gaussian-soften the repaint boundary.
+            # Pure-numpy blur (utils/annotators.py) — an eager jax conv
+            # here would compile per mask shape on the host path.
+            from .utils.annotators import blur as _np_blur
+
+            mask = np.clip(_np_blur(mask[0, ..., 0],
+                                    sigma=float(mask_blur)),
+                           0.0, 1.0)[None, ..., None].astype(np.float32)
         mask = np.broadcast_to(mask, (batch, height, width, 1)).copy()
 
     use_control = control_image is not None

@@ -115,6 +115,14 @@ def trailing_timesteps(num_inference_steps: int,
     return ts.astype(np.int32)
 
 
+def sigmas_all(schedule: "DDPMSchedule") -> np.ndarray:
+    """Karras sigma at every training timestep (ascending in t):
+    sigma_t = sqrt((1 − abar_t)/abar_t) — the one conversion every
+    sigma-space grid/sampler derives from."""
+    abar = np.asarray(schedule.alphas_cumprod, np.float64)
+    return np.sqrt((1.0 - abar) / abar)
+
+
 def karras_timesteps(schedule: "DDPMSchedule", num_inference_steps: int,
                      rho: float = 7.0) -> np.ndarray:
     """Descending int32 timesteps on the Karras et al. 2022 sigma grid.
@@ -128,13 +136,12 @@ def karras_timesteps(schedule: "DDPMSchedule", num_inference_steps: int,
     Denser steps at low sigma — the spacing k-diffusion/A1111 "Karras"
     samplers use.
     """
-    abar = np.asarray(schedule.alphas_cumprod, np.float64)
-    sigmas_all = np.sqrt((1.0 - abar) / abar)  # ascending in t
-    s_min, s_max = sigmas_all[0], sigmas_all[-1]
+    sig_all = sigmas_all(schedule)
+    s_min, s_max = sig_all[0], sig_all[-1]
     ramp = np.linspace(0.0, 1.0, num_inference_steps)
     inv = 1.0 / rho
     sigmas = (s_max**inv + ramp * (s_min**inv - s_max**inv)) ** rho  # desc
-    return _sigmas_to_timesteps(sigmas_all, sigmas)
+    return _sigmas_to_timesteps(sig_all, sigmas)
 
 
 def exponential_timesteps(schedule: "DDPMSchedule", num_inference_steps: int,
@@ -145,12 +152,11 @@ def exponential_timesteps(schedule: "DDPMSchedule", num_inference_steps: int,
     (``get_sigmas_polyexponential``: the log-space ramp raised to rho).
     Same nearest-log-sigma timestep quantization as the Karras grid.
     """
-    abar = np.asarray(schedule.alphas_cumprod, np.float64)
-    sigmas_all = np.sqrt((1.0 - abar) / abar)  # ascending in t
-    s_min, s_max = sigmas_all[0], sigmas_all[-1]
+    sig_all = sigmas_all(schedule)
+    s_min, s_max = sig_all[0], sig_all[-1]
     ramp = np.linspace(1.0, 0.0, num_inference_steps) ** rho
     sigmas = np.exp(np.log(s_min) + ramp * (np.log(s_max) - np.log(s_min)))
-    return _sigmas_to_timesteps(sigmas_all, sigmas)
+    return _sigmas_to_timesteps(sig_all, sigmas)
 
 
 def _sigmas_to_timesteps(sigmas_all: np.ndarray,

@@ -22,12 +22,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from .ddpm import DDPMSchedule, _alpha_bar_prev
-
-
-def _sigma_all(schedule: DDPMSchedule) -> np.ndarray:
-    abar = np.asarray(schedule.alphas_cumprod, np.float64)
-    return np.sqrt((1.0 - abar) / abar)
+from .ddpm import DDPMSchedule, _alpha_bar_prev, sigmas_all as _sigma_all
 
 
 def mid_timesteps(schedule: DDPMSchedule, timesteps: np.ndarray,

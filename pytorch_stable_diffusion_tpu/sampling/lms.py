@@ -23,15 +23,14 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from .ddpm import DDPMSchedule, _alpha_bar_prev
+from .ddpm import DDPMSchedule, _alpha_bar_prev, sigmas_all
 
 ORDER = 4  # k-diffusion's default
 
 
 def sigma_grid(schedule: DDPMSchedule, timesteps: np.ndarray) -> np.ndarray:
     """Karras sigmas at the inference timesteps, with the terminal 0."""
-    abar = np.asarray(schedule.alphas_cumprod, np.float64)
-    sig = np.sqrt((1.0 - abar) / abar)[np.asarray(timesteps)]
+    sig = sigmas_all(schedule)[np.asarray(timesteps)]
     return np.append(sig, 0.0)
 
 

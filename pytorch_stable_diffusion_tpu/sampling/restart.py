@@ -22,16 +22,12 @@ from __future__ import annotations
 
 import numpy as np
 
-from .ddpm import (DDPMSchedule, _sigmas_to_timesteps, karras_timesteps)
+from .ddpm import (DDPMSchedule, _sigmas_to_timesteps, karras_timesteps,
+                   sigmas_all as _sigma_all)
 
 #: the paper/A1111 default restart interval (sigma space)
 SIGMA_MIN_RESTART = 0.1
 SIGMA_MAX_RESTART = 2.0
-
-
-def _sigma_all(schedule: DDPMSchedule) -> np.ndarray:
-    abar = np.asarray(schedule.alphas_cumprod, np.float64)
-    return np.sqrt((1.0 - abar) / abar)
 
 
 def _karras_between(sigmas_all, s_hi: float, s_lo: float, n: int,

@@ -195,3 +195,19 @@ def test_hypernetwork_composes_with_pag_and_sag(tmp_path, tiny_models,
                     sag_scale=0.75)
     assert img_p.shape == (H, W, 3) and img_s.shape == (H, W, 3)
     assert (img_p != img_s).any()
+
+
+def test_hypernetwork_survives_bundle_clones(tmp_path, tiny_models,
+                                             tiny_tokenizer, tiny_cfg):
+    """with_* builders must keep an attached hypernetwork active
+    (regression: clones built via __new__ dropped _hyper silently)."""
+    rs = np.random.RandomState(9)
+    p = _hn_file(tmp_path, rs)
+    sd = sdt.StableDiffusion(tiny_models, tiny_tokenizer, tiny_cfg)
+    kw = dict(seed=0, n_inference_steps=N_STEPS, height=H, width=W)
+    base = sd.txt2img("a cat", **kw)
+    hn = sd.with_hypernetwork(p, strength=0.8)
+    chained = hn.merged_with(tiny_models, alpha=0.0)  # no-op merge
+    img = chained.txt2img("a cat", **kw)
+    assert (img != base).any()  # hypernetwork still active post-clone
+    np.testing.assert_array_equal(img, hn.txt2img("a cat", **kw))

@@ -79,3 +79,11 @@ def test_generate_many_per_sample_images(tiny_models, tiny_tokenizer,
                           tokenizer=tiny_tokenizer, config=tiny_cfg,
                           height=PROC, width=PROC, n_inference_steps=2,
                           input_image=imgs, strength=0.5)
+
+
+def test_sd_upscale_rejects_one_small_dimension(sd):
+    # 6x16 source at x2 -> 12x32: smaller than the 16-tile in one dim only
+    img = np.zeros((6, SRC, 3), np.uint8)
+    with pytest.raises(ValueError, match="one dimension"):
+        sd.sd_upscale("a cat", img, scale=2.0, height=PROC, width=PROC,
+                      n_inference_steps=2)

@@ -125,3 +125,13 @@ def test_merged_bundle_generates(tiny_models, tiny_tokenizer, tiny_cfg):
     img = m.txt2img("a cat", **kw)
     assert img.shape == (H, W, 3)
     assert (img != a.txt2img("a cat", **kw)).any()
+
+
+def test_break_auto_enables_windows(tiny_models, tiny_tokenizer, tiny_cfg):
+    """BREAK is honored even without long_prompts=True (A1111 honors it
+    unconditionally); regression: it used to BPE-encode literally."""
+    kw = dict(models=tiny_models, tokenizer=tiny_tokenizer, config=tiny_cfg,
+              n_inference_steps=N_STEPS, height=H, width=W, seed=0)
+    auto = sdt.generate("a cat BREAK dog", **kw)
+    explicit = sdt.generate("a cat BREAK dog", long_prompts=True, **kw)
+    np.testing.assert_array_equal(auto, explicit)
