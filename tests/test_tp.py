@@ -94,3 +94,21 @@ def test_sdxl_tp_matches_replicated(tiny_tokenizer):
     tp_imgs = tp.generate_images_tp(prompts, mesh=mesh, models=models, **kw)
     assert tp_imgs.shape == single.shape
     assert np.abs(tp_imgs.astype(int) - single.astype(int)).max() <= 1
+
+
+def test_tp_guidance_extras_match_replicated(tiny_cfg, tiny_models,
+                                             tiny_tokenizer):
+    """PAG/SAG/variation under Megatron TP (model=4, +2-way DP) match the
+    single-device run — the extra guidance evals partition like the main
+    UNet call (round-3-late features)."""
+    prompts = ["a cat", "a dog"]
+    kw = dict(tokenizer=tiny_tokenizer, seed=3, n_inference_steps=N_STEPS,
+              config=tiny_cfg, height=H, width=W, pag_scale=1.5,
+              sag_scale=0.5, variation_seed=2, variation_strength=0.4)
+    single = sdt.generate_images(prompts, models=tiny_models, **kw)
+
+    mesh = mesh_mod.make_mesh(data=2, model=4)
+    tp_imgs = tp.generate_images_tp(prompts, mesh=mesh, models=tiny_models,
+                                    **kw)
+    assert tp_imgs.shape == single.shape
+    assert np.abs(tp_imgs.astype(int) - single.astype(int)).max() <= 1
