@@ -125,3 +125,6 @@ img_cc = sd.img2img("a cat", _ref, strength=0.9, seed=1,
                     n_inference_steps=2, height=16, width=16,
                     color_correction=True)
 print("color-correction img2img:", img_cc.shape, flush=True)
+img_3m = sd.txt2img("a cat", seed=1, n_inference_steps=4, height=16,
+                    width=16, sampler_name="dpm++_3m_sde")
+print("dpm++_3m_sde txt2img:", img_3m.shape, flush=True)

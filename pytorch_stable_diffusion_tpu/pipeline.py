@@ -48,9 +48,9 @@ from . import prompt_schedule
 from .sampling import (ddim, ddpm, dpm, dpm2, euler, lcm, lms, pndm,
                        restart as restart_mod, unipc)
 
-SAMPLERS = ("ddpm", "ddim", "dpm++", "dpm++_sde", "euler", "euler_a",
-            "heun", "unipc", "lcm", "plms", "lms", "dpm2", "dpm2_a",
-            "restart")
+SAMPLERS = ("ddpm", "ddim", "dpm++", "dpm++_sde", "dpm++_3m_sde", "euler",
+            "euler_a", "heun", "unipc", "lcm", "plms", "lms", "dpm2",
+            "dpm2_a", "restart")
 
 # --------------------------------------------------------------- tokenizing
 def _encode_tokens(tokenizer, prompts, max_len: int) -> np.ndarray:
@@ -819,8 +819,10 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
 
         # dynamic lower bound: img2img strength skips steps without paying
         # for them (the reference truncates the Python list, ddpm.py:97-99)
-        if sampler in ("dpm++", "dpm++_sde", "unipc"):
+        if sampler in ("dpm++", "dpm++_sde", "dpm++_3m_sde", "unipc"):
             mod = unipc if sampler == "unipc" else dpm
+            state0 = dpm.init_state_3m(lat_shape) \
+                if sampler == "dpm++_3m_sde" else mod.init_state(lat_shape)
 
             def body(step_i, carry):
                 lat, st, dc = carry
@@ -828,6 +830,11 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                 eps, t, dc = eps_at(step_i, lat, dc)
                 if sampler == "dpm++_sde":
                     new_lat, st = dpm.step_sde(
+                        schedule, t, lat, eps, step_noises[step_i], st,
+                        num_inference_steps=n_steps,
+                        prev_t=prev_timesteps[step_i])
+                elif sampler == "dpm++_3m_sde":
+                    new_lat, st = dpm.step_sde_3m(
                         schedule, t, lat, eps, step_noises[step_i], st,
                         num_inference_steps=n_steps,
                         prev_t=prev_timesteps[step_i])
@@ -839,7 +846,7 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
 
             latents, _, _ = jax.lax.fori_loop(
                 start_step, n_steps, body,
-                (latents.astype(jnp.float32), mod.init_state(lat_shape), dc0))
+                (latents.astype(jnp.float32), state0, dc0))
         elif sampler == "plms":
             # n_steps + 1 iterations: the trapezoidal warmup re-evaluates
             # the second grid point (sampling/pndm.py eval schedule)

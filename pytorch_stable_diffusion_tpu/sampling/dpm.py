@@ -79,6 +79,98 @@ def step(schedule: DDPMSchedule, t, latents, eps, state, *,
     return x_next.astype(dt), new_state
 
 
+def init_state_3m(latents_shape, dtype=jnp.float32) -> Dict[str, jax.Array]:
+    return {
+        "x0_1": jnp.zeros(latents_shape, dtype),
+        "x0_2": jnp.zeros(latents_shape, dtype),
+        "h_1": jnp.float32(0.0),
+        "h_2": jnp.float32(0.0),
+        "count": jnp.int32(0),
+    }
+
+
+def step_sde_3m(schedule: DDPMSchedule, t, latents, eps, noise, state, *,
+                num_inference_steps: int, prev_t=None
+                ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """One SDE-DPM-Solver++(3M) step (k-diffusion's "DPM++ 3M SDE",
+    eta = 1): the exponential-integrator base update plus second/third
+    order corrections from the x0 history in lambda-space.
+
+    In VP parameterization (translated from k-diffusion's sigma-space
+    form via X = x/alpha, sigma_k = sigma/alpha; their h equals our
+    lambda difference):
+
+      base:  x' = (sigma_n/sigma_t) e^{-h} x + alpha_n (1 - e^{-2h}) x0
+             + sigma_n sqrt(1 - e^{-2h}) z
+      3rd:   r0 = h_1/h, r1 = h_2/h,
+             d1_0 = (x0 - x0_1)/r0, d1_1 = (x0_1 - x0_2)/r1,
+             d1 = d1_0 + (d1_0 - d1_1) r0/(r0 + r1),
+             d2 = (d1_0 - d1_1)/(r0 + r1),
+             phi_2 = (e^{-2h} - 1)/(2h) + 1,  phi_3 = phi_2/(2h) - 1/2,
+             x' += alpha_n (phi_2 d1 - phi_3 d2)
+      2nd (one history entry): x' += alpha_n phi_2 (x0 - x0_1)/r0.
+
+    The final step (prev_t < 0) collapses to x0 exactly (k-diffusion's
+    ``sigma == 0`` special case — the corrections do NOT vanish
+    algebraically there, so it is masked explicitly).  Variance
+    preserving like step_sde: coefficient identity
+    (sigma_n e^{-h}/sigma_t)^2 sigma_t^2 + sigma_n^2 (1 - e^{-2h})
+    = sigma_n^2.
+    """
+    dt = latents.dtype
+    x = latents.astype(jnp.float32)
+    eps = eps.astype(jnp.float32)
+    if prev_t is None:  # uniform grid (identical to timesteps[i+1])
+        prev_t = t - schedule.num_train_timesteps // num_inference_steps
+
+    a_t = schedule.alphas_cumprod[t]
+    a_n = _alpha_bar_prev(schedule, prev_t)
+    alpha_t, sigma_t = jnp.sqrt(a_t), jnp.sqrt(1.0 - a_t)
+    alpha_n, sigma_n = jnp.sqrt(a_n), jnp.sqrt(1.0 - a_n)
+
+    x0 = (x - sigma_t * eps) / alpha_t
+
+    lam_t = jnp.log(alpha_t / jnp.maximum(sigma_t, 1e-20))
+    lam_n = jnp.log(alpha_n / jnp.maximum(sigma_n, 1e-20))
+    final = prev_t < 0
+    h = jnp.where(final, 1.0, lam_n - lam_t)  # safe h for the ratios
+    exp_neg_h = (alpha_t * sigma_n) / (sigma_t * alpha_n)
+    exp_neg_2h = exp_neg_h * exp_neg_h
+
+    base = (sigma_n / jnp.maximum(sigma_t, 1e-20)) * exp_neg_h * x \
+        + alpha_n * (1.0 - exp_neg_2h) * x0 \
+        + sigma_n * jnp.sqrt(jnp.clip(1.0 - exp_neg_2h, min=0.0)) \
+        * noise.astype(jnp.float32)
+
+    h2 = 2.0 * h
+    phi_2 = (exp_neg_2h - 1.0) / h2 + 1.0
+    phi_3 = phi_2 / h2 - 0.5
+    r0 = state["h_1"] / h
+    r1 = state["h_2"] / h
+    safe_r0 = jnp.where(r0 == 0, 1.0, r0)
+    safe_r01 = jnp.where(r0 + r1 == 0, 1.0, r0 + r1)
+    d1_0 = (x0 - state["x0_1"]) / safe_r0
+    d1_1 = (state["x0_1"] - state["x0_2"]) / jnp.where(r1 == 0, 1.0, r1)
+    d1 = d1_0 + (d1_0 - d1_1) * r0 / safe_r01
+    d2 = (d1_0 - d1_1) / safe_r01
+
+    third = jnp.logical_and(state["count"] > 1, jnp.logical_not(final))
+    second = jnp.logical_and(state["count"] == 1, jnp.logical_not(final))
+    corr = jnp.where(third, alpha_n * (phi_2 * d1 - phi_3 * d2),
+                     jnp.where(second, alpha_n * phi_2 * d1_0, 0.0))
+
+    x_next = jnp.where(final, x0, base + corr)
+
+    new_state = {
+        "x0_1": x0,
+        "x0_2": state["x0_1"],
+        "h_1": jnp.where(final, state["h_1"], h).astype(jnp.float32),
+        "h_2": state["h_1"],
+        "count": state["count"] + 1,
+    }
+    return x_next.astype(dt), new_state
+
+
 def step_sde(schedule: DDPMSchedule, t, latents, eps, noise, state, *,
              num_inference_steps: int, prev_t=None) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """One SDE-DPM-Solver++(2M) step (the community "DPM++ 2M SDE",
