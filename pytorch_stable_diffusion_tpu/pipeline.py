@@ -238,7 +238,8 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                       n_and: int = 1,
                       tiling: bool = False,
                       dyn_thresh: bool = False,
-                      noise_multiplier: bool = False):
+                      noise_multiplier: bool = False,
+                      size_ids: Optional[Tuple[float, ...]] = None):
     """Build + jit the full generate computation for one static shape.
 
     ``fixed_noise=True`` compiles a variant whose latent-init / encoder /
@@ -415,11 +416,16 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
         h_px, w_px = h_lat * cfg.vae.downsample_factor, \
             w_lat * cfg.vae.downsample_factor
         n_ids = cfg.unet.add_time_ids
+        # SDXL micro-conditioning (diffusers original_size /
+        # crops_coords_top_left / target_size): override the default
+        # (h, w, 0, 0, h, w) ids; static — these are per-artifact choices
+        base4 = size_ids[:4] if size_ids else (h_px, w_px, 0, 0)
         if n_ids == 5:
-            ids = jnp.asarray([h_px, w_px, 0, 0, cfg.aesthetic_score],
+            ids = jnp.asarray(list(base4) + [cfg.aesthetic_score],
                               jnp.float32)
         else:
-            ids = jnp.asarray([h_px, w_px, 0, 0, h_px, w_px], jnp.float32)
+            tgt = size_ids[4:6] if size_ids else (h_px, w_px)
+            ids = jnp.asarray(list(base4) + list(tgt), jnp.float32)
         size_dim = (cfg.unet.add_embed_dim - pooled_dim) // n_ids
         size_emb = unet_mod.timestep_embedding(ids, size_dim).reshape(1, -1)
         size_emb = jnp.broadcast_to(size_emb,
@@ -1106,6 +1112,9 @@ def _run_generate(
     tiling: bool = False,
     dynamic_threshold: Optional[float] = None,
     noise_multiplier: Optional[float] = None,
+    original_size: Optional[Tuple[int, int]] = None,
+    crop_coords: Tuple[int, int] = (0, 0),
+    target_size: Optional[Tuple[int, int]] = None,
     _device_output: bool = False,
     _key: Optional[jax.Array] = None,
 ):
@@ -1474,6 +1483,20 @@ def _run_generate(
         act, act_out = hypernetwork
         hyper = (str(act), bool(act_out))
         noises["hyper_strength"] = jnp.float32(hypernetwork_strength)
+    # SDXL micro-conditioning: (orig_h, orig_w, crop_top, crop_left
+    # [, tgt_h, tgt_w]) — the diffusers original_size/crops/target_size
+    # knobs; only meaningful for added-conditioning families
+    size_ids = None
+    if (original_size is not None or tuple(crop_coords) != (0, 0)
+            or target_size is not None):
+        if cfg.unet.add_embed_dim is None:
+            raise ValueError("original_size/crop_coords/target_size are "
+                             "SDXL micro-conditioning (add_embed families "
+                             "only)")
+        oh, ow = original_size or (height, width)
+        tgt_h, tgt_w = target_size or (height, width)
+        size_ids = (float(oh), float(ow), float(crop_coords[0]),
+                    float(crop_coords[1]), float(tgt_h), float(tgt_w))
     use_noise_mult = noise_multiplier is not None
     if use_noise_mult:
         if fixed_noise is not None:
@@ -1501,7 +1524,7 @@ def _run_generate(
                             use_pag,
                             int(encode_tile) if encode_tile else None,
                             hyper, use_sag, n_and, bool(tiling),
-                            use_dyn_thresh, use_noise_mult)
+                            use_dyn_thresh, use_noise_mult, size_ids)
     if n_sched > 1:
         noises["sched_idx"] = jnp.asarray(sched_idx_arr)
     if n_and > 1:

@@ -139,3 +139,32 @@ def test_sdxl_img2img(xl_cfg, xl_models, tiny_tokenizer):
                           n_inference_steps=3, config=xl_cfg,
                           height=16, width=16, sampler_name="euler")
     assert not np.array_equal(img, img_hi)
+
+
+def test_sdxl_micro_conditioning(xl_cfg, xl_models):
+    """diffusers original_size/crops_coords_top_left/target_size knobs
+    change the added conditioning (and therefore the image); SD-1.x
+    rejects them."""
+    import pytorch_stable_diffusion_tpu as sdt
+    from pytorch_stable_diffusion_tpu.models.config import tiny_sd_config
+    from pytorch_stable_diffusion_tpu.weights.tokenizer import \
+        make_test_tokenizer
+
+    tok = make_test_tokenizer(["a", "cat"], max_len=xl_cfg.clip.max_len)
+    kw = dict(models=xl_models, tokenizer=tok, config=xl_cfg,
+              n_inference_steps=2, height=16, width=16, seed=0)
+    base = sdt.generate("a cat", **kw)
+    micro = sdt.generate("a cat", original_size=(64, 64),
+                         crop_coords=(4, 0), **kw)
+    assert micro.shape == base.shape
+    assert (micro != base).any()
+    # defaults short-circuit: passing the implicit values changes nothing
+    same = sdt.generate("a cat", original_size=(16, 16),
+                        target_size=(16, 16), **kw)
+    np.testing.assert_array_equal(same, base)
+
+    sd15 = tiny_sd_config()
+    with pytest.raises(ValueError, match="micro-conditioning"):
+        sdt.generate("a cat", models=xl_models, tokenizer=tok, config=sd15,
+                     n_inference_steps=2, height=16, width=16,
+                     original_size=(64, 64))
