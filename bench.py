@@ -51,10 +51,12 @@ def main():
                     choices=["none", "wide", "conv", "w8"],
                     help="UNet int8 tier (ops/quant.py; w8 = weight-only)")
     ap.add_argument("--family", default="sd15",
-                    choices=["sd15", "sd21", "sdxl", "tiny"],
+                    choices=["sd15", "sd21", "sdxl", "sdxl_refiner",
+                             "tiny"],
                     help="model family (driver headline stays sd15; "
-                         "sdxl defaults its native 1024 size; tiny is the "
-                         "CPU-drivable smoke config — pair with --size 16)")
+                         "sdxl/refiner default their native 1024 size; "
+                         "tiny is the CPU-drivable smoke config — pair "
+                         "with --size 16)")
     ap.add_argument("--deepcache", type=int, default=None, metavar="N",
                     help="DeepCache interval: full UNet every N-th step, "
                          "cached-deep-feature shallow steps between")
@@ -75,20 +77,20 @@ def main():
 
     from pytorch_stable_diffusion_tpu.core.cache import enable_compilation_cache
     from pytorch_stable_diffusion_tpu.core.dtypes import BF16
-    from pytorch_stable_diffusion_tpu.models.config import (sd15_config,
-                                                            sd21_config,
-                                                            sdxl_config,
-                                                            tiny_sd_config)
+    from pytorch_stable_diffusion_tpu.models.config import (
+        sd15_config, sd21_config, sdxl_config, sdxl_refiner_config,
+        tiny_sd_config)
     from pytorch_stable_diffusion_tpu.pipeline import _compiled_txt2img
 
     enable_compilation_cache()
 
     backend = args.backend if jax.default_backend() == "tpu" else "xla"
     mk = {"sd15": sd15_config, "sd21": sd21_config, "sdxl": sdxl_config,
-          "tiny": tiny_sd_config}
+          "sdxl_refiner": sdxl_refiner_config, "tiny": tiny_sd_config}
     cfg = mk[args.family](policy=BF16, attention_backend=backend,
                           quant=args.quant)
-    if args.family == "sdxl" and args.size == 512 and args.batch == 4:
+    if args.family in ("sdxl", "sdxl_refiner") and args.size == 512 \
+            and args.batch == 4:
         args.size, args.batch = 1024, 1  # native-resolution latency config
     models = build_models(cfg)
 
