@@ -19,12 +19,16 @@ from .weights.tokenizer import CLIPTokenizer
 
 def _to_rgb_float(image) -> np.ndarray:
     """Any image input -> (H, W, 3) float32 in 0..255 (grayscale stacked,
-    alpha dropped, [0, 1]-ranged floats rescaled)."""
-    img = np.asarray(image, np.float32)
+    alpha dropped, [0, 1]-ranged FLOAT inputs rescaled — integer inputs
+    are always 0..255 already; a near-black uint8 image whose max pixel
+    is 1 must NOT be blown up to white)."""
+    arr = np.asarray(image)
+    is_float = arr.dtype.kind == "f"
+    img = arr.astype(np.float32)
     if img.ndim == 2:
         img = np.stack([img] * 3, axis=-1)
     img = img[..., :3]
-    if img.max() <= 1.0:
+    if is_float and img.max() <= 1.0:
         img = img * 255.0
     return img
 
@@ -173,6 +177,12 @@ class StableDiffusion:
 
         tree, meta = hyper_mod.load_hypernetwork(hypernetwork) \
             if isinstance(hypernetwork, str) else hypernetwork
+        if self.mesh is not None:
+            # place the freshly loaded host arrays once, like every other
+            # model entry (replicated — the tiny MLPs never need TP)
+            from .parallel.dp import replicate_params
+
+            tree = replicate_params(tree, self.mesh)
         out = self._clone(models=dict(self.models, hypernetwork=tree))
         out._hyper = (meta, float(strength))
         return out
@@ -407,9 +417,8 @@ class StableDiffusion:
         img = _to_rgb_float(image)
         h0, w0 = img.shape[:2]
         th, tw = int(round(h0 * scale)), int(round(w0 * scale))
-        up = np.asarray(jax.image.resize(jax.numpy.asarray(img),
-                                         (th, tw, 3), "lanczos3"))
-        up = np.clip(up, 0, 255)
+        # validate BEFORE the lanczos resize (an eager jax op — expensive
+        # on the error path)
         if th <= height and tw <= width:
             raise ValueError(f"upscaled size {th}x{tw} fits one processing "
                              f"tile {height}x{width}; use img2img directly")
@@ -420,6 +429,9 @@ class StableDiffusion:
                 "that fits both")
         if overlap >= min(height, width):
             raise ValueError("overlap must be smaller than the tile size")
+        up = np.asarray(jax.image.resize(jax.numpy.asarray(img),
+                                         (th, tw, 3), "lanczos3"))
+        up = np.clip(up, 0, 255)
 
         def starts(total, tile):
             if total <= tile:

@@ -1493,10 +1493,17 @@ def _run_generate(
             raise ValueError("original_size/crop_coords/target_size are "
                              "SDXL micro-conditioning (add_embed families "
                              "only)")
+        if cfg.unet.add_time_ids == 5 and target_size is not None:
+            raise ValueError("refiner families (5 add_time_ids) have no "
+                             "target_size id; drop target_size")
         oh, ow = original_size or (height, width)
         tgt_h, tgt_w = target_size or (height, width)
         size_ids = (float(oh), float(ow), float(crop_coords[0]),
                     float(crop_coords[1]), float(tgt_h), float(tgt_w))
+        if size_ids == (float(height), float(width), 0.0, 0.0,
+                        float(height), float(width)):
+            size_ids = None  # identical to the implicit ids: don't key a
+            # second compiled variant for the same program
     use_noise_mult = noise_multiplier is not None
     if use_noise_mult:
         if fixed_noise is not None:

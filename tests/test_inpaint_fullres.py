@@ -113,3 +113,16 @@ def test_mask_blur_softens_boundary(sd, tiny_models, tiny_tokenizer,
     soft = sd.inpaint("a cat", img, mask, mask_blur=3, **kw)
     assert hard.shape == soft.shape == (PROC, PROC, 3)
     assert (hard != soft).any()
+
+
+def test_near_black_uint8_not_rescaled():
+    """Regression: a uint8 image whose max pixel is 1 must stay near-black
+    (the [0,1]-float rescale heuristic only applies to float inputs)."""
+    from pytorch_stable_diffusion_tpu.api import _to_rgb_float
+
+    img = np.zeros((4, 4, 3), np.uint8)
+    img[0, 0] = 1
+    out = _to_rgb_float(img)
+    assert out.max() == 1.0  # NOT blown up to 255
+    outf = _to_rgb_float(img.astype(np.float32) / 255.0)
+    assert abs(outf.max() - 1.0) < 1e-5  # float [0,1] rescaled to 0..255
