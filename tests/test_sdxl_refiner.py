@@ -97,3 +97,23 @@ def test_refiner_img2img_generate(rf_cfg, rf_models, tiny_tokenizer):
                          rf_cfg, aesthetic_score=2.5)})
     assert a.shape == (16, 16, 3)
     assert not np.array_equal(a, b), "aesthetic_score must condition output"
+
+
+def test_refiner_micro_conditioning(rf_cfg, rf_models):
+    """original_size/crop change the refiner's 4-id prefix; target_size is
+    rejected (the 5-id layout ends in the aesthetic score, not a target)."""
+    import pytorch_stable_diffusion_tpu as sdt
+    from pytorch_stable_diffusion_tpu.weights.tokenizer import \
+        make_test_tokenizer
+
+    tok = make_test_tokenizer(["a", "cat"], max_len=rf_cfg.clip.max_len)
+    init = np.zeros((16, 16, 3), np.uint8)
+    kw = dict(models=rf_models, tokenizer=tok, config=rf_cfg,
+              n_inference_steps=2, height=16, width=16, seed=0,
+              input_image=init, strength=0.8)
+    base = sdt.generate("a cat", **kw)
+    micro = sdt.generate("a cat", original_size=(64, 64),
+                         crop_coords=(2, 2), **kw)
+    assert (micro != base).any()
+    with pytest.raises(ValueError, match="target_size"):
+        sdt.generate("a cat", target_size=(64, 64), **kw)
