@@ -282,9 +282,38 @@ class StableDiffusion:
         return self._clone(models=dict(self.models, controlnet=controlnet),
                            reshard=True)
 
+    @staticmethod
+    def _fill_masked(init_image, mask_image, sigma: float = 8.0):
+        """A1111 "masked content: fill": seed the repaint region with a
+        heavy blur of the surrounding content (masked pixels first
+        replaced by the unmasked mean so they don't bleed into the fill).
+        Host-side preprocessing; returns a uint8 image."""
+        from .utils.annotators import blur as _np_blur
+
+        img = _to_rgb_float(init_image)
+        m = np.asarray(
+            mask_image.convert("L") if hasattr(mask_image, "convert")
+            else mask_image, np.float32)
+        if m.ndim == 3:
+            m = m[..., 0]
+        if m.max() > 1.0:
+            m = m / 255.0
+        if m.shape != img.shape[:2]:
+            raise ValueError(f"mask shape {m.shape} != image "
+                             f"{img.shape[:2]}")
+        keep = (m <= 0.5)
+        mean = img[keep].reshape(-1, 3).mean(axis=0) if keep.any() \
+            else np.full(3, 127.5, np.float32)
+        seeded = np.where(keep[..., None], img, mean)
+        blurred = np.stack([_np_blur(seeded[..., c] / 255.0, sigma=sigma)
+                            for c in range(3)], axis=-1) * 255.0
+        out = np.where(keep[..., None], img, blurred)
+        return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
     def inpaint(self, prompt: str, init_image, mask_image,
                 strength: float = 1.0, uncond_prompt: str = "", *,
                 full_res: bool = False, full_res_padding: int = 32,
+                masked_content: str = "original",
                 **kwargs) -> np.ndarray:
         """Repaint the masked region (mask 1 = repaint, 0 = keep).
 
@@ -300,7 +329,18 @@ class StableDiffusion:
         the full ``height``x``width`` processing resolution, downscaled,
         and blended back into the ORIGINAL image — so a small masked
         region gets the model's native pixel density.  The return value is
-        at the original image's resolution (not ``height``x``width``)."""
+        at the original image's resolution (not ``height``x``width``).
+
+        ``masked_content``: "original" (keep the image under the mask as
+        the denoise start) or "fill" (A1111: seed the region with a heavy
+        blur of the surroundings — useful at lower strengths to remove the
+        original object).  Strength 1.0 denoises the region from pure
+        noise either way ("latent noise" semantics)."""
+        if masked_content not in ("original", "fill"):
+            raise ValueError(f"unknown masked_content {masked_content!r} "
+                             "(original | fill)")
+        if masked_content == "fill":
+            init_image = self._fill_masked(init_image, mask_image)
         if not full_res:
             return pipeline_mod.generate(prompt, uncond_prompt,
                                          input_image=init_image,

@@ -126,3 +126,25 @@ def test_near_black_uint8_not_rescaled():
     assert out.max() == 1.0  # NOT blown up to 255
     outf = _to_rgb_float(img.astype(np.float32) / 255.0)
     assert abs(outf.max() - 1.0) < 1e-5  # float [0,1] rescaled to 0..255
+
+
+# -------------------------------------------------------- masked content
+def test_fill_masked_content(sd):
+    img = np.zeros((PROC, PROC, 3), np.uint8)
+    img[:, : PROC // 2] = 200                     # bright left half
+    mask = np.zeros((PROC, PROC), np.float32)
+    mask[8:16, 20:28] = 1.0                       # mask inside dark half
+    filled = sd._fill_masked(img, mask)
+    # unmasked pixels untouched
+    np.testing.assert_array_equal(filled[:, : PROC // 2],
+                                  img[:, : PROC // 2])
+    # masked region pulled toward the surrounding/unmasked statistics
+    assert filled[8:16, 20:28].mean() > img[8:16, 20:28].mean() + 10
+    # end-to-end: fill mode runs and differs from original mode
+    kw = dict(n_inference_steps=2, seed=0, height=PROC, width=PROC,
+              strength=0.6)
+    a = sd.inpaint("a cat", img, mask, masked_content="fill", **kw)
+    b = sd.inpaint("a cat", img, mask, **kw)
+    assert (a != b).any()
+    with pytest.raises(ValueError, match="masked_content"):
+        sd.inpaint("a cat", img, mask, masked_content="latent", **kw)
