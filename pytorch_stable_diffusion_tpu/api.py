@@ -517,6 +517,60 @@ class StableDiffusion:
         return np.clip(np.round(acc / np.maximum(wacc, 1e-8)), 0,
                        255).astype(np.uint8)
 
+    def prompt_matrix(self, prompt: str, uncond_prompt: str = "", *,
+                      batch_size: int = 4, **kwargs) -> np.ndarray:
+        """A1111's "Prompt matrix" script: ``"base|opt A|opt B"`` generates
+        every SUBSET combination of the |-separated options appended to
+        the base prompt (2^n images), batched through the serving path,
+        and returns them assembled into one 2^(n//2+...) grid image.
+
+        Returns the grid (uint8); the individual prompts used are in
+        row-major subset order (bit i of the index = option i included)."""
+        parts = [p.strip() for p in prompt.split("|")]
+        base, opts = parts[0], parts[1:]
+        if not opts:
+            raise ValueError("prompt_matrix needs |-separated options")
+        if len(opts) > 4:
+            raise ValueError("prompt_matrix caps at 4 options (16 images)")
+        prompts = []
+        for bits in range(2 ** len(opts)):
+            chosen = [o for i, o in enumerate(opts) if bits >> i & 1]
+            prompts.append(", ".join([base] + chosen))
+        imgs = self.generate_many(prompts, uncond_prompt,
+                                  batch_size=batch_size, **kwargs)
+        cols = 2 ** ((len(opts) + 1) // 2)
+        rows = len(prompts) // cols
+        h, w = imgs.shape[1:3]
+        return (imgs.reshape(rows, cols, h, w, 3)
+                .transpose(0, 2, 1, 3, 4).reshape(rows * h, cols * w, 3))
+
+    def xyz_grid(self, prompt: str, uncond_prompt: str = "", *,
+                 x=None, y=None, **kwargs) -> np.ndarray:
+        """A1111's "X/Y plot" script: sweep one generation kwarg per axis
+        (``x=("cfg_scale", [5, 7.5, 10])``, ``y=("sampler_name",
+        ["euler", "dpm++"])``) and assemble the results into one grid
+        image (x varies along columns, y along rows).
+
+        Traced knobs (cfg_scale, pag/sag scales, strengths...) reuse one
+        compiled program across the sweep; graph-shaping axes (sampler,
+        steps, size) compile once per distinct value."""
+        xk, xs = x if x is not None else (None, [None])
+        yk, ys = y if y is not None else (None, [None])
+        if xk is None and yk is None:
+            raise ValueError("xyz_grid needs at least one of x=, y=")
+        rows = []
+        for yv in ys:
+            row = []
+            for xv in xs:
+                kw = dict(kwargs)
+                if xk is not None:
+                    kw[xk] = xv
+                if yk is not None:
+                    kw[yk] = yv
+                row.append(self.txt2img(prompt, uncond_prompt, **kw))
+            rows.append(np.concatenate(row, axis=1))
+        return np.concatenate(rows, axis=0)
+
     def generate_batch(self, prompts: Sequence[str], uncond_prompts="",
                        **kwargs) -> np.ndarray:
         return pipeline_mod.generate_images(list(prompts), uncond_prompts,
