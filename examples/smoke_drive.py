@@ -64,6 +64,10 @@ img_exp = sd.txt2img("a cat", seed=1, n_inference_steps=2, height=16,
                      width=16, timestep_spacing="exponential",
                      sampler_name="dpm++")
 print("exponential-spacing txt2img:", img_exp.shape, flush=True)
+img_ays = sd.txt2img("a cat", seed=1, n_inference_steps=2, height=16,
+                     width=16, timestep_spacing="ays", sampler_name="dpm++")
+print("ays-spacing txt2img:", img_ays.shape, "differs:",
+      bool((img_ays != img_exp).any()), flush=True)
 _m = np.zeros((32, 32), np.float32); _m[8:16, 8:16] = 1.0
 _src = np.zeros((32, 32, 3), np.uint8)
 img_fr = sd.inpaint("a cat", _src, _m, full_res=True, full_res_padding=4,
@@ -81,10 +85,22 @@ img_hn = sd_hn.txt2img("a cat", seed=1, n_inference_steps=2, height=16,
                        width=16)
 print("hypernetwork txt2img:", img_hn.shape, "differs:",
       bool((img_hn != img).any()), flush=True)
-for _s in ("lms", "dpm2_a"):
+for _s in ("lms", "dpm2_a", "dpm++_2s_a"):
     img_s = sd.txt2img("a cat", seed=1, n_inference_steps=3, height=16,
                        width=16, sampler_name=_s)
     print(f"{_s} txt2img:", img_s.shape, flush=True)
+# T2I-Adapter (fresh weights; features computed once per generation)
+from pytorch_stable_diffusion_tpu.models import t2i_adapter as _t2i
+import jax as _jax
+_ad = _t2i.init(_jax.random.PRNGKey(7), cfg.unet,
+                downsample_factor=cfg.vae.downsample_factor)
+_hint = np.random.RandomState(3).randint(0, 256, (16, 16, 3)).astype(
+    np.float32)
+img_ad = sd.with_t2i_adapter(_ad).txt2img(
+    "a cat", seed=1, n_inference_steps=2, height=16, width=16,
+    adapter_image=_hint)
+print("t2i-adapter txt2img:", img_ad.shape, "differs:",
+      bool((img_ad != img).any()), flush=True)
 img_sag = sd.txt2img("a cat", seed=1, n_inference_steps=2, height=16,
                      width=16, sag_scale=0.75)
 print("sag txt2img:", img_sag.shape, "differs:", bool((img_sag != img).any()),

@@ -69,12 +69,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "SD-2.1-v checkpoints; 0 = off)")
     p.add_argument("--sampler", default="ddpm")
     p.add_argument("--spacing", default="uniform",
-                   choices=["uniform", "karras", "exponential", "trailing"],
+                   choices=["uniform", "karras", "exponential", "trailing",
+                            "sgm_uniform", "kl_optimal", "ays", "beta"],
                    help="timestep grid: uniform (reference parity), the "
                         "Karras sigma schedule (denser low-sigma steps — "
-                        "the community 'Karras' sampler variants), or "
+                        "the community 'Karras' sampler variants), "
                         "trailing (grid ends at the terminal timestep — "
-                        "zero-SNR recipe, SDXL-Turbo)")
+                        "zero-SNR recipe, SDXL-Turbo), sgm_uniform / "
+                        "kl_optimal / ays (Align Your Steps, per-family "
+                        "table) / beta — the A1111 1.9/1.10 scheduler "
+                        "dropdown")
     p.add_argument("--zero-snr", action="store_true",
                    help="rescale betas to zero terminal SNR (v-prediction "
                         "checkpoints fine-tuned with the Lin et al. 2024 "
@@ -104,6 +108,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "with a built-in annotator (utils/annotators.py)")
     p.add_argument("--controlnet-scale", type=float, action="append",
                    default=[], help="per-net scale (default 1.0); repeatable")
+    p.add_argument("--t2i-adapter", action="append", default=[],
+                   help="T2I-Adapter weights (diffusers T2IAdapter dir or "
+                        "file); repeatable for multi-adapter (features sum; "
+                        "pair each with an --adapter-image)")
+    p.add_argument("--adapter-image", action="append", default=[],
+                   help="conditioning image for --t2i-adapter; repeatable")
+    p.add_argument("--adapter-scale", type=float, action="append",
+                   default=[],
+                   help="per-adapter scale (default 1.0); repeatable")
     p.add_argument("--clip-skip", type=int, default=None,
                    help="A1111 CLIP-skip: 1 = family default; each "
                         "increment conditions one text-encoder layer "
@@ -219,6 +232,12 @@ def main(argv=None) -> int:
         sd = sd.with_controlnet(nets)
         print(f"[cli] attached controlnet {args.controlnet}", flush=True)
 
+    if args.t2i_adapter:
+        ads = args.t2i_adapter if len(args.t2i_adapter) > 1 \
+            else args.t2i_adapter[0]
+        sd = sd.with_t2i_adapter(ads)
+        print(f"[cli] attached t2i-adapter {args.t2i_adapter}", flush=True)
+
     if args.vae:
         sd = sd.with_vae(args.vae)
         print(f"[cli] swapped VAE {args.vae}", flush=True)
@@ -271,6 +290,21 @@ def main(argv=None) -> int:
                              f"{len(imgs)} --controlnet")
         kw["control_image"] = imgs if len(imgs) > 1 else imgs[0]
         kw["controlnet_scale"] = scales if len(scales) > 1 else scales[0]
+    if args.adapter_image:
+        from PIL import Image
+
+        if not args.t2i_adapter:
+            raise SystemExit("--adapter-image requires --t2i-adapter")
+        if len(args.adapter_image) != len(args.t2i_adapter):
+            raise SystemExit(f"{len(args.adapter_image)} --adapter-image "
+                             f"for {len(args.t2i_adapter)} --t2i-adapter")
+        a_imgs = [Image.open(p).convert("RGB") for p in args.adapter_image]
+        a_scales = args.adapter_scale or [1.0] * len(a_imgs)
+        if len(a_scales) != len(a_imgs):
+            raise SystemExit(f"{len(a_scales)} --adapter-scale for "
+                             f"{len(a_imgs)} --t2i-adapter")
+        kw["adapter_image"] = a_imgs if len(a_imgs) > 1 else a_imgs[0]
+        kw["adapter_scale"] = a_scales if len(a_scales) > 1 else a_scales[0]
     t0 = time.time()
     if args.mask:
         from PIL import Image

@@ -282,6 +282,29 @@ class StableDiffusion:
         return self._clone(models=dict(self.models, controlnet=controlnet),
                            reshard=True)
 
+    def with_t2i_adapter(self, adapter):
+        """Return a bundle with a T2I-Adapter attached
+        (models/t2i_adapter.py — lightweight spatial conditioning whose
+        features are computed once per generation, not per step).
+
+        ``adapter`` is a diffusers ``T2IAdapter`` directory or weight file
+        (weights/diffusers.py ``load_t2i_adapter``), an already-converted
+        pytree, or a LIST of those (multi-adapter: features sum; pass
+        matching lists as ``adapter_image`` / ``adapter_scale``).
+        Generation kwargs then accept ``adapter_image``
+        (+ ``adapter_scale``)."""
+        def _load(ad):
+            if not isinstance(ad, str):
+                return ad
+            from .weights.diffusers import load_t2i_adapter
+
+            return load_t2i_adapter(ad, self.config)
+
+        adapter = [_load(a) for a in adapter] \
+            if isinstance(adapter, (list, tuple)) else _load(adapter)
+        return self._clone(models=dict(self.models, t2i_adapter=adapter),
+                           reshard=True)
+
     @staticmethod
     def _fill_masked(init_image, mask_image, sigma: float = 8.0):
         """A1111 "masked content: fill": seed the repaint region with a

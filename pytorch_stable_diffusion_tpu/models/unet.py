@@ -352,7 +352,7 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
           t_emb: Optional[jax.Array] = None, fuse_qkv: bool = True,
           quant: str = "none", sp_mesh=None,
           add_cond: Optional[jax.Array] = None, control=None,
-          t_cond: Optional[jax.Array] = None,
+          adapter=None, t_cond: Optional[jax.Array] = None,
           return_cache: bool = False, cache=None, pag: bool = False,
           return_mid_attn: bool = False):
     """latents: (B, h, w, in_ch); context: (B, S, d_context); t: scalar timestep.
@@ -366,6 +366,12 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
     ``control``: ControlNet residuals ``{"down": [one per skip], "mid": r}``
     (models/controlnet.py) — added to the skip connections and the
     bottleneck output, the diffusers ``ControlNetModel`` contract.
+
+    ``adapter``: T2I-Adapter per-level features (models/t2i_adapter.py,
+    one per UNet level, pre-scaled) — each added to the encoder hidden
+    state after the LAST block of its level, before the downsample, so it
+    lands in that skip and the backbone (the diffusers
+    ``down_intrablock_additional_residuals`` contract).
 
     ``pag=True`` runs the PERTURBED branch of Perturbed-Attention Guidance
     (Ahn et al. 2024): the mid-block self-attention layers use an identity
@@ -415,14 +421,26 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
     x = conv.apply(params["conv_in"], latents.astype(policy.compute_dtype),
                    padding=1, policy=policy)
     skips = [x]
+    enc = params["encoder"]
+    if adapter is not None:
+        # last block of each level: the next stage is a downsample (or the
+        # encoder ends) — the adapter-residual insertion sites
+        sites = [i for i, st in enumerate(enc) if "down" not in st
+                 and (i + 1 == len(enc) or "down" in enc[i + 1])]
+        if len(adapter) != len(sites):
+            raise ValueError(f"{len(adapter)} adapter features for "
+                             f"{len(sites)} UNet levels")
+        site_level = {i: lvl for lvl, i in enumerate(sites)}
     if cache is None:
-        for stage in params["encoder"]:
+        for i, stage in enumerate(enc):
             if "down" in stage:
                 # stride-2 symmetric pad=1 (diffusion.py:553 — differs from VAE!)
                 x = conv.apply(stage["down"], x, stride=2, padding=1,
                                policy=policy, quant=quant)
             else:
                 x = block(stage, x)
+                if adapter is not None and i in site_level:
+                    x = x + adapter[site_level[i]].astype(x.dtype)
             skips.append(x)
 
         if control is not None:
@@ -454,8 +472,12 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
         # DeepCache shallow step: only the level-0 encoder blocks (the
         # skips the shallowest decoder level consumes), deep UNet replaced
         # by the cached backbone feature.
-        for stage in params["encoder"][:cfg.num_res_blocks]:
+        for i, stage in enumerate(enc[:cfg.num_res_blocks]):
             x = block(stage, x)
+            if adapter is not None and i in site_level:
+                # level-0 site lies inside the shallow slice, keeping the
+                # DeepCache split exact with an adapter attached
+                x = x + adapter[site_level[i]].astype(x.dtype)
             skips.append(x)
         if control is not None:  # zip stops at the shallow skips
             skips = [s + d.astype(s.dtype)

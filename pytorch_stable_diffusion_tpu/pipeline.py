@@ -48,9 +48,9 @@ from . import prompt_schedule
 from .sampling import (ddim, ddpm, dpm, dpm2, euler, lcm, lms, pndm,
                        restart as restart_mod, unipc)
 
-SAMPLERS = ("ddpm", "ddim", "dpm++", "dpm++_sde", "dpm++_3m_sde", "euler",
-            "euler_a", "heun", "unipc", "lcm", "plms", "lms", "dpm2",
-            "dpm2_a", "restart")
+SAMPLERS = ("ddpm", "ddim", "dpm++", "dpm++_sde", "dpm++_3m_sde",
+            "dpm++_2s_a", "euler", "euler_a", "heun", "unipc", "lcm", "plms",
+            "lms", "dpm2", "dpm2_a", "restart")
 
 # --------------------------------------------------------------- tokenizing
 def _encode_tokens(tokenizer, prompts, max_len: int) -> np.ndarray:
@@ -225,6 +225,7 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                       decode_tile: Optional[int] = None, sp_mesh=None,
                       inpaint: Optional[str] = None,
                       use_control: bool = False,
+                      use_adapter: bool = False,
                       guidance_rescale: float = 0.0,
                       timestep_spacing: str = "uniform",
                       emphasis: bool = False,
@@ -265,6 +266,15 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
     strength in ``noises["control_scale"]`` (traced — no recompile per
     scale).  The hint encoder runs ONCE per generation; per step the side
     network's zero-conv residuals are added to the UNet skips/bottleneck.
+
+    ``use_adapter``: T2I-Adapter conditioning (models/t2i_adapter.py) —
+    ``params["t2i_adapter"]`` holds one adapter pytree or a list, hints
+    ride stacked in ``noises["adapter_hint"]`` ((N, B, H, W, 3) in [0, 1])
+    and scales traced in ``noises["adapter_scale"]`` ((N,)).  The adapter
+    never sees latents/timestep/context, so its per-level features are
+    computed ONCE per generation (multi-adapter features sum — the
+    diffusers MultiAdapter contract) and added inside the UNet encoder
+    every step.
 
     ``emphasis``: A1111 prompt-emphasis weighting — per-token weights ride
     in ``noises["cond_weights"]``/``noises["uncond_weights"]`` ((B, L) or
@@ -312,6 +322,19 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
         ts_np = ddpm.exponential_timesteps(schedule, n_steps)
     elif timestep_spacing == "trailing":
         ts_np = ddpm.trailing_timesteps(n_steps)
+    elif timestep_spacing == "sgm_uniform":
+        ts_np = ddpm.sgm_uniform_timesteps(n_steps)
+    elif timestep_spacing == "kl_optimal":
+        ts_np = ddpm.kl_optimal_timesteps(schedule, n_steps)
+    elif timestep_spacing == "ays":
+        # published table per family: SDXL-class configs (added
+        # conditioning) use the SDXL table, everything else the SD one
+        ts_np = ddpm.ays_timesteps(
+            schedule, n_steps,
+            table=ddpm.AYS_SIGMAS_SDXL if cfg.unet.add_embed_dim
+            else ddpm.AYS_SIGMAS_SD)
+    elif timestep_spacing == "beta":
+        ts_np = ddpm.beta_timesteps(schedule, n_steps)
     elif timestep_spacing == "uniform":
         ts_np = ddpm.inference_timesteps(n_steps)
     else:
@@ -596,6 +619,31 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                     jnp.concatenate([hf, hf], axis=0) if do_cfg else hf)
             ctrl_scale = noises["control_scale"]
 
+        if use_adapter:
+            from .models import t2i_adapter as adapter_mod
+
+            # params["t2i_adapter"] is one pytree or a list; hints ride
+            # stacked (N, B, H, W, 3), scales traced (N,).  Features are a
+            # pure function of the hint — computed ONCE per generation;
+            # multi-adapter features sum (diffusers MultiAdapter).
+            ads = params["t2i_adapter"]
+            ads = ads if isinstance(ads, (list, tuple)) else [ads]
+            adapter_feats = None
+            for ai, ad in enumerate(ads):
+                fs = adapter_mod.apply(ad, noises["adapter_hint"][ai],
+                                       cfg.unet, factor, policy)
+                fs = [f * noises["adapter_scale"][ai].astype(f.dtype)
+                      for f in fs]
+                adapter_feats = fs if adapter_feats is None else \
+                    [a + b for a, b in zip(adapter_feats, fs)]
+            # lane-matched copy for the CFG/AND-stacked main eval; the
+            # PAG/SAG single-lane extra evals use the per-sample features
+            adapter_lanes = [jnp.concatenate([f] * (n_and + 1), axis=0)
+                             for f in adapter_feats] if do_cfg \
+                else adapter_feats
+        else:
+            adapter_lanes = adapter_feats = None
+
         if sp_mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as _P
 
@@ -662,7 +710,8 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                 attention_backend=cfg.attention_backend,
                 reference_quirks=cfg.reference_quirks,
                 fuse_qkv=cfg.fuse_qkv, quant=cfg.quant, sp_mesh=sp_mesh,
-                add_cond=add_c, control=control, t_cond=t_cond)
+                add_cond=add_c, control=control, adapter=adapter_lanes,
+                t_cond=t_cond)
             mid_probs = None
             if deepcache is None:
                 if sag:
@@ -692,6 +741,7 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                 # perturbed eval: conditional lane only (lane 0 of the CFG
                 # stack), identity mid-block self-attention
                 pag_kw = dict(unet_kw)
+                pag_kw["adapter"] = adapter_feats  # single lane (B)
                 if do_cfg:
                     if add_c is not None:
                         pag_kw["add_cond"] = add_c[:batch]
@@ -744,6 +794,7 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                     deg_in = jax.lax.with_sharding_constraint(deg_in, _sp)
                 sag_kw = dict(unet_kw)
                 sag_kw["add_cond"] = base_add
+                sag_kw["adapter"] = adapter_feats  # single lane (B)
                 if control is not None and do_cfg:
                     sag_kw["control"] = {
                         "mid": control["mid"][batch:],
@@ -889,13 +940,15 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                 start_step, n_steps, body,
                 (latents.astype(jnp.float32), lms.init_state(lat_shape),
                  dc0))
-        elif sampler in ("dpm2", "dpm2_a"):
-            # k-diffusion sample_dpm_2[_ancestral]: half step to the
-            # host-quantized log-space midpoint timestep, second eval
-            # there, full step with the midpoint derivative; final step
-            # falls back to Euler (sigma_next = 0) — sampling/dpm2.py
+        elif sampler in ("dpm2", "dpm2_a", "dpm++_2s_a"):
+            # k-diffusion sample_dpm_2[_ancestral] / sample_dpmpp_2s_ancestral:
+            # half step to the host-quantized log-space midpoint timestep,
+            # second eval there, full step with the midpoint prediction
+            # (eps-form for DPM2, x0-form exponential integrator for
+            # DPM++ 2S a); final step falls back to Euler (sigma_next = 0)
+            # — sampling/dpm2.py, sampling/dpm.py
             mid_ts = jnp.asarray(dpm2.mid_timesteps(
-                schedule, ts_np, ancestral=(sampler == "dpm2_a")))
+                schedule, ts_np, ancestral=(sampler != "dpm2")))
 
             def body(step_i, carry):
                 lat, dc = carry
@@ -914,10 +967,14 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                     full2 = euler.step(schedule, t, lat32, eps2, None,
                                        num_inference_steps=n_steps,
                                        prev_t=prev)
-                else:
+                elif sampler == "dpm2_a":
                     full2 = dpm2.step_ancestral_second(
                         schedule, t, lat32, eps2, step_noises[step_i],
                         prev_t=prev)
+                else:  # dpm++_2s_a
+                    full2 = dpm.step_2s_ancestral_second(
+                        schedule, t, lat32, pred_mid, eps2, t_mid,
+                        step_noises[step_i], prev_t=prev)
                 full1 = euler.step(schedule, t, lat32, eps, None,
                                    num_inference_steps=n_steps, prev_t=prev)
                 new_lat = jnp.where(prev < 0, full1, full2)
@@ -1089,6 +1146,8 @@ def _run_generate(
     color_correction: bool = False,
     control_image=None,
     controlnet_scale: float = 1.0,
+    adapter_image=None,
+    adapter_scale: float = 1.0,
     fixed_noise: Optional[Dict[str, np.ndarray]] = None,
     mesh=None,
     progress: bool = False,
@@ -1384,6 +1443,31 @@ def _run_generate(
             raise ValueError(f"{len(scales)} controlnet scales for "
                              f"{n_nets} controlnets")
 
+    use_adapter = adapter_image is not None
+    if use_adapter:
+        if "t2i_adapter" not in models:
+            raise ValueError("adapter_image given but models has no "
+                             "'t2i_adapter' entry (weights/diffusers.py "
+                             "load_t2i_adapter)")
+        ads = models["t2i_adapter"]
+        n_ads = len(ads) if isinstance(ads, (list, tuple)) else 1
+        a_imgs = adapter_image if isinstance(adapter_image, (list, tuple)) \
+            else [adapter_image]
+        if len(a_imgs) != n_ads:
+            raise ValueError(f"{len(a_imgs)} adapter images for {n_ads} "
+                             "t2i adapters")
+        # same hint convention as ControlNet: [0, 1], stacked (N, B, H, W, 3)
+        a_hint = np.stack([
+            np.broadcast_to(
+                rescale(_prepare_image(im, width, height), (-1.0, 1.0),
+                        (0.0, 1.0)),
+                (batch, height, width, 3)) for im in a_imgs])
+        a_scales = adapter_scale if isinstance(
+            adapter_scale, (list, tuple)) else [adapter_scale] * n_ads
+        if len(a_scales) != n_ads:
+            raise ValueError(f"{len(a_scales)} adapter scales for "
+                             f"{n_ads} t2i adapters")
+
     lat_shape = (batch, h_lat, w_lat, cfg.vae.latent_channels)
     use_fixed = fixed_noise is not None
     if use_fixed:
@@ -1408,6 +1492,9 @@ def _run_generate(
     if use_control:
         noises["control_hint"] = jnp.asarray(hint, jnp.float32)
         noises["control_scale"] = jnp.asarray(scales, jnp.float32)
+    if use_adapter:
+        noises["adapter_hint"] = jnp.asarray(a_hint, jnp.float32)
+        noises["adapter_scale"] = jnp.asarray(a_scales, jnp.float32)
     if emphasis:
         noises["cond_weights"] = jnp.asarray(cond_w)
         noises["uncond_weights"] = jnp.asarray(uncond_w)
@@ -1525,7 +1612,7 @@ def _run_generate(
     run = _compiled_txt2img(cfg, n_inference_steps, do_cfg, batch,
                             h_lat, w_lat, img2img, use_fixed, progress,
                             sampler_name, float(ddim_eta), decode_tile,
-                            sp_mesh, inpaint, use_control,
+                            sp_mesh, inpaint, use_control, use_adapter,
                             float(guidance_rescale), timestep_spacing,
                             emphasis, deepcache, n_sched, use_variation,
                             use_pag,

@@ -159,6 +159,76 @@ def exponential_timesteps(schedule: "DDPMSchedule", num_inference_steps: int,
     return _sigmas_to_timesteps(sig_all, sigmas)
 
 
+def sgm_uniform_timesteps(num_inference_steps: int,
+                          num_train_timesteps: int = 1000) -> np.ndarray:
+    """Descending int32 timesteps with k-diffusion's "SGM Uniform" spacing
+    (A1111 1.9 scheduler dropdown): ``linspace(T-1, 0, n+1)`` dropping the
+    final point — uniform in timestep like "uniform" but anchored at the
+    terminal timestep (like "trailing") with an evenly-shifted tail.
+    """
+    ts = np.round(np.linspace(num_train_timesteps - 1, 0.0,
+                              num_inference_steps + 1))[:-1].astype(np.int64)
+    for i in range(1, len(ts)):  # strictness after rounding
+        ts[i] = min(ts[i], ts[i - 1] - 1)
+    return np.clip(ts, 0, None).astype(np.int32)
+
+
+def kl_optimal_timesteps(schedule: "DDPMSchedule",
+                         num_inference_steps: int) -> np.ndarray:
+    """Descending int32 timesteps on the KL-optimal sigma grid (A1111 1.10
+    "KL Optimal"; the AYS paper's analytic SNR-equalizing schedule,
+    arXiv:2404.14507 eq. 33): sigma_i = tan(lerp(atan(s_max), atan(s_min))).
+    """
+    sig_all = sigmas_all(schedule)
+    s_min, s_max = sig_all[0], sig_all[-1]
+    ramp = np.linspace(0.0, 1.0, num_inference_steps)
+    sigmas = np.tan(ramp * np.arctan(s_min) + (1.0 - ramp) * np.arctan(s_max))
+    return _sigmas_to_timesteps(sig_all, sigmas)
+
+
+#: published Align-Your-Steps 10-step sigma tables (Sabour et al. 2024,
+#: research.nvidia.com/labs/toronto-ai/AlignYourSteps) — the A1111 1.9
+#: "Align Your Steps" scheduler resamples these log-linearly to n steps
+AYS_SIGMAS_SD = (14.615, 6.475, 3.861, 2.697, 1.886,
+                 1.396, 0.963, 0.652, 0.399, 0.152)
+AYS_SIGMAS_SDXL = (14.615, 6.315, 3.771, 2.181, 1.342,
+                   0.862, 0.555, 0.380, 0.234, 0.113)
+
+
+def ays_timesteps(schedule: "DDPMSchedule", num_inference_steps: int,
+                  table=AYS_SIGMAS_SD) -> np.ndarray:
+    """Descending int32 timesteps on the Align-Your-Steps grid: the
+    published 10-sigma table for the family, log-linearly resampled to n
+    steps (A1111's ``loglinear_interp``), clipped to the schedule's own
+    sigma range, then nearest-log-sigma quantized like every sigma grid.
+    """
+    t = np.asarray(table, np.float64)
+    if num_inference_steps != len(t):
+        xs = np.linspace(0.0, 1.0, len(t))
+        ys = np.log(t[::-1])
+        new = np.interp(np.linspace(0.0, 1.0, num_inference_steps), xs, ys)
+        t = np.exp(new)[::-1].copy()
+    sig_all = sigmas_all(schedule)
+    sigmas = np.clip(t, sig_all[0], sig_all[-1])
+    return _sigmas_to_timesteps(sig_all, sigmas)
+
+
+def beta_timesteps(schedule: "DDPMSchedule", num_inference_steps: int,
+                   alpha: float = 0.6, beta: float = 0.6) -> np.ndarray:
+    """Descending int32 timesteps with Beta-distribution spacing
+    ("Beta Sampling is All You Need", arXiv:2407.12173; A1111 1.10 "Beta"):
+    sigma_i = s_min + ppf(1 - i/(n-1); alpha, beta) * (s_max - s_min) —
+    steps concentrated at BOTH ends of the sigma range.
+    """
+    from scipy.stats import beta as _beta_dist
+    sig_all = sigmas_all(schedule)
+    s_min, s_max = sig_all[0], sig_all[-1]
+    q = _beta_dist.ppf(1.0 - np.linspace(0.0, 1.0, num_inference_steps),
+                       alpha, beta)
+    sigmas = s_min + q * (s_max - s_min)
+    return _sigmas_to_timesteps(sig_all, sigmas)
+
+
 def _sigmas_to_timesteps(sigmas_all: np.ndarray,
                          sigmas: np.ndarray) -> np.ndarray:
     """Map a descending sigma grid to nearest training timesteps in

@@ -226,3 +226,56 @@ def step_sde(schedule: DDPMSchedule, t, latents, eps, noise, state, *,
         "count": state["count"] + 1,
     }
     return x_next.astype(dt), new_state
+
+
+def step_2s_ancestral_second(schedule: DDPMSchedule, t, latents, pred_mid,
+                             eps_mid, mid_t, noise, *, prev_t):
+    """DPM-Solver++(2S) ancestral full step (k-diffusion
+    ``sample_dpmpp_2s_ancestral``; A1111's "DPM++ 2S a").
+
+    TPU-native extension (the reference supports only DDPM,
+    ``sd/pipeline.py:142-143``).  Single-step second-order solver in
+    x0-prediction space: the caller first integrates to the log-space
+    midpoint between sigma and sigma_down (``euler.step`` with
+    ``prev_t = mid_t`` — algebraically x0 + sigma_mid * eps, identical to
+    k-diffusion's r=1/2 substep) and evaluates the model there; this
+    function then applies the exponential-integrator full step
+
+        X' = (sigma_down / sigma) * X + (1 - sigma_down/sigma) * x0_mid
+
+    (k-diffusion's ``x = (sigma_fn(t_next)/sigma_fn(t)) x - expm1(-h)
+    denoised_2`` with h = log(sigma/sigma_down)) and injects the ancestral
+    sigma_up noise.  The final step (prev_t < 0) is handled by the caller's
+    Euler fallback, matching k-diffusion's ``sigma_down == 0`` branch.
+
+    ``pred_mid``/``eps_mid``: the midpoint latent (DDPM space) and the
+    model's eps prediction there; ``mid_t``: the host-quantized midpoint
+    training timestep (``dpm2.mid_timesteps(..., ancestral=True)`` — the
+    geometric-mean midpoint of sigma and sigma_down, exactly DPM++ 2S's
+    r = 1/2 point).
+    """
+    dt = latents.dtype
+    lat = latents.astype(jnp.float32)
+    a_t = schedule.alphas_cumprod[t]
+    a_next = _alpha_bar_prev(schedule, prev_t)
+    sigma = jnp.sqrt((1.0 - a_t) / a_t)
+    sigma_next = jnp.sqrt((1.0 - a_next) / a_next)
+
+    # k-diffusion get_ancestral_step (eta = 1)
+    var_up = sigma_next**2 * jnp.clip(sigma**2 - sigma_next**2, min=0.0) \
+        / jnp.maximum(sigma**2, 1e-20)
+    sigma_up = jnp.sqrt(var_up)
+    sigma_down = jnp.sqrt(jnp.clip(sigma_next**2 - var_up, min=0.0))
+
+    # midpoint x0 estimate from the second eval
+    a_mid = schedule.alphas_cumprod[mid_t]
+    sigma_mid = jnp.sqrt((1.0 - a_mid) / a_mid)
+    x_mid = pred_mid.astype(jnp.float32) / jnp.sqrt(a_mid)
+    x0_mid = x_mid - sigma_mid * eps_mid.astype(jnp.float32)
+
+    ratio = sigma_down / jnp.maximum(sigma, 1e-20)
+    x_karras = lat / jnp.sqrt(a_t)
+    x_karras = ratio * x_karras + (1.0 - ratio) * x0_mid
+    x_karras = x_karras + jnp.where(prev_t >= 0, sigma_up, 0.0) \
+        * noise.astype(jnp.float32)
+    return (jnp.sqrt(a_next) * x_karras).astype(dt)

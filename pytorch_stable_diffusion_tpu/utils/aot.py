@@ -35,6 +35,7 @@ def export_pipeline(cfg: SDConfig, models, *, n_steps: int = 50, batch: int = 1,
                     decode_tile: Optional[int] = None,
                     inpaint: Optional[str] = None,
                     use_control: bool = False,
+                    use_adapter: bool = False,
                     emphasis: bool = False,
                     guidance_rescale: float = 0.0,
                     timestep_spacing: str = "uniform",
@@ -51,9 +52,10 @@ def export_pipeline(cfg: SDConfig, models, *, n_steps: int = 50, batch: int = 1,
     exports the latent-space variant (hires-fix second pass / refiner
     latent handoff) whose image argument carries ready latents.
 
-    ``inpaint`` ("unet9"/"blend") and ``use_control`` export the inpaint /
-    ControlNet graphs (round 3); their runtime inputs (mask, hint,
-    conditioning scale) ride in the aux dict like the live pipeline's.
+    ``inpaint`` ("unet9"/"blend"), ``use_control`` and ``use_adapter``
+    export the inpaint / ControlNet / T2I-Adapter graphs (round 3); their
+    runtime inputs (mask, hint, conditioning scale) ride in the aux dict
+    like the live pipeline's.
     ``emphasis`` exports the A1111 prompt-weighting graph; per-token
     weight rows (from ``tokenizer.encode_weighted``) ride in the aux dict.
 
@@ -76,6 +78,8 @@ def export_pipeline(cfg: SDConfig, models, *, n_steps: int = 50, batch: int = 1,
         raise ValueError("inpainting needs the pixel img2img path")
     if use_control and "controlnet" not in models:
         raise ValueError("use_control=True needs models['controlnet']")
+    if use_adapter and "t2i_adapter" not in models:
+        raise ValueError("use_adapter=True needs models['t2i_adapter']")
     h_lat, w_lat = height // f, width // f
     if hypernetwork is not None and "hypernetwork" not in models:
         raise ValueError("hypernetwork metadata given but models has no "
@@ -83,6 +87,7 @@ def export_pipeline(cfg: SDConfig, models, *, n_steps: int = 50, batch: int = 1,
     run = _compiled_txt2img(cfg, n_steps, do_cfg, batch, h_lat, w_lat,
                             img2img, False, False, sampler, float(ddim_eta),
                             decode_tile, None, inpaint, use_control,
+                            use_adapter,
                             float(guidance_rescale), timestep_spacing,
                             emphasis, variation=variation, pag=pag,
                             hyper=hypernetwork, sag=sag)
@@ -96,6 +101,12 @@ def export_pipeline(cfg: SDConfig, models, *, n_steps: int = 50, batch: int = 1,
         aux["control_hint"] = jnp.zeros((n_nets, batch, height, width, 3),
                                         jnp.float32)
         aux["control_scale"] = jnp.ones((n_nets,), jnp.float32)
+    if use_adapter:
+        ads = models["t2i_adapter"]
+        n_ads = len(ads) if isinstance(ads, (list, tuple)) else 1
+        aux["adapter_hint"] = jnp.zeros((n_ads, batch, height, width, 3),
+                                        jnp.float32)
+        aux["adapter_scale"] = jnp.ones((n_ads,), jnp.float32)
     if emphasis:
         aux["cond_weights"] = jnp.ones((batch, cfg.clip.max_len), jnp.float32)
         aux["uncond_weights"] = jnp.ones((batch, cfg.clip.max_len),
@@ -163,7 +174,8 @@ class LoadedPipeline:
 
     def __call__(self, models, cond_tokens, uncond_tokens, key, cfg_scale,
                  start_step=0, input_image=None, mask=None, control_hint=None,
-                 control_scale=1.0, cond_weights=None, uncond_weights=None,
+                 control_scale=1.0, adapter_hint=None, adapter_scale=1.0,
+                 cond_weights=None, uncond_weights=None,
                  pag_scale=1.0, sag_scale=1.0, variation_seed=0,
                  variation_strength=0.0, hypernetwork_strength=1.0):
         """``input_image``: (batch, H, W, 3) float32 in [-1, 1] for an
@@ -194,6 +206,13 @@ class LoadedPipeline:
                 .reshape(shapes["control_hint"])
             aux["control_scale"] = jnp.atleast_1d(
                 jnp.asarray(control_scale, jnp.float32))
+        if "adapter_hint" in shapes:
+            if adapter_hint is None:
+                raise ValueError("this artifact needs adapter_hint")
+            aux["adapter_hint"] = jnp.asarray(adapter_hint, jnp.float32) \
+                .reshape(shapes["adapter_hint"])
+            aux["adapter_scale"] = jnp.atleast_1d(
+                jnp.asarray(adapter_scale, jnp.float32))
         if "cond_weights" in shapes:
             ws = shapes["cond_weights"]
             aux["cond_weights"] = jnp.ones(ws, jnp.float32) \

@@ -424,3 +424,80 @@ def load_diffusers_controlnet(root: str, cfg: SDConfig, dtype=None):
         if os.path.exists(p):
             return convert_controlnet_diffusers(load_state_dict(p), cfg, dtype)
     raise FileNotFoundError(f"no controlnet weight file under {root}")
+
+
+# ------------------------------------------------------------- T2I-Adapter
+def t2i_adapter_rules(cfg: SDConfig, num_res_blocks: int = 2) -> List[Rule]:
+    """Diffusers ``T2IAdapter`` (full_adapter) <-> models/t2i_adapter.py.
+
+    State-dict layout (diffusers ``FullAdapter``): ``adapter.conv_in``,
+    per level ``adapter.body.{i}.in_conv`` (only on channel change) and
+    ``adapter.body.{i}.resnets.{j}.block1/block2``.  Rules are written
+    without the ``adapter.`` prefix; the converter normalizes it away."""
+    u = cfg.unet
+    rules: List[Rule] = []
+    _conv(rules, "conv_in", "conv_in")
+    c_prev = u.level_channels[0]
+    for i, c in enumerate(u.level_channels):
+        if c_prev != c:
+            _conv(rules, f"body.{i}.in_conv", f"body/{i}/in_conv")
+        for j in range(num_res_blocks):
+            _conv(rules, f"body.{i}.resnets.{j}.block1",
+                  f"body/{i}/resnets/{j}/block1")
+            _conv(rules, f"body.{i}.resnets.{j}.block2",
+                  f"body/{i}/resnets/{j}/block2")
+        c_prev = c
+    return rules
+
+
+def convert_t2i_adapter_diffusers(sd: Dict[str, np.ndarray], cfg: SDConfig,
+                                  dtype=None, num_res_blocks: int = 2):
+    """Diffusers T2IAdapter state dict -> adapter pytree, exact coverage.
+
+    Accepts keys with or without the ``adapter.`` module prefix (standalone
+    ``T2IAdapter.save_pretrained`` files carry it)."""
+    if any(k.startswith("adapter.") for k in sd):
+        sd = {k[len("adapter."):] if k.startswith("adapter.") else k: v
+              for k, v in sd.items()}
+    dtype = dtype or cfg.policy.param_dtype
+    tree, used = _convert_one(
+        sd, lambda c: t2i_adapter_rules(c, num_res_blocks), cfg, dtype,
+        "t2i_adapter")
+    leftover = [k for k in sd if k not in used]
+    if leftover:
+        raise KeyError(f"[t2i_adapter] {len(leftover)} unconsumed diffusers "
+                       f"keys (first 10): {sorted(leftover)[:10]}")
+    return tree
+
+
+def deconvert_t2i_adapter_diffusers(params, cfg: SDConfig,
+                                    num_res_blocks: int = 2
+                                    ) -> Dict[str, np.ndarray]:
+    from ..core.pytree import flatten
+
+    flat = flatten(params)
+    sd: Dict[str, np.ndarray] = {}
+    for src_key, dst_path, kind in t2i_adapter_rules(cfg, num_res_blocks):
+        sd[f"adapter.{src_key}"] = _INV[kind](np.asarray(flat[dst_path]))
+    return sd
+
+
+def load_t2i_adapter(path: str, cfg: SDConfig, dtype=None,
+                     num_res_blocks: int = 2):
+    """Load a diffusers T2IAdapter — a ``save_pretrained`` directory
+    (``diffusion_pytorch_model.safetensors``) or a single weight file."""
+    import os
+
+    from .convert import load_state_dict
+
+    if os.path.isdir(path):
+        for n in ["diffusion_pytorch_model.safetensors",
+                  "diffusion_pytorch_model.bin"]:
+            p = os.path.join(path, n)
+            if os.path.exists(p):
+                path = p
+                break
+        else:
+            raise FileNotFoundError(f"no t2i-adapter weight file under {path}")
+    return convert_t2i_adapter_diffusers(load_state_dict(path), cfg, dtype,
+                                         num_res_blocks)

@@ -376,3 +376,35 @@ def test_export_spacing_rescale_variant(tiny_cfg, tiny_models,
                         height=H, width=W, sampler_name="dpm++",
                         timestep_spacing="karras", guidance_rescale=0.7)
     np.testing.assert_array_equal(images[0], live)
+
+
+def test_export_t2i_adapter_roundtrip(tiny_cfg, tiny_models, tiny_tokenizer):
+    """T2I-Adapter exports: stacked hint + traced scale ride the aux dict
+    and the artifact bit-matches the live pipeline."""
+    from pytorch_stable_diffusion_tpu.models import t2i_adapter
+
+    ad = t2i_adapter.init(jax.random.PRNGKey(7), tiny_cfg.unet,
+                          downsample_factor=tiny_cfg.vae.downsample_factor)
+    models = dict(tiny_models, t2i_adapter=ad)
+
+    blob = aot.export_pipeline(tiny_cfg, models, n_steps=N_STEPS,
+                               height=H, width=W, use_adapter=True)
+    loaded = aot.load_pipeline(blob)
+    assert {"adapter_hint", "adapter_scale"} <= set(loaded.aux_keys)
+
+    rng = np.random.RandomState(9)
+    hint_u8 = rng.randint(0, 256, size=(H, W, 3)).astype(np.float32)
+
+    import pytorch_stable_diffusion_tpu as sdt
+
+    live = sdt.generate("a cat", "", models=models, tokenizer=tiny_tokenizer,
+                        seed=5, n_inference_steps=N_STEPS, config=tiny_cfg,
+                        height=H, width=W, adapter_image=hint_u8,
+                        adapter_scale=0.7)
+
+    toks = np.asarray([tiny_tokenizer.encode("a cat")], np.int32)
+    un = np.asarray([tiny_tokenizer.encode("")], np.int32)
+    images, _ = loaded(models, toks, un, jax.random.PRNGKey(5), 7.5,
+                       adapter_hint=(hint_u8 / 255.0)[None],
+                       adapter_scale=0.7)
+    np.testing.assert_array_equal(images[0], live)

@@ -121,7 +121,7 @@ def test_dpm2a_final_step_is_noiseless():
 
 
 # -------------------------------------------------------------- pipeline
-@pytest.mark.parametrize("name", ["lms", "dpm2", "dpm2_a"])
+@pytest.mark.parametrize("name", ["lms", "dpm2", "dpm2_a", "dpm++_2s_a"])
 def test_pipeline_new_samplers(tiny_models, tiny_tokenizer, tiny_cfg, name):
     kw = dict(models=tiny_models, tokenizer=tiny_tokenizer, config=tiny_cfg,
               n_inference_steps=N_STEPS, height=H, width=W, seed=0)
@@ -141,3 +141,89 @@ def test_pipeline_new_samplers_karras_img2img(tiny_models, tiny_tokenizer,
                        timestep_spacing="karras", input_image=init,
                        strength=0.8)
     assert img.shape == (H, W, 3)
+
+
+# --------------------------------------------------------- DPM++ 2S a
+def test_dpm2sa_constant_eps_equals_dpm2a():
+    """With a constant-eps model the midpoint x0 estimate equals the
+    initial one, so the x0-form exponential step coincides with DPM2-a's
+    eps-form step: X' = x0 + sigma_down * eps for both."""
+    schedule = ddpm.make_schedule()
+    ts = ddpm.inference_timesteps(6)
+    prevs = np.append(ts[1:], -1).astype(np.int32)
+    mid = dpm2.mid_timesteps(schedule, ts, ancestral=True)
+    rs = np.random.RandomState(3)
+    x = jnp.asarray(rs.randn(1, 4, 4, 4), jnp.float32)
+    eps = jnp.asarray(rs.randn(1, 4, 4, 4), jnp.float32)
+    noise = jnp.asarray(rs.randn(1, 4, 4, 4), jnp.float32)
+    from pytorch_stable_diffusion_tpu.sampling import dpm
+    for i in range(5):  # final step is the caller's Euler fallback
+        t, p, m = int(ts[i]), int(prevs[i]), int(mid[i])
+        pred_mid = euler.step(schedule, t, x, eps, None,
+                              num_inference_steps=6, prev_t=m)
+        got = dpm.step_2s_ancestral_second(schedule, t, x, pred_mid, eps,
+                                           m, noise, prev_t=p)
+        want = dpm2.step_ancestral_second(schedule, t, x, eps, noise,
+                                          prev_t=p)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-5)
+        x = got
+
+
+def test_dpm2sa_constant_x0_contracts_exactly():
+    """For a model whose x0 prediction is a constant C, the noiseless step
+    satisfies X' - C = (sigma_down/sigma) (X - C) in Karras space."""
+    schedule = ddpm.make_schedule()
+    ts = ddpm.inference_timesteps(8)
+    mid = dpm2.mid_timesteps(schedule, ts, ancestral=True)
+    from pytorch_stable_diffusion_tpu.sampling import dpm
+    from pytorch_stable_diffusion_tpu.sampling.ddpm import _alpha_bar_prev
+    rs = np.random.RandomState(4)
+    C = jnp.asarray(rs.randn(1, 4, 4, 4), jnp.float32)
+    x = jnp.asarray(rs.randn(1, 4, 4, 4), jnp.float32)
+
+    def eps_of(lat, t):  # eps consistent with x0 == C
+        a = float(schedule.alphas_cumprod[t])
+        return (lat - np.sqrt(a) * C) / np.sqrt(1.0 - a)
+
+    t, p, m = int(ts[2]), int(ts[3]), int(mid[2])
+    eps = eps_of(x, t)
+    pred_mid = euler.step(schedule, t, x, eps, None, num_inference_steps=8,
+                          prev_t=m)
+    got = dpm.step_2s_ancestral_second(schedule, t, x, pred_mid,
+                                       eps_of(pred_mid, m), m,
+                                       jnp.zeros_like(x), prev_t=p)
+    a_t = float(schedule.alphas_cumprod[t])
+    a_n = float(_alpha_bar_prev(schedule, p))
+    sig = np.sqrt((1 - a_t) / a_t)
+    sig_n = np.sqrt((1 - a_n) / a_n)
+    var_up = sig_n**2 * (sig**2 - sig_n**2) / sig**2
+    sig_down = np.sqrt(sig_n**2 - var_up)
+    X = np.asarray(x) / np.sqrt(a_t)
+    want = np.sqrt(a_n) * (np.asarray(C) + (sig_down / sig)
+                           * (X - np.asarray(C)))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+
+
+def test_dpm2sa_final_step_is_x0_and_noiseless():
+    """prev_t < 0: sigma_down = sigma_up = 0, so the step returns the
+    midpoint x0 estimate exactly and ignores the noise."""
+    schedule = ddpm.make_schedule()
+    from pytorch_stable_diffusion_tpu.sampling import dpm
+    rs = np.random.RandomState(5)
+    x = jnp.asarray(rs.randn(1, 4, 4, 4), jnp.float32)
+    eps = jnp.asarray(rs.randn(1, 4, 4, 4), jnp.float32)
+    n1 = jnp.asarray(rs.randn(1, 4, 4, 4), jnp.float32)
+    m = 5
+    pred_mid = euler.step(schedule, 10, x, eps, None,
+                          num_inference_steps=6, prev_t=m)
+    a = dpm.step_2s_ancestral_second(schedule, 10, x, pred_mid, eps, m, n1,
+                                     prev_t=jnp.int32(-1))
+    b = dpm.step_2s_ancestral_second(schedule, 10, x, pred_mid, eps, m,
+                                     jnp.zeros_like(n1),
+                                     prev_t=jnp.int32(-1))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    a_m = float(schedule.alphas_cumprod[m])
+    sig_m = np.sqrt((1 - a_m) / a_m)
+    x0_mid = np.asarray(pred_mid) / np.sqrt(a_m) - sig_m * np.asarray(eps)
+    np.testing.assert_allclose(np.asarray(a), x0_mid, rtol=2e-4, atol=2e-5)
