@@ -83,6 +83,37 @@ def encoder_plan(cfg: UNetConfig) -> List[dict]:
     return stages
 
 
+def adapter_sites(cfg: UNetConfig, n_feats: int):
+    """T2I-Adapter insertion plan over the encoder stage list (the
+    diffusers ``down_intrablock_additional_residuals`` contract).
+
+    Returns ``(pre, post, mid)``: ``pre`` maps encoder-stage index ->
+    feature index for levels WITH attention (added after the level's last
+    res/attn block, BEFORE its skip is recorded — diffusers adds inside
+    ``CrossAttnDownBlock2D`` before ``output_states`` collects the hidden
+    state); ``post`` for levels WITHOUT attention (added to the backbone
+    only, AFTER the level's final stage — its downsample, or its last
+    block at the bottom level — matching diffusers' ``sample += ...``
+    after a plain ``DownBlock2D`` whose ``res_samples`` were already
+    collected); ``mid`` is the feature index added after the bottleneck
+    (SDXL ``full_adapter_xl``'s n_levels+1-th feature) or None."""
+    n_levels = len(cfg.ch_mults)
+    if n_feats not in (n_levels, n_levels + 1):
+        raise ValueError(f"{n_feats} adapter features for a {n_levels}-level"
+                         f" UNet (expected {n_levels} or {n_levels + 1})")
+    pre, post = {}, {}
+    idx = 0
+    for lvl in range(n_levels):
+        last_block = idx + cfg.num_res_blocks - 1
+        has_down = lvl < n_levels - 1
+        if cfg.attn_levels[lvl]:
+            pre[last_block] = lvl
+        else:
+            post[last_block + 1 if has_down else last_block] = lvl
+        idx = last_block + (2 if has_down else 1)
+    return pre, post, (n_levels if n_feats == n_levels + 1 else None)
+
+
 def decoder_plan(cfg: UNetConfig) -> List[dict]:
     """Stage descriptors mirroring diffusion.py:586-626, derived from the
     encoder skip stack rather than hard-coded channel lists."""
@@ -367,11 +398,11 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
     (models/controlnet.py) — added to the skip connections and the
     bottleneck output, the diffusers ``ControlNetModel`` contract.
 
-    ``adapter``: T2I-Adapter per-level features (models/t2i_adapter.py,
-    one per UNet level, pre-scaled) — each added to the encoder hidden
-    state after the LAST block of its level, before the downsample, so it
-    lands in that skip and the backbone (the diffusers
-    ``down_intrablock_additional_residuals`` contract).
+    ``adapter``: T2I-Adapter features (models/t2i_adapter.py, pre-scaled;
+    n_levels of them, or n_levels+1 for SDXL's full_adapter_xl whose last
+    feature lands after the bottleneck) — inserted per the diffusers
+    ``down_intrablock_additional_residuals`` contract, see
+    :func:`adapter_sites`.
 
     ``pag=True`` runs the PERTURBED branch of Perturbed-Attention Guidance
     (Ahn et al. 2024): the mid-block self-attention layers use an identity
@@ -423,14 +454,7 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
     skips = [x]
     enc = params["encoder"]
     if adapter is not None:
-        # last block of each level: the next stage is a downsample (or the
-        # encoder ends) — the adapter-residual insertion sites
-        sites = [i for i, st in enumerate(enc) if "down" not in st
-                 and (i + 1 == len(enc) or "down" in enc[i + 1])]
-        if len(adapter) != len(sites):
-            raise ValueError(f"{len(adapter)} adapter features for "
-                             f"{len(sites)} UNet levels")
-        site_level = {i: lvl for lvl, i in enumerate(sites)}
+        ad_pre, ad_post, ad_mid = adapter_sites(cfg, len(adapter))
     if cache is None:
         for i, stage in enumerate(enc):
             if "down" in stage:
@@ -439,9 +463,12 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
                                policy=policy, quant=quant)
             else:
                 x = block(stage, x)
-                if adapter is not None and i in site_level:
-                    x = x + adapter[site_level[i]].astype(x.dtype)
+                if adapter is not None and i in ad_pre:
+                    x = x + adapter[ad_pre[i]].astype(x.dtype)
             skips.append(x)
+            if adapter is not None and i in ad_post:
+                # backbone-only (the recorded skip excludes the residual)
+                x = x + adapter[ad_post[i]].astype(x.dtype)
 
         if control is not None:
             skips = [s + d.astype(s.dtype)
@@ -465,19 +492,23 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
                                  sp_mesh=sp_mesh, pag_self_attn=pag)
         x = apply_res_block(mid["res2"], x, t_emb, cfg.groups, policy,
                             backend=attention_backend, quant=quant)
+        if adapter is not None and ad_mid is not None:
+            # full_adapter_xl's extra feature, before the ControlNet mid
+            # residual (the diffusers forward order)
+            x = x + adapter[ad_mid].astype(x.dtype)
         if control is not None:
             x = x + control["mid"].astype(x.dtype)
         dec_stages = list(enumerate(params["decoder"]))
     else:
         # DeepCache shallow step: only the level-0 encoder blocks (the
         # skips the shallowest decoder level consumes), deep UNet replaced
-        # by the cached backbone feature.
+        # by the cached backbone feature.  Only a level-0 PRE site can fall
+        # inside this slice (post sites land on the downsample — part of
+        # the cached deep region), keeping the split exact.
         for i, stage in enumerate(enc[:cfg.num_res_blocks]):
             x = block(stage, x)
-            if adapter is not None and i in site_level:
-                # level-0 site lies inside the shallow slice, keeping the
-                # DeepCache split exact with an adapter attached
-                x = x + adapter[site_level[i]].astype(x.dtype)
+            if adapter is not None and i in ad_pre:
+                x = x + adapter[ad_pre[i]].astype(x.dtype)
             skips.append(x)
         if control is not None:  # zip stops at the shallow skips
             skips = [s + d.astype(s.dtype)

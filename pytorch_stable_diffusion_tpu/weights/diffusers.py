@@ -427,18 +427,23 @@ def load_diffusers_controlnet(root: str, cfg: SDConfig, dtype=None):
 
 
 # ------------------------------------------------------------- T2I-Adapter
-def t2i_adapter_rules(cfg: SDConfig, num_res_blocks: int = 2) -> List[Rule]:
-    """Diffusers ``T2IAdapter`` (full_adapter) <-> models/t2i_adapter.py.
+def t2i_adapter_rules(cfg: SDConfig, num_res_blocks: int = 2,
+                      xl: bool = None) -> List[Rule]:
+    """Diffusers ``T2IAdapter`` (full_adapter / full_adapter_xl — picked by
+    family, models/t2i_adapter.py ``adapter_layout``) <->
+    models/t2i_adapter.py.
 
-    State-dict layout (diffusers ``FullAdapter``): ``adapter.conv_in``,
-    per level ``adapter.body.{i}.in_conv`` (only on channel change) and
+    State-dict layout (diffusers ``FullAdapter[XL]``): ``adapter.conv_in``,
+    per block ``adapter.body.{i}.in_conv`` (only on channel change) and
     ``adapter.body.{i}.resnets.{j}.block1/block2``.  Rules are written
     without the ``adapter.`` prefix; the converter normalizes it away."""
-    u = cfg.unet
+    from ..models.t2i_adapter import adapter_layout
+
+    channels, _, _ = adapter_layout(cfg.unet, cfg.vae.downsample_factor, xl)
     rules: List[Rule] = []
     _conv(rules, "conv_in", "conv_in")
-    c_prev = u.level_channels[0]
-    for i, c in enumerate(u.level_channels):
+    c_prev = channels[0]
+    for i, c in enumerate(channels):
         if c_prev != c:
             _conv(rules, f"body.{i}.in_conv", f"body/{i}/in_conv")
         for j in range(num_res_blocks):

@@ -63,17 +63,20 @@ def test_apply_feature_shapes(tiny_cfg, adapter_params):
         assert ft.shape == (1, H // f // 2**i, W // f // 2**i, c)
 
 
-def _torch_full_adapter(sd_t, hint_nchw, channels, factor, nrb):
+def _torch_full_adapter(sd_t, hint_nchw, channels, factor, nrb, pools=None):
     """The published full adapter, straight from the paper/diffusers
-    description: unshuffle -> conv_in 3x3 -> per level (avgpool at i>0,
-    1x1 in_conv on channel change, nrb x (3x3 -> relu -> 1x1, residual))."""
+    description: unshuffle -> conv_in 3x3 -> per block (avgpool per
+    ``pools`` — default the SD layout's i>0 — 1x1 in_conv on channel
+    change, nrb x (3x3 -> relu -> 1x1, residual))."""
     F = torch.nn.functional
+    if pools is None:
+        pools = [i > 0 for i in range(len(channels))]
     x = F.pixel_unshuffle(hint_nchw, factor)
     x = F.conv2d(x, sd_t["adapter.conv_in.weight"],
                  sd_t["adapter.conv_in.bias"], padding=1)
     feats = []
     for i in range(len(channels)):
-        if i > 0:
+        if pools[i]:
             x = F.avg_pool2d(x, 2)
         k = f"adapter.body.{i}.in_conv.weight"
         if k in sd_t:
@@ -211,3 +214,158 @@ def test_api_with_t2i_adapter(tiny_cfg, tiny_models, tiny_tokenizer,
     img = sd2.txt2img("a cat", seed=1, n_inference_steps=N_STEPS, height=H,
                       width=W, adapter_image=hint_image)
     assert img.shape == (H, W, 3)
+
+
+# ------------------------------------------------- SDXL (full_adapter_xl)
+@pytest.fixture(scope="module")
+def xl_cfg():
+    from tests.test_sdxl import tiny_sdxl_config
+
+    return tiny_sdxl_config()
+
+
+@pytest.fixture(scope="module")
+def xl_models(xl_cfg):
+    from pytorch_stable_diffusion_tpu.models import clip, unet, vae
+
+    key = jax.random.PRNGKey(7)
+    return {
+        "clip": clip.init(jax.random.fold_in(key, 0), xl_cfg.clip),
+        "clip2": clip.init(jax.random.fold_in(key, 4), xl_cfg.clip2),
+        "encoder": vae.init_encoder(jax.random.fold_in(key, 1), xl_cfg.vae),
+        "decoder": vae.init_decoder(jax.random.fold_in(key, 2), xl_cfg.vae),
+        "diffusion": unet.init(jax.random.fold_in(key, 3), xl_cfg.unet),
+    }
+
+
+@pytest.fixture(scope="module")
+def xl_adapter(xl_cfg):
+    return t2i_adapter.init(jax.random.PRNGKey(11), xl_cfg.unet,
+                            downsample_factor=xl_cfg.vae.downsample_factor)
+
+
+def test_adapter_layout_published_shapes():
+    """full_adapter_xl at the REAL configs: n_levels+1 blocks, channels
+    (320, 640, 1280, 1280), one pool before block 2, unshuffle 16 — the
+    TencentARC t2iadapter_*_sdxl_1.0 layout; SD-1.5 keeps the per-level
+    full_adapter."""
+    from pytorch_stable_diffusion_tpu.models.config import (sd15_config,
+                                                            sdxl_config)
+
+    sd, xl = sd15_config(), sdxl_config()
+    ch, pools, f = t2i_adapter.adapter_layout(sd.unet,
+                                              sd.vae.downsample_factor)
+    assert ch == (320, 640, 1280, 1280)
+    assert pools == (False, True, True, True) and f == 8
+    ch, pools, f = t2i_adapter.adapter_layout(xl.unet,
+                                              xl.vae.downsample_factor)
+    assert ch == (320, 640, 1280, 1280)
+    assert pools == (False, False, True, False) and f == 16
+
+
+def test_adapter_sites_plans():
+    """Insertion plans at the real configs (the diffusers consumption
+    order): SD-1.5's no-attention bottom level is backbone-only after its
+    last block; SDXL's no-attention level 0 is backbone-only after its
+    downsample and the extra feature lands on the bottleneck."""
+    from pytorch_stable_diffusion_tpu.models import unet
+    from pytorch_stable_diffusion_tpu.models.config import (sd15_config,
+                                                            sdxl_config)
+
+    pre, post, mid = unet.adapter_sites(sd15_config().unet, 4)
+    assert pre == {1: 0, 4: 1, 7: 2} and post == {10: 3} and mid is None
+    pre, post, mid = unet.adapter_sites(sdxl_config().unet, 4)
+    assert pre == {4: 1, 7: 2} and post == {2: 0} and mid == 3
+    with pytest.raises(ValueError, match="adapter features"):
+        unet.adapter_sites(sdxl_config().unet, 2)
+
+
+def test_xl_feature_shapes(xl_cfg, xl_adapter):
+    """XL chain starts at latent/2 (unshuffle 2f) and the tiny 2-level
+    config needs no pool at all: every feature at latent/2."""
+    f2 = xl_cfg.vae.downsample_factor * 2
+    hint = jnp.zeros((1, H, W, 3), jnp.float32)
+    feats = t2i_adapter.apply(xl_adapter, hint, xl_cfg.unet,
+                              xl_cfg.vae.downsample_factor)
+    lc = xl_cfg.unet.level_channels
+    assert len(feats) == len(lc) + 1
+    for ft, c in zip(feats, (*lc, lc[-1])):
+        assert ft.shape == (1, H // f2, W // f2, c)
+
+
+def test_xl_matches_torch_oracle(xl_cfg, xl_adapter, hint_image):
+    ch, pools, factor = t2i_adapter.adapter_layout(
+        xl_cfg.unet, xl_cfg.vae.downsample_factor)
+    sd = dz.deconvert_t2i_adapter_diffusers(xl_adapter, xl_cfg)
+    sd_t = {k: torch.from_numpy(np.ascontiguousarray(v))
+            for k, v in sd.items()}
+    hint = hint_image[None] / 255.0
+    want = _torch_full_adapter(
+        sd_t, torch.from_numpy(hint).permute(0, 3, 1, 2), ch, factor, 2,
+        pools)
+    got = t2i_adapter.apply(xl_adapter, jnp.asarray(hint), xl_cfg.unet,
+                            xl_cfg.vae.downsample_factor)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g),
+                                   w.permute(0, 2, 3, 1).numpy(),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_xl_converter_round_trip(xl_cfg, xl_adapter):
+    sd = dz.deconvert_t2i_adapter_diffusers(xl_adapter, xl_cfg)
+    # tiny XL channels (16, 32, 32): the only in_conv sits at block 1
+    assert "adapter.body.1.in_conv.weight" in sd
+    assert "adapter.body.2.in_conv.weight" not in sd
+    back = dz.convert_t2i_adapter_diffusers(sd, xl_cfg)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        xl_adapter, back)
+
+
+def test_xl_mid_feature_consumed(xl_cfg, xl_models):
+    """All-zero features are a bitwise no-op; making ONLY the extra
+    (bottleneck) feature non-zero changes the output — proving the
+    n_levels+1-th feature is consumed at the mid block."""
+    from pytorch_stable_diffusion_tpu.models import unet
+
+    u = xl_cfg.unet
+    rs = np.random.RandomState(0)
+    lat = jnp.asarray(rs.randn(1, 8, 8, u.in_channels), jnp.float32)
+    ctx = jnp.asarray(rs.randn(1, 16, u.d_context), jnp.float32)
+    add = jnp.asarray(rs.randn(1, u.add_embed_dim), jnp.float32)
+    lc = u.level_channels
+    zero_feats = [jnp.zeros((1, 4, 4, c), jnp.float32)
+                  for c in (*lc, lc[-1])]
+    base = unet.apply(xl_models["diffusion"], lat, ctx, 10, u, add_cond=add)
+    same = unet.apply(xl_models["diffusion"], lat, ctx, 10, u, add_cond=add,
+                      adapter=zero_feats)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(same))
+    mid_only = list(zero_feats)
+    mid_only[-1] = jnp.asarray(rs.randn(1, 4, 4, lc[-1]), jnp.float32)
+    diff = unet.apply(xl_models["diffusion"], lat, ctx, 10, u, add_cond=add,
+                      adapter=mid_only)
+    assert np.abs(np.asarray(diff) - np.asarray(base)).max() > 1e-6
+
+
+def test_xl_pipeline_end_to_end(xl_cfg, xl_models, tiny_tokenizer,
+                                xl_adapter, hint_image):
+    models = dict(xl_models, t2i_adapter=xl_adapter)
+    kw = dict(models=models, tokenizer=tiny_tokenizer, config=xl_cfg,
+              n_inference_steps=N_STEPS, height=H, width=W, seed=0,
+              return_latents=True)
+    _, base = sdt.generate("a cat", "", **dict(kw, models=xl_models))
+    _, noop = sdt.generate("a cat", "", adapter_image=hint_image,
+                           adapter_scale=0.0, **kw)
+    # scale 0 bitwise gates the HINT (same graph)...
+    _, noop_b = sdt.generate("a cat", "",
+                             adapter_image=255.0 - hint_image,
+                             adapter_scale=0.0, **kw)
+    np.testing.assert_array_equal(np.asarray(noop), np.asarray(noop_b))
+    # ...and matches the adapter-free graph up to XLA fusion-order noise
+    # (the extra zero-adds shift fusion boundaries -> reduction order in
+    # the norms; ~1e-6 relative on CPU)
+    np.testing.assert_allclose(np.asarray(noop), np.asarray(base),
+                               rtol=1e-4, atol=1e-4)
+    _, on = sdt.generate("a cat", "", adapter_image=hint_image, **kw)
+    assert np.abs(np.asarray(on) - np.asarray(base)).max() > 1e-3
