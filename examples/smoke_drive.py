@@ -99,6 +99,16 @@ _hint = np.random.RandomState(3).randint(0, 256, (16, 16, 3)).astype(
 img_ad = sd.with_t2i_adapter(_ad).txt2img(
     "a cat", seed=1, n_inference_steps=2, height=16, width=16,
     adapter_image=_hint)
+# InstructPix2Pix (8-channel UNet, dual text/image guidance)
+import dataclasses as _dc
+from pytorch_stable_diffusion_tpu.models import unet as _unet_mod
+_ip_cfg = _dc.replace(cfg, unet=_dc.replace(cfg.unet, in_channels=8))
+_ip_models = dict(models, diffusion=_unet_mod.init(_jax.random.PRNGKey(8),
+                                                   _ip_cfg.unet))
+img_ip = sdt.StableDiffusion(_ip_models, tok, _ip_cfg).edit(
+    "a cat", _hint, image_guidance_scale=1.2, seed=1,
+    n_inference_steps=2, height=16, width=16)
+print("instruct-pix2pix edit:", img_ip.shape, flush=True)
 print("t2i-adapter txt2img:", img_ad.shape, "differs:",
       bool((img_ad != img).any()), flush=True)
 img_sag = sd.txt2img("a cat", seed=1, n_inference_steps=2, height=16,

@@ -20,6 +20,7 @@ Quick start::
 from .api import StableDiffusion
 from .models.config import (CLIPConfig, SDConfig, UNetConfig, VAEConfig,
                             sd15_config, sd15_inpaint_config,
+                            sd15_ip2p_config,
                             sd15_lcm_config, sd2_inpaint_config,
                             sd21_config, sdxl_config, sdxl_lcm_config,
                             sdxl_refiner_config, tiny_sd_config,
@@ -39,7 +40,8 @@ __all__ = [
     "generate", "generate_images", "generate_many", "load_models",
     "load_diffusers_models", "load_models_streamed", "CLIPTokenizer",
     "SDConfig", "CLIPConfig", "UNetConfig", "VAEConfig",
-    "sd15_config", "sd15_inpaint_config", "sd15_lcm_config",
+    "sd15_config", "sd15_inpaint_config", "sd15_ip2p_config",
+    "sd15_lcm_config",
     "sd2_inpaint_config", "sd21_config", "sdxl_config",
     "sdxl_lcm_config", "sdxl_refiner_config",
     "tiny_sd_config", "with_clip_skip", "with_freeu", "Policy", "FP32",

@@ -37,6 +37,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--uncond-prompt", default="")
     p.add_argument("--image", default=None,
                    help="init image file for img2img")
+    p.add_argument("--edit-image", default=None,
+                   help="InstructPix2Pix edit image (needs an 8-channel "
+                        "ip2p checkpoint, --config-preset sd15_ip2p); the "
+                        "prompt is the edit instruction")
+    p.add_argument("--image-guidance", type=float, default=1.5,
+                   help="InstructPix2Pix image guidance scale s_I "
+                        "(faithfulness to the edit image)")
     p.add_argument("--inpaint-full-res", action="store_true",
                    help="A1111 'inpaint at full resolution': crop the mask "
                         "region, inpaint at full processing res, paste back")
@@ -163,9 +170,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sd2", action="store_true",
                    help="SD-2.x architecture (sd21_config)")
     p.add_argument("--config-preset", default=None,
-                   choices=["sd15", "sd15_inpaint", "sd15_lcm", "sd21",
-                            "sd2_inpaint", "sdxl", "sdxl_lcm",
-                            "sdxl_refiner", "tiny"],
+                   choices=["sd15", "sd15_inpaint", "sd15_ip2p",
+                            "sd15_lcm", "sd21", "sd2_inpaint", "sdxl",
+                            "sdxl_lcm", "sdxl_refiner", "tiny"],
                    help="explicit architecture preset (tiny = the scaled-"
                         "down test topology; overrides --sd2)")
     return p
@@ -180,8 +187,9 @@ def main(argv=None) -> int:
     from .core.cache import enable_compilation_cache
     from .core.dtypes import BF16, FP32
     from .models.config import (sd15_config, sd15_inpaint_config,
-                                sd15_lcm_config, sd2_inpaint_config,
-                                sd21_config, sdxl_config, sdxl_lcm_config,
+                                sd15_ip2p_config, sd15_lcm_config,
+                                sd2_inpaint_config, sd21_config,
+                                sdxl_config, sdxl_lcm_config,
                                 sdxl_refiner_config, tiny_sd_config)
 
     enable_compilation_cache()
@@ -190,7 +198,7 @@ def main(argv=None) -> int:
         "pallas" if jax.default_backend() == "tpu" else "xla")
     preset = args.config_preset or ("sd21" if args.sd2 else "sd15")
     make = {"sd15": sd15_config, "sd15_inpaint": sd15_inpaint_config,
-            "sd15_lcm": sd15_lcm_config,
+            "sd15_lcm": sd15_lcm_config, "sd15_ip2p": sd15_ip2p_config,
             "sd21": sd21_config, "sd2_inpaint": sd2_inpaint_config,
             "sdxl": sdxl_config, "sdxl_lcm": sdxl_lcm_config,
             "sdxl_refiner": sdxl_refiner_config,
@@ -305,6 +313,14 @@ def main(argv=None) -> int:
                              f"{len(a_imgs)} --t2i-adapter")
         kw["adapter_image"] = a_imgs if len(a_imgs) > 1 else a_imgs[0]
         kw["adapter_scale"] = a_scales if len(a_scales) > 1 else a_scales[0]
+    if args.edit_image:
+        from PIL import Image
+
+        if args.image or args.mask:
+            raise SystemExit("--edit-image replaces --image/--mask "
+                             "(InstructPix2Pix denoises from pure noise)")
+        kw["edit_image"] = Image.open(args.edit_image).convert("RGB")
+        kw["image_guidance_scale"] = args.image_guidance
     t0 = time.time()
     if args.mask:
         from PIL import Image

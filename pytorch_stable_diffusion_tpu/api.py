@@ -196,6 +196,19 @@ class StableDiffusion:
                                      input_image=init_image, strength=strength,
                                      **self._kw(kwargs))
 
+    def edit(self, prompt: str, image, image_guidance_scale: float = 1.5,
+             uncond_prompt: str = "", **kwargs) -> np.ndarray:
+        """InstructPix2Pix editing: ``prompt`` is the edit INSTRUCTION
+        ("make it a watercolor"), ``image`` the picture to edit.  Needs an
+        8-channel ip2p checkpoint (``sd15_ip2p_config``).  Denoising runs
+        from pure noise under dual guidance — ``cfg_scale`` pulls toward
+        the instruction, ``image_guidance_scale`` toward the input image
+        (Brooks et al. 2023; diffusers instruct_pix2pix semantics)."""
+        return pipeline_mod.generate(prompt, uncond_prompt,
+                                     edit_image=image,
+                                     image_guidance_scale=image_guidance_scale,
+                                     **self._kw(kwargs))
+
     def hires_fix(self, prompt: str, uncond_prompt: str = "", *,
                   height: int = 1024, width: int = 1024,
                   base_height: Optional[int] = None,

@@ -224,6 +224,19 @@ def sd15_inpaint_config(policy: Policy = FP32, **kw) -> SDConfig:
     return SDConfig(unet=UNetConfig(in_channels=9), policy=policy, **kw)
 
 
+def sd15_ip2p_config(policy: Policy = FP32, **kw) -> SDConfig:
+    """InstructPix2Pix (Brooks et al. 2023; timbrooks/instruct-pix2pix).
+
+    The SD-1.5 topology with an 8-channel conv_in: 4 noise latents + the
+    4-channel edit-image latents (the VAE distribution's MODE and — a
+    published quirk of the family — NOT multiplied by the latent scale
+    factor), concatenated every step.  Sampled with dual text/image
+    guidance: ``generate(edit_image=..., cfg_scale=...,
+    image_guidance_scale=...)``.  Converter rules adapt structurally to
+    in_channels like the inpaint family."""
+    return SDConfig(unet=UNetConfig(in_channels=8), policy=policy, **kw)
+
+
 def sd2_inpaint_config(policy: Policy = FP32, **kw) -> SDConfig:
     """SD-2.0 inpainting (stabilityai/stable-diffusion-2-inpainting):
     the SD-2 512-base architecture (epsilon prediction) with the 9-channel

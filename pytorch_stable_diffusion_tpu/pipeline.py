@@ -226,6 +226,7 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                       inpaint: Optional[str] = None,
                       use_control: bool = False,
                       use_adapter: bool = False,
+                      ip2p: bool = False,
                       guidance_rescale: float = 0.0,
                       timestep_spacing: str = "uniform",
                       emphasis: bool = False,
@@ -275,6 +276,14 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
     computed ONCE per generation (multi-adapter features sum — the
     diffusers MultiAdapter contract) and added inside the UNet encoder
     every step.
+
+    ``ip2p``: InstructPix2Pix (Brooks et al. 2023) — the UNet input is
+    [latents, edit-image latents] (8 channels), the edit image rides the
+    ``init_image`` slot with ``img2img=False`` (its VAE MODE is encoded
+    once per generation, unscaled — the family's published quirk), and
+    guidance runs THREE lanes [text+image, image-only, unconditional]
+    combined as eps_u + cfg·(eps_t − eps_i) + s_img·(eps_i − eps_u) with
+    ``s_img`` traced in ``noises["image_cfg_scale"]``.
 
     ``emphasis``: A1111 prompt-emphasis weighting — per-token weights ride
     in ``noises["cond_weights"]``/``noises["uncond_weights"]`` ((B, L) or
@@ -485,9 +494,16 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
             if add_cond is not None:
                 add_cond = _stack(add_cond, uncond_add)
         elif do_cfg:
-            context = jnp.concatenate([context, uncond_ctx], axis=0)
+            # InstructPix2Pix runs THREE lanes: [text+image, image-only
+            # (uncond text), unconditional] — Brooks et al. 2023 / the
+            # diffusers pipeline's prompt_embeds ordering
+            ctxs = [context, uncond_ctx, uncond_ctx] if ip2p \
+                else [context, uncond_ctx]
+            context = jnp.concatenate(ctxs, axis=0)
             if add_cond is not None:
-                add_cond = jnp.concatenate([add_cond, uncond_add], axis=0)
+                adds = [add_cond, uncond_add, uncond_add] if ip2p \
+                    else [add_cond, uncond_add]
+                add_cond = jnp.concatenate(adds, axis=0)
 
         if hyper is not None:
             # A1111 hypernetwork: transform the cross-attention context —
@@ -565,6 +581,25 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
             latents = ddpm.add_noise(schedule, lat0, t0, init_noise)
         else:
             latents = init_noise
+
+        if ip2p:
+            # InstructPix2Pix edit-image conditioning (Brooks et al. 2023;
+            # the diffusers instruct_pix2pix pipeline): the VAE
+            # distribution's MODE (zero encoder noise), and — a published
+            # quirk of the family — NOT multiplied by the latent scale
+            # factor, so our encoder's ×scale_factor is divided back out.
+            # Computed once per generation.
+            img_lat = vae_mod.apply_encoder(
+                params["encoder"], init_image,
+                jnp.zeros(lat_shape, jnp.float32), cfg.vae, policy,
+                attention_backend=cfg.vae_attention_backend,
+                reference_quirks=cfg.reference_quirks).astype(jnp.float32)
+            img_lat = img_lat / cfg.vae.scale_factor
+            # per-lane conditioning channels: zeros in the unconditional
+            # (third) lane
+            ip2p_extra = jnp.concatenate(
+                [img_lat, img_lat, jnp.zeros_like(img_lat)],
+                axis=0).astype(policy.compute_dtype)
 
         # ------------------------------------------------ inpaint conditioning
         factor = cfg.vae.downsample_factor
@@ -679,10 +714,17 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                 # [latents, mask, masked-image latents] per step (the
                 # diffusers SD-inpaint channel order)
                 lat_in = jnp.concatenate([lat_in, inpaint_extra], axis=-1)
-            # CFG doubles the lanes; composable AND runs n_and cond lanes
-            # plus the uncond lane ((n_and+1)·B total)
-            model_in = jnp.concatenate([lat_in] * (n_and + 1), axis=0) \
-                if do_cfg else lat_in
+            if ip2p:
+                # 3 lanes, each with its edit-image channels appended
+                # ([latents, image] order, zeros in the uncond lane)
+                model_in = jnp.concatenate(
+                    [jnp.concatenate([lat_in] * 3, axis=0), ip2p_extra],
+                    axis=-1)
+            else:
+                # CFG doubles the lanes; composable AND runs n_and cond
+                # lanes plus the uncond lane ((n_and+1)·B total)
+                model_in = jnp.concatenate([lat_in] * (n_and + 1), axis=0) \
+                    if do_cfg else lat_in
             if sp_mesh is not None:
                 model_in = jax.lax.with_sharding_constraint(model_in, _sp)
             control = None
@@ -805,7 +847,15 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                 eps_deg = ddpm.to_epsilon(schedule, t, lat_deg,
                                           eps_deg_raw.astype(jnp.float32),
                                           cfg.prediction_type)
-            if do_cfg and n_and > 1:
+            if ip2p:
+                # dual guidance (Brooks et al. 2023 eq. 3): eps_uncond
+                # + s_text (eps_text − eps_image)
+                # + s_image (eps_image − eps_uncond); both scales traced
+                e_t, e_i, e_u = [p.astype(jnp.float32)
+                                 for p in jnp.split(eps, 3, axis=0)]
+                eps = e_u + cfg_scale * (e_t - e_i) \
+                    + noises["image_cfg_scale"] * (e_i - e_u)
+            elif do_cfg and n_and > 1:
                 # composable diffusion (A1111 AND): eps_uncond +
                 # cfg Σ w_i (eps_cond_i − eps_uncond); lanes are part-major
                 parts = jnp.split(eps, n_and + 1, axis=0)
@@ -870,7 +920,7 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
         if deepcache is None:
             dc0 = jnp.zeros((), policy.compute_dtype)
         else:
-            b_eff = batch * (n_and + 1) if do_cfg else batch
+            b_eff = batch * ((3 if ip2p else n_and + 1) if do_cfg else 1)
             dc0 = jnp.zeros(unet_mod.deepcache_shape(
                 cfg.unet, b_eff, h_lat, w_lat), policy.compute_dtype)
 
@@ -1148,6 +1198,8 @@ def _run_generate(
     controlnet_scale: float = 1.0,
     adapter_image=None,
     adapter_scale: float = 1.0,
+    edit_image=None,
+    image_guidance_scale: float = 1.5,
     fixed_noise: Optional[Dict[str, np.ndarray]] = None,
     mesh=None,
     progress: bool = False,
@@ -1403,6 +1455,39 @@ def _run_generate(
         image = np.zeros((batch, height, width, 3), np.float32)
         start_step = 0
 
+    # ------------------------------------------- InstructPix2Pix edit mode
+    ip2p = edit_image is not None
+    if ip2p:
+        if cfg.unet.in_channels != 2 * cfg.vae.latent_channels:
+            raise ValueError(
+                "edit_image needs an InstructPix2Pix checkpoint "
+                f"({2 * cfg.vae.latent_channels}-channel UNet — "
+                f"sd15_ip2p_config; this config has "
+                f"{cfg.unet.in_channels})")
+        if img2img:
+            raise ValueError("edit_image replaces input_image for "
+                             "InstructPix2Pix (denoising starts from pure "
+                             "noise; edit strength rides the two guidance "
+                             "scales)")
+        if not do_cfg:
+            raise ValueError("InstructPix2Pix needs do_cfg=True (dual "
+                             "text/image guidance)")
+        bad = [n for n, v in [
+            ("mask_image", mask_image), ("control_image", control_image),
+            ("adapter_image", adapter_image)] if v is not None]
+        if bad or guidance_rescale:
+            bad += ["guidance_rescale"] if guidance_rescale else []
+            raise ValueError(f"InstructPix2Pix does not compose with "
+                             f"{'/'.join(bad)}")
+        if pag_scale or sag_scale or n_and > 1 or n_sched > 1:
+            raise ValueError("InstructPix2Pix does not compose with "
+                             "PAG/SAG/AND/prompt-editing (its three "
+                             "guidance lanes replace the CFG stack)")
+        # edit image rides the init_image slot ([-1, 1] pixels); the
+        # compiled fn encodes its VAE mode once per generation
+        image = np.broadcast_to(_prepare_image(edit_image, width, height),
+                                (batch, height, width, 3)).copy()
+
     if inpaint is not None:
         mask = np.ones((1, height, width, 1), np.float32) if mask_image is None \
             else _prepare_mask(mask_image, width, height)
@@ -1495,6 +1580,8 @@ def _run_generate(
     if use_adapter:
         noises["adapter_hint"] = jnp.asarray(a_hint, jnp.float32)
         noises["adapter_scale"] = jnp.asarray(a_scales, jnp.float32)
+    if ip2p:
+        noises["image_cfg_scale"] = jnp.float32(image_guidance_scale)
     if emphasis:
         noises["cond_weights"] = jnp.asarray(cond_w)
         noises["uncond_weights"] = jnp.asarray(uncond_w)
@@ -1613,6 +1700,7 @@ def _run_generate(
                             h_lat, w_lat, img2img, use_fixed, progress,
                             sampler_name, float(ddim_eta), decode_tile,
                             sp_mesh, inpaint, use_control, use_adapter,
+                            ip2p,
                             float(guidance_rescale), timestep_spacing,
                             emphasis, deepcache, n_sched, use_variation,
                             use_pag,

@@ -36,6 +36,7 @@ def export_pipeline(cfg: SDConfig, models, *, n_steps: int = 50, batch: int = 1,
                     inpaint: Optional[str] = None,
                     use_control: bool = False,
                     use_adapter: bool = False,
+                    ip2p: bool = False,
                     emphasis: bool = False,
                     guidance_rescale: float = 0.0,
                     timestep_spacing: str = "uniform",
@@ -80,6 +81,10 @@ def export_pipeline(cfg: SDConfig, models, *, n_steps: int = 50, batch: int = 1,
         raise ValueError("use_control=True needs models['controlnet']")
     if use_adapter and "t2i_adapter" not in models:
         raise ValueError("use_adapter=True needs models['t2i_adapter']")
+    if ip2p and (img2img or not do_cfg):
+        raise ValueError("ip2p=True exports the InstructPix2Pix graph: "
+                         "img2img must be False (the image input carries "
+                         "the edit image) and do_cfg True")
     h_lat, w_lat = height // f, width // f
     if hypernetwork is not None and "hypernetwork" not in models:
         raise ValueError("hypernetwork metadata given but models has no "
@@ -87,7 +92,7 @@ def export_pipeline(cfg: SDConfig, models, *, n_steps: int = 50, batch: int = 1,
     run = _compiled_txt2img(cfg, n_steps, do_cfg, batch, h_lat, w_lat,
                             img2img, False, False, sampler, float(ddim_eta),
                             decode_tile, None, inpaint, use_control,
-                            use_adapter,
+                            use_adapter, ip2p,
                             float(guidance_rescale), timestep_spacing,
                             emphasis, variation=variation, pag=pag,
                             hyper=hypernetwork, sag=sag)
@@ -107,6 +112,8 @@ def export_pipeline(cfg: SDConfig, models, *, n_steps: int = 50, batch: int = 1,
         aux["adapter_hint"] = jnp.zeros((n_ads, batch, height, width, 3),
                                         jnp.float32)
         aux["adapter_scale"] = jnp.ones((n_ads,), jnp.float32)
+    if ip2p:
+        aux["image_cfg_scale"] = jnp.float32(1.5)
     if emphasis:
         aux["cond_weights"] = jnp.ones((batch, cfg.clip.max_len), jnp.float32)
         aux["uncond_weights"] = jnp.ones((batch, cfg.clip.max_len),
@@ -175,6 +182,7 @@ class LoadedPipeline:
     def __call__(self, models, cond_tokens, uncond_tokens, key, cfg_scale,
                  start_step=0, input_image=None, mask=None, control_hint=None,
                  control_scale=1.0, adapter_hint=None, adapter_scale=1.0,
+                 image_cfg_scale=1.5,
                  cond_weights=None, uncond_weights=None,
                  pag_scale=1.0, sag_scale=1.0, variation_seed=0,
                  variation_strength=0.0, hypernetwork_strength=1.0):
@@ -221,6 +229,9 @@ class LoadedPipeline:
             aux["uncond_weights"] = jnp.ones(ws, jnp.float32) \
                 if uncond_weights is None \
                 else jnp.asarray(uncond_weights, jnp.float32).reshape(ws)
+        if "image_cfg_scale" in shapes:
+            # InstructPix2Pix artifact: input_image carries the edit image
+            aux["image_cfg_scale"] = jnp.float32(image_cfg_scale)
         if "pag_scale" in shapes:
             aux["pag_scale"] = jnp.float32(pag_scale)
         if "sag_scale" in shapes:
