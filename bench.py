@@ -67,6 +67,9 @@ def main():
     ap.add_argument("--no-cfg", action="store_true",
                     help="single-pass UNet (no classifier-free guidance "
                          "doubling)")
+    ap.add_argument("--tome", type=float, default=None, metavar="RATIO",
+                    help="ToMe token merging ratio (~0.5; approximate — "
+                         "merges redundant self-attention tokens)")
     ap.add_argument("--pag-scale", type=float, default=0.0,
                     help="Perturbed-Attention Guidance (extra cond-lane "
                          "eval per step)")
@@ -89,6 +92,10 @@ def main():
           "sdxl_refiner": sdxl_refiner_config, "tiny": tiny_sd_config}
     cfg = mk[args.family](policy=BF16, attention_backend=backend,
                           quant=args.quant)
+    if args.tome:
+        from pytorch_stable_diffusion_tpu.models.config import with_tome
+
+        cfg = with_tome(cfg, args.tome)
     if args.family in ("sdxl", "sdxl_refiner") and args.size == 512 \
             and args.batch == 4:
         args.size, args.batch = 1024, 1  # native-resolution latency config
@@ -142,6 +149,7 @@ def main():
                   f"batch={b} images/sec/chip ({backend} attention, bf16"
                   + (f", deepcache={args.deepcache}" if args.deepcache
                      else "")
+                  + (f", tome={args.tome}" if args.tome else "")
                   + (f", pag={args.pag_scale}" if args.pag_scale else "")
                   + (f", sag={args.sag_scale}" if args.sag_scale else "")
                   + ")",

@@ -23,3 +23,10 @@ run --batch 1 --pag-scale 3.0           # PAG: one extra cond-lane eval/step
 run --batch 1 --sag-scale 0.75          # SAG: capture + degraded eval/step
 run --sampler lms                       # LMS (one eval/step, ~ddpm cost)
 run --sampler dpm2                      # DPM2 (two evals/step, ~heun cost)
+
+# ToMe token merging (approximate; merges self-attn tokens at the 4096+
+# level) — throughput + latency + SDXL (deep transformer stacks = most
+# attention-bound family, biggest expected win)
+run --tome 0.5                          # 512^2 batch 4
+run --batch 1 --tome 0.5                # latency config
+run --family sdxl --tome 0.5            # SDXL 1024^2 batch 1

@@ -154,3 +154,26 @@ print("color-correction img2img:", img_cc.shape, flush=True)
 img_3m = sd.txt2img("a cat", seed=1, n_inference_steps=4, height=16,
                     width=16, sampler_name="dpm++_3m_sde")
 print("dpm++_3m_sde txt2img:", img_3m.shape, flush=True)
+# IP-Adapter (synthetic weights; decoupled image-token cross-attention)
+from pytorch_stable_diffusion_tpu.models import clip_vision as _cv
+from pytorch_stable_diffusion_tpu.weights import ip_adapter as _ipw
+from tests.test_ip_adapter import _synthetic_ip_state
+_vis_cfg = _cv.tiny_vision_config()
+_vision = _cv.init(_jax.random.PRNGKey(9), _vis_cfg)
+_ipa = _ipw.convert_ip_adapter(
+    _synthetic_ip_state(cfg.unet, embed_dim=_vis_cfg.proj_dim, seed=4),
+    cfg.unet)
+_ipimg = np.random.RandomState(5).randint(
+    0, 256, (_vis_cfg.image_size, _vis_cfg.image_size, 3)).astype(np.uint8)
+img_ipa = sd.with_ip_adapter(_ipa, _vision, vision_config=_vis_cfg).txt2img(
+    "a cat", seed=1, n_inference_steps=2, height=16, width=16,
+    ip_adapter_image=_ipimg, ip_adapter_scale=0.8)
+print("ip-adapter txt2img:", img_ipa.shape, "differs:",
+      bool((img_ipa != img).any()), flush=True)
+# ToMe token merging (approximate; threshold dropped so the tiny 64-token
+# grid merges)
+from pytorch_stable_diffusion_tpu.models.config import with_tome as _wt
+img_tm = sdt.StableDiffusion(models, tok, _wt(cfg, 0.5, min_tokens=16)) \
+    .txt2img("a cat", seed=1, n_inference_steps=2, height=16, width=16)
+print("tome txt2img:", img_tm.shape, "differs:", bool((img_tm != img).any()),
+      flush=True)

@@ -124,10 +124,27 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--adapter-scale", type=float, action="append",
                    default=[],
                    help="per-adapter scale (default 1.0); repeatable")
+    p.add_argument("--ip-adapter", default=None, metavar="PATH",
+                   help="IP-Adapter weights (.bin/.safetensors, h94 "
+                        "layout); image prompting via --ip-adapter-image")
+    p.add_argument("--ip-image-encoder", default=None, metavar="PATH",
+                   help="CLIP vision encoder weights for --ip-adapter "
+                        "(HF CLIPVisionModelWithProjection layout)")
+    p.add_argument("--ip-adapter-image", default=None, metavar="PATH",
+                   help="the image prompt for --ip-adapter")
+    p.add_argument("--ip-adapter-scale", type=float, default=1.0)
+    p.add_argument("--ip-vision", default="vit_h14",
+                   choices=["vit_h14", "vit_bigg14", "vit_l14"],
+                   help="image-encoder architecture (vit_h14 = SD-1.x "
+                        "adapters, vit_bigg14 = SDXL adapters)")
     p.add_argument("--clip-skip", type=int, default=None,
                    help="A1111 CLIP-skip: 1 = family default; each "
                         "increment conditions one text-encoder layer "
                         "earlier (2 = penultimate on SD-1.x)")
+    p.add_argument("--tome-ratio", type=float, default=None,
+                   help="ToMe token merging ratio (A1111 'Token merging "
+                        "ratio'; ~0.5 typical — approximate speedup, "
+                        "merges redundant self-attention tokens)")
     p.add_argument("--deepcache", type=int, default=None, metavar="N",
                    help="DeepCache interval: full UNet every N-th step, "
                         "shallow cached steps between (opt-in speed/quality "
@@ -246,6 +263,17 @@ def main(argv=None) -> int:
         sd = sd.with_t2i_adapter(ads)
         print(f"[cli] attached t2i-adapter {args.t2i_adapter}", flush=True)
 
+    if args.ip_adapter:
+        from .models import clip_vision as cv_mod
+
+        if not args.ip_image_encoder:
+            raise SystemExit("--ip-adapter requires --ip-image-encoder")
+        vis_cfg = {"vit_h14": cv_mod.vit_h14, "vit_bigg14": cv_mod.vit_bigg14,
+                   "vit_l14": cv_mod.vit_l14}[args.ip_vision]()
+        sd = sd.with_ip_adapter(args.ip_adapter, args.ip_image_encoder,
+                                vision_config=vis_cfg)
+        print(f"[cli] attached ip-adapter {args.ip_adapter}", flush=True)
+
     if args.vae:
         sd = sd.with_vae(args.vae)
         print(f"[cli] swapped VAE {args.vae}", flush=True)
@@ -265,7 +293,7 @@ def main(argv=None) -> int:
               guidance_rescale=args.guidance_rescale,
               long_prompts=args.long_prompts, emphasis=args.emphasis,
               clip_skip=args.clip_skip, timestep_spacing=args.spacing,
-              deepcache=args.deepcache,
+              deepcache=args.deepcache, tome_ratio=args.tome_ratio,
               variation_seed=args.variation_seed,
               variation_strength=args.variation_strength,
               pag_scale=args.pag_scale,
@@ -313,6 +341,14 @@ def main(argv=None) -> int:
                              f"{len(a_imgs)} --t2i-adapter")
         kw["adapter_image"] = a_imgs if len(a_imgs) > 1 else a_imgs[0]
         kw["adapter_scale"] = a_scales if len(a_scales) > 1 else a_scales[0]
+    if args.ip_adapter_image:
+        from PIL import Image
+
+        if not args.ip_adapter:
+            raise SystemExit("--ip-adapter-image requires --ip-adapter")
+        kw["ip_adapter_image"] = Image.open(args.ip_adapter_image) \
+            .convert("RGB")
+        kw["ip_adapter_scale"] = args.ip_adapter_scale
     if args.edit_image:
         from PIL import Image
 

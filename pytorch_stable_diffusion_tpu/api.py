@@ -101,6 +101,8 @@ class StableDiffusion:
         if getattr(self, "_hyper", None) is not None:
             kwargs.setdefault("hypernetwork", self._hyper[0])
             kwargs.setdefault("hypernetwork_strength", self._hyper[1])
+        if getattr(self, "_ip_vision", None) is not None:
+            kwargs.setdefault("clip_vision_config", self._ip_vision)
         return kwargs
 
     def _clone(self, *, models=None, tokenizer=None, config=None,
@@ -116,6 +118,7 @@ class StableDiffusion:
         out.config = self.config if config is None else config
         out.mesh = self.mesh
         out._hyper = getattr(self, "_hyper", None)
+        out._ip_vision = getattr(self, "_ip_vision", None)
         if reshard and self.mesh is not None:
             # re-place only the standard model entries; extras (controlnet
             # list, hypernetwork tree) keep their existing placement
@@ -294,6 +297,31 @@ class StableDiffusion:
             if isinstance(controlnet, (list, tuple)) else _load(controlnet)
         return self._clone(models=dict(self.models, controlnet=controlnet),
                            reshard=True)
+
+    def with_ip_adapter(self, adapter, image_encoder, *, vision_config=None):
+        """Return a bundle with an IP-Adapter attached (image prompting,
+        Ye et al. 2023; weights/ip_adapter.py).
+
+        ``adapter`` is an IP-Adapter weight file (.bin / .safetensors,
+        h94-style) or a converted pytree; ``image_encoder`` the CLIP
+        vision weight file (HF ``CLIPVisionModelWithProjection`` layout)
+        or pytree; ``vision_config`` the matching
+        ``models/clip_vision.CLIPVisionConfig`` (default ViT-H/14 — the
+        SD-1.x adapters' encoder; pass ``clip_vision.vit_bigg14()`` for
+        the SDXL ones).  Generation kwargs then accept
+        ``ip_adapter_image`` (+ traced ``ip_adapter_scale``)."""
+        from .models import clip_vision as cv
+        from .weights import ip_adapter as ipw
+
+        vis_cfg = vision_config or cv.vit_h14()
+        ada = ipw.load_ip_adapter(adapter, self.config.unet) \
+            if isinstance(adapter, str) else adapter
+        enc = ipw.load_clip_vision(image_encoder, vis_cfg) \
+            if isinstance(image_encoder, str) else image_encoder
+        out = self._clone(models=dict(self.models, ip_adapter=ada,
+                                      clip_vision=enc), reshard=True)
+        out._ip_vision = vis_cfg
+        return out
 
     def with_t2i_adapter(self, adapter):
         """Return a bundle with a T2I-Adapter attached

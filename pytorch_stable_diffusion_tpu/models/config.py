@@ -112,6 +112,13 @@ class UNetConfig:
     #: by s_i in the Fourier domain.  None = off.  Family defaults via
     #: models/config.with_freeu.
     freeu: Tuple[float, float, float, float] = None
+    #: ToMe token merging (ops/tome.py; tomesd / the A1111 "Token merging
+    #: ratio" knob): (ratio, sx, sy, min_tokens) — before each
+    #: self-attention in blocks with >= min_tokens tokens, merge
+    #: ratio*n_src redundant tokens into their most similar stride-cell
+    #: representative and unmerge after.  Approximate (opt-in);
+    #: None = off (exact).  Use models/config.with_tome.
+    tome: Tuple[float, int, int, int] = None
 
     def depth_for(self, level: int) -> int:
         if self.transformer_depth is None:
@@ -389,6 +396,22 @@ def with_clip_skip(cfg: SDConfig, clip_skip: int) -> SDConfig:
 #: published FreeU defaults (the paper's recommended settings per family)
 FREEU_DEFAULTS_SD = (1.5, 1.6, 0.9, 0.2)
 FREEU_DEFAULTS_SDXL = (1.3, 1.4, 0.9, 0.2)
+
+
+def with_tome(cfg: SDConfig, ratio: float = 0.5, *, sx: int = 2, sy: int = 2,
+              min_tokens: int = 4096) -> SDConfig:
+    """ToMe token merging (the A1111 "Token merging ratio" setting;
+    tomesd defaults: 2x2 stride, highest-resolution blocks only — at SD's
+    native sizes that is the 4096+-token level).  ``ratio`` is the
+    fraction of src (non-representative) tokens merged; 0 returns the
+    config unchanged (exact)."""
+    if not 0.0 <= ratio < 1.0:
+        raise ValueError(f"tome ratio must be in [0, 1), got {ratio}")
+    if ratio == 0.0:
+        return dataclasses.replace(cfg, unet=dataclasses.replace(
+            cfg.unet, tome=None))
+    return dataclasses.replace(cfg, unet=dataclasses.replace(
+        cfg.unet, tome=(float(ratio), int(sx), int(sy), int(min_tokens))))
 
 
 def with_freeu(cfg: SDConfig, freeu=True) -> SDConfig:

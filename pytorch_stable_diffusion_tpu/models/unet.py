@@ -236,7 +236,7 @@ def apply_attn_block(p, x, context, n_heads: int, groups: int, policy: Policy,
                      *, backend: str = "xla", reference_quirks: bool = False,
                      fuse_qkv: bool = True, quant: str = "none",
                      sp_mesh=None, pag_self_attn: bool = False,
-                     return_self_probs: bool = False):
+                     return_self_probs: bool = False, ip=None, tome=None):
     """diffusion.py:212-381.
 
     The whole block runs in flattened (B, HW, C) form — one reshape at each
@@ -250,6 +250,19 @@ def apply_attn_block(p, x, context, n_heads: int, groups: int, policy: Policy,
     y = norm.group_norm_silu(p["norm"], y0, groups, policy=policy,
                              backend=backend, apply_silu=False)
     y = _proj1x1(p["conv_in"], y, policy, quant)
+
+    # ToMe (ops/tome.py): static merge plan for this block's grid; only
+    # blocks at/above the token threshold merge, and the SP shard_map
+    # path keeps its full token set (the pipeline rejects the combo)
+    tome_plan = None
+    if tome is not None and sp_mesh is None:
+        ratio, sx, sy, min_tokens = tome
+        if h * w >= min_tokens and h % sy == 0 and w % sx == 0:
+            from ..ops import tome as tome_mod
+
+            dst_i, src_i, t_r = tome_mod.plan(h, w, sx, sy, ratio)
+            if t_r > 0:
+                tome_plan = (tome_mod, dst_i, src_i, t_r)
 
     # depth-1 blocks keep the flat SD-1.x layout; SDXL-style blocks carry
     # a "blocks" list of stacked transformer layers
@@ -270,15 +283,29 @@ def apply_attn_block(p, x, context, n_heads: int, groups: int, policy: Policy,
                 policy=policy, fuse=fuse_qkv, quant=quant,
                 return_probs=True)
             y = y + a
+        elif tome_plan is not None:
+            # merge the redundant tokens, attend over the reduced
+            # sequence, broadcast outputs back (tomesd's attn1 patch)
+            tome_mod, dst_i, src_i, t_r = tome_plan
+            tm, t_info = tome_mod.merge(t, dst_i, src_i, t_r)
+            a = attention.apply(lp["self_attn"], tm, n_heads=n_heads,
+                                backend=backend, policy=policy,
+                                fuse=fuse_qkv, quant=quant)
+            y = y + tome_mod.unmerge(a, t_info)
         else:
             y = y + attention.apply(lp["self_attn"], t, n_heads=n_heads,
                                     backend=backend, policy=policy,
                                     fuse=fuse_qkv, quant=quant,
                                     sp_mesh=sp_mesh)
         t = norm.layer_norm(lp["ln2"], y, policy=policy)
+        # IP-Adapter decoupled attention: ip = (per-layer param list,
+        # image tokens, traced scale); each stacked transformer layer has
+        # its own to_k_ip/to_v_ip (ops/attention.apply)
+        ip_li = None if ip is None else (ip[0][li], ip[1], ip[2])
         y = y + attention.apply(lp["cross_attn"], t, context,
                                 n_heads=n_heads, backend=backend,
-                                policy=policy, fuse=fuse_qkv, quant=quant)
+                                policy=policy, fuse=fuse_qkv, quant=quant,
+                                ip=ip_li)
         t = norm.layer_norm(lp["ln3"], y, policy=policy)
         t = geglu(linear.apply(lp["geglu_proj"], t, policy, quant),
                   reference_quirks)
@@ -385,7 +412,7 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
           add_cond: Optional[jax.Array] = None, control=None,
           adapter=None, t_cond: Optional[jax.Array] = None,
           return_cache: bool = False, cache=None, pag: bool = False,
-          return_mid_attn: bool = False):
+          return_mid_attn: bool = False, ip=None):
     """latents: (B, h, w, in_ch); context: (B, S, d_context); t: scalar timestep.
 
     Returns predicted noise (B, h, w, out_ch).
@@ -407,6 +434,13 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
     ``pag=True`` runs the PERTURBED branch of Perturbed-Attention Guidance
     (Ahn et al. 2024): the mid-block self-attention layers use an identity
     attention map (diffusers' default ``pag_applied_layers=["mid"]``).
+
+    ``ip``: IP-Adapter conditioning — ``(layers, tokens, scale)`` where
+    ``layers`` maps position-stable keys ("enc_{stage}_{layer}" /
+    "dec_{stage}_{layer}" / "mid_{layer}", weights/ip_adapter.py) to
+    to_k_ip/to_v_ip params, ``tokens`` is the (B, n_tok, d_context)
+    projected image-prompt context and ``scale`` the traced strength;
+    every cross-attention layer runs the decoupled image attention.
 
     DeepCache (Ma et al. 2023) support: ``return_cache=True`` additionally
     returns the backbone feature entering the SHALLOWEST decoder level;
@@ -435,7 +469,16 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
         t_emb = t_emb + linear.apply(params["add_embed"]["fc2"], silu(a),
                                      policy)
 
-    def block(stage, x):
+    def ip_for(key_prefix, attn_params):
+        """Per-block IP layer params, addressed by stable position keys so
+        partial forwards (DeepCache's shallow slice) stay aligned."""
+        if ip is None:
+            return None
+        depth = len(attn_params.get("blocks", [None]))
+        return ([ip[0][f"{key_prefix}_{li}"] for li in range(depth)],
+                ip[1], ip[2])
+
+    def block(stage, x, ip_key=None):
         x = apply_res_block(stage["res"], x, t_emb, cfg.groups, policy,
                             backend=attention_backend, quant=quant)
         if "attn" in stage:
@@ -444,7 +487,8 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
                                  policy, backend=attention_backend,
                                  reference_quirks=reference_quirks,
                                  fuse_qkv=fuse_qkv, quant=quant,
-                                 sp_mesh=sp_mesh)
+                                 sp_mesh=sp_mesh, tome=cfg.tome,
+                                 ip=ip_for(ip_key, stage["attn"]))
         return x
 
     dec_per_level = cfg.num_res_blocks + 1
@@ -462,7 +506,7 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
                 x = conv.apply(stage["down"], x, stride=2, padding=1,
                                policy=policy, quant=quant)
             else:
-                x = block(stage, x)
+                x = block(stage, x, f"enc_{i}")
                 if adapter is not None and i in ad_pre:
                     x = x + adapter[ad_pre[i]].astype(x.dtype)
             skips.append(x)
@@ -482,14 +526,17 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
                 mid["attn"], x, context, cfg.heads_for(x.shape[-1]),
                 cfg.groups, policy, backend=attention_backend,
                 reference_quirks=reference_quirks, fuse_qkv=fuse_qkv,
-                quant=quant, pag_self_attn=pag, return_self_probs=True)
+                quant=quant, pag_self_attn=pag, return_self_probs=True,
+                tome=cfg.tome, ip=ip_for("mid", mid["attn"]))
         else:
             x = apply_attn_block(mid["attn"], x, context,
                                  cfg.heads_for(x.shape[-1]), cfg.groups,
                                  policy, backend=attention_backend,
                                  reference_quirks=reference_quirks,
                                  fuse_qkv=fuse_qkv, quant=quant,
-                                 sp_mesh=sp_mesh, pag_self_attn=pag)
+                                 sp_mesh=sp_mesh, pag_self_attn=pag,
+                                 tome=cfg.tome,
+                                 ip=ip_for("mid", mid["attn"]))
         x = apply_res_block(mid["res2"], x, t_emb, cfg.groups, policy,
                             backend=attention_backend, quant=quant)
         if adapter is not None and ad_mid is not None:
@@ -506,7 +553,7 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
         # inside this slice (post sites land on the downsample — part of
         # the cached deep region), keeping the split exact.
         for i, stage in enumerate(enc[:cfg.num_res_blocks]):
-            x = block(stage, x)
+            x = block(stage, x, f"enc_{i}")
             if adapter is not None and i in ad_pre:
                 x = x + adapter[ad_pre[i]].astype(x.dtype)
             skips.append(x)
@@ -534,7 +581,7 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
             if s != 1.0:
                 skip = _fourier_lowpass_scale(skip, s)
         x = jnp.concatenate([x, skip], axis=-1)
-        x = block(stage, x)
+        x = block(stage, x, f"dec_{si}")
         if "upsample" in stage:
             x = upsample_nearest_2x(x)
             x = conv.apply(stage["upsample"], x, padding=1, policy=policy,

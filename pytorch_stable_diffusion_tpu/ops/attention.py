@@ -143,7 +143,8 @@ def apply_identity(params, x, *, policy: Policy = FP32, quant: str = "none"):
 
 def apply(params, x, context=None, *, n_heads: int, causal: bool = False,
           backend: str = "xla", policy: Policy = FP32, fuse: bool = True,
-          quant: str = "none", sp_mesh=None, return_probs: bool = False):
+          quant: str = "none", sp_mesh=None, return_probs: bool = False,
+          ip=None):
     """x: (B, S, D); context: (B, S_kv, D_cross) for cross-attention.
 
     ``fuse=False`` applies q/k/v as separate linears instead of the fused
@@ -155,6 +156,13 @@ def apply(params, x, context=None, *, n_heads: int, causal: bool = False,
     ``sp_mesh``: sequence-parallel mode — self-attention runs q-sharded
     via shard_map with gathered K/V (see _sp_self_attention); projections
     and cross-attention stay GSPMD-partitioned.
+
+    ``ip``: IP-Adapter decoupled cross-attention (Ye et al. 2023) — a
+    ``(ip_params, ip_tokens, ip_scale)`` tuple: a second attention over
+    the few image-prompt tokens with dedicated bias-free k/v projections
+    sharing THIS layer's query heads, added scale-weighted to the text
+    attention output BEFORE out_proj (the IPAttnProcessor contract).
+    Cross-attention only.
     """
     if context is None:  # self-attention: one fused qkv matmul
         if fuse:
@@ -216,4 +224,13 @@ def apply(params, x, context=None, *, n_heads: int, causal: bool = False,
         out = flash_attention(qh, kh, vh, causal=causal, policy=policy)
     else:
         out = _xla_attention(qh, kh, vh, causal, policy)
+    if ip is not None:
+        # decoupled image-token attention: a handful of KV tokens — the
+        # materialized-scores path is the right kernel regardless of backend
+        ipp, ip_tokens, ip_scale = ip
+        k_ip = linear.apply(ipp["k"], ip_tokens, policy, quant)
+        v_ip = linear.apply(ipp["v"], ip_tokens, policy, quant)
+        out_ip = _xla_attention(qh, _split_heads(k_ip, n_heads),
+                                _split_heads(v_ip, n_heads), False, policy)
+        out = out + ip_scale.astype(out.dtype) * out_ip
     return linear.apply(params["out"], _merge_heads(out), policy, quant)

@@ -241,7 +241,9 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                       tiling: bool = False,
                       dyn_thresh: bool = False,
                       noise_multiplier: bool = False,
-                      size_ids: Optional[Tuple[float, ...]] = None):
+                      size_ids: Optional[Tuple[float, ...]] = None,
+                      use_ip: bool = False,
+                      ip_vision=None):
     """Build + jit the full generate computation for one static shape.
 
     ``fixed_noise=True`` compiles a variant whose latent-init / encoder /
@@ -515,6 +517,30 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                 params["hypernetwork"], context, noises["hyper_strength"],
                 activation=hyper[0], activate_output=hyper[1])
 
+        ip_arg = None
+        if use_ip:
+            # IP-Adapter (Ye et al. 2023): encode the prompt image ONCE per
+            # generation through the CLIP vision tower + ImageProjModel;
+            # the negative lane uses the zero image embedding projected
+            # through the same model (the diffusers convention for the
+            # standard adapter).  Tokens ride through every cross-attention
+            # as decoupled image attention (models/unet.py ip=...).
+            from .models import clip_vision as cv_mod
+
+            ipp = params["ip_adapter"]
+            embed = cv_mod.apply_projected(
+                params["clip_vision"],
+                noises["ip_image"].astype(policy.compute_dtype),
+                ip_vision, policy)
+            cond_ip = cv_mod.project_image_tokens(
+                ipp["image_proj"], embed, cfg.unet.d_context, policy)
+            uncond_ip = cv_mod.project_image_tokens(
+                ipp["image_proj"], jnp.zeros_like(embed),
+                cfg.unet.d_context, policy)
+            ip_tokens = jnp.concatenate([cond_ip] * n_and + [uncond_ip],
+                                        axis=0) if do_cfg else cond_ip
+            ip_arg = (ipp["layers"], ip_tokens, noises["ip_scale"])
+
         lat_shape = (batch, h_lat, w_lat, lc)
 
         def draw(name, extra=None):
@@ -753,7 +779,7 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                 reference_quirks=cfg.reference_quirks,
                 fuse_qkv=cfg.fuse_qkv, quant=cfg.quant, sp_mesh=sp_mesh,
                 add_cond=add_c, control=control, adapter=adapter_lanes,
-                t_cond=t_cond)
+                t_cond=t_cond, ip=ip_arg)
             mid_probs = None
             if deepcache is None:
                 if sag:
@@ -785,6 +811,9 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                 pag_kw = dict(unet_kw)
                 pag_kw["adapter"] = adapter_feats  # single lane (B)
                 if do_cfg:
+                    if ip_arg is not None:
+                        pag_kw["ip"] = (ip_arg[0], ip_arg[1][:batch],
+                                        ip_arg[2])
                     if add_c is not None:
                         pag_kw["add_cond"] = add_c[:batch]
                     if control is not None:
@@ -837,6 +866,9 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                 sag_kw = dict(unet_kw)
                 sag_kw["add_cond"] = base_add
                 sag_kw["adapter"] = adapter_feats  # single lane (B)
+                if ip_arg is not None and do_cfg:
+                    # base lane = uncond: its (zero-image) ip tokens
+                    sag_kw["ip"] = (ip_arg[0], ip_arg[1][batch:], ip_arg[2])
                 if control is not None and do_cfg:
                     sag_kw["control"] = {
                         "mid": control["mid"][batch:],
@@ -1198,6 +1230,9 @@ def _run_generate(
     controlnet_scale: float = 1.0,
     adapter_image=None,
     adapter_scale: float = 1.0,
+    ip_adapter_image=None,
+    ip_adapter_scale: float = 1.0,
+    clip_vision_config=None,
     edit_image=None,
     image_guidance_scale: float = 1.5,
     fixed_noise: Optional[Dict[str, np.ndarray]] = None,
@@ -1223,6 +1258,7 @@ def _run_generate(
     tiling: bool = False,
     dynamic_threshold: Optional[float] = None,
     noise_multiplier: Optional[float] = None,
+    tome_ratio: Optional[float] = None,
     original_size: Optional[Tuple[int, int]] = None,
     crop_coords: Tuple[int, int] = (0, 0),
     target_size: Optional[Tuple[int, int]] = None,
@@ -1253,6 +1289,13 @@ def _run_generate(
         from .models.config import with_clip_skip
 
         cfg = with_clip_skip(cfg, int(clip_skip))
+    if tome_ratio is not None:
+        # ToMe token merging (ops/tome.py; the A1111 "Token merging ratio"
+        # knob) — a static graph-shape choice, so it keys a distinct
+        # compiled variant like every cfg change.
+        from .models.config import with_tome
+
+        cfg = with_tome(cfg, float(tome_ratio))
     if freeu is not None and freeu is not False:
         # FreeU decoder re-weighting (models/config.with_freeu): True =
         # published family defaults, or an explicit (b1, b2, s1, s2).
@@ -1407,6 +1450,10 @@ def _run_generate(
         # self-attention runs inside a shard_map (gathered K/V, per-shard
         # kernel — flash included; ops/attention._sp_self_attention), so
         # the pallas backend is fully usable under SP
+        if cfg.unet.tome is not None:
+            raise ValueError("ToMe token merging does not compose with "
+                             "sequence_parallel (the spatial shard_map "
+                             "needs the full token grid)")
         sp_mesh = mesh
     # ---------------------------------------------------------- inpaint mode
     # "unet9": dedicated 9-channel inpaint checkpoint (runwayml-style);
@@ -1553,6 +1600,32 @@ def _run_generate(
             raise ValueError(f"{len(a_scales)} adapter scales for "
                              f"{n_ads} t2i adapters")
 
+    use_ip = ip_adapter_image is not None
+    if use_ip:
+        # IP-Adapter image prompting (weights/ip_adapter.py): the adapter
+        # pytree rides in models["ip_adapter"], the CLIP vision tower in
+        # models["clip_vision"]; the image is CLIP-preprocessed host-side
+        # and the scale is traced.
+        from .models import clip_vision as cv_mod
+
+        if "ip_adapter" not in models:
+            raise ValueError("ip_adapter_image given but models has no "
+                             "'ip_adapter' entry "
+                             "(weights/ip_adapter.load_ip_adapter)")
+        if "clip_vision" not in models:
+            raise ValueError("ip_adapter_image given but models has no "
+                             "'clip_vision' entry "
+                             "(weights/ip_adapter.load_clip_vision)")
+        if ip2p:
+            raise ValueError("IP-Adapter does not compose with "
+                             "InstructPix2Pix")
+        ip_vis_cfg = clip_vision_config or cv_mod.vit_h14()
+        ip_img = cv_mod.preprocess(ip_adapter_image, ip_vis_cfg)
+        ip_img = np.broadcast_to(
+            ip_img, (batch,) + ip_img.shape[1:]).copy()
+    else:
+        ip_vis_cfg = None
+
     lat_shape = (batch, h_lat, w_lat, cfg.vae.latent_channels)
     use_fixed = fixed_noise is not None
     if use_fixed:
@@ -1580,6 +1653,9 @@ def _run_generate(
     if use_adapter:
         noises["adapter_hint"] = jnp.asarray(a_hint, jnp.float32)
         noises["adapter_scale"] = jnp.asarray(a_scales, jnp.float32)
+    if use_ip:
+        noises["ip_image"] = jnp.asarray(ip_img, jnp.float32)
+        noises["ip_scale"] = jnp.float32(ip_adapter_scale)
     if ip2p:
         noises["image_cfg_scale"] = jnp.float32(image_guidance_scale)
     if emphasis:
@@ -1706,7 +1782,8 @@ def _run_generate(
                             use_pag,
                             int(encode_tile) if encode_tile else None,
                             hyper, use_sag, n_and, bool(tiling),
-                            use_dyn_thresh, use_noise_mult, size_ids)
+                            use_dyn_thresh, use_noise_mult, size_ids,
+                            use_ip, ip_vis_cfg)
     if n_sched > 1:
         noises["sched_idx"] = jnp.asarray(sched_idx_arr)
     if n_and > 1:

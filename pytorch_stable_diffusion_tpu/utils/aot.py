@@ -42,7 +42,9 @@ def export_pipeline(cfg: SDConfig, models, *, n_steps: int = 50, batch: int = 1,
                     timestep_spacing: str = "uniform",
                     pag: bool = False, sag: bool = False,
                     variation: bool = False,
-                    hypernetwork=None) -> bytes:
+                    hypernetwork=None,
+                    ip_adapter: bool = False,
+                    ip_vision=None) -> bytes:
     """Serialize the full generation program for one static configuration.
 
     ``models`` supplies only shapes/dtypes for the export signature; the
@@ -89,13 +91,23 @@ def export_pipeline(cfg: SDConfig, models, *, n_steps: int = 50, batch: int = 1,
     if hypernetwork is not None and "hypernetwork" not in models:
         raise ValueError("hypernetwork metadata given but models has no "
                          "'hypernetwork' entry")
+    if ip_adapter:
+        if "ip_adapter" not in models or "clip_vision" not in models:
+            raise ValueError("ip_adapter=True needs models['ip_adapter'] "
+                             "and models['clip_vision']")
+        if ip_vision is None:
+            from ..models import clip_vision as _cv
+
+            ip_vision = _cv.vit_h14()
     run = _compiled_txt2img(cfg, n_steps, do_cfg, batch, h_lat, w_lat,
                             img2img, False, False, sampler, float(ddim_eta),
                             decode_tile, None, inpaint, use_control,
                             use_adapter, ip2p,
                             float(guidance_rescale), timestep_spacing,
                             emphasis, variation=variation, pag=pag,
-                            hyper=hypernetwork, sag=sag)
+                            hyper=hypernetwork, sag=sag,
+                            use_ip=ip_adapter,
+                            ip_vision=ip_vision if ip_adapter else None)
 
     aux = {"latent_init": jnp.zeros((1,), jnp.float32)}
     if inpaint is not None:
@@ -127,6 +139,10 @@ def export_pipeline(cfg: SDConfig, models, *, n_steps: int = 50, batch: int = 1,
         aux["variation_strength"] = jnp.float32(0.0)
     if hypernetwork is not None:
         aux["hyper_strength"] = jnp.float32(1.0)
+    if ip_adapter:
+        s = ip_vision.image_size
+        aux["ip_image"] = jnp.zeros((batch, s, s, 3), jnp.float32)
+        aux["ip_scale"] = jnp.float32(1.0)
     args = (
         models,
         jnp.zeros((batch, cfg.clip.max_len), jnp.int32),
@@ -185,7 +201,8 @@ class LoadedPipeline:
                  image_cfg_scale=1.5,
                  cond_weights=None, uncond_weights=None,
                  pag_scale=1.0, sag_scale=1.0, variation_seed=0,
-                 variation_strength=0.0, hypernetwork_strength=1.0):
+                 variation_strength=0.0, hypernetwork_strength=1.0,
+                 ip_image=None, ip_scale=1.0):
         """``input_image``: (batch, H, W, 3) float32 in [-1, 1] for an
         img2img artifact — or ready (batch, h_lat, w_lat, C) latents for
         an ``img2img="latent"`` artifact (ignored — and zero-filled — for
@@ -241,6 +258,14 @@ class LoadedPipeline:
             aux["variation_strength"] = jnp.float32(variation_strength)
         if "hyper_strength" in shapes:
             aux["hyper_strength"] = jnp.float32(hypernetwork_strength)
+        if "ip_image" in shapes:
+            # IP-Adapter artifact: CLIP-preprocessed image prompt
+            # (models/clip_vision.preprocess output, broadcast to batch)
+            if ip_image is None:
+                raise ValueError("this artifact needs ip_image")
+            aux["ip_image"] = jnp.asarray(ip_image, jnp.float32) \
+                .reshape(shapes["ip_image"])
+            aux["ip_scale"] = jnp.float32(ip_scale)
         out = self._exported.call(
             models, jnp.asarray(cond_tokens, jnp.int32),
             jnp.asarray(uncond_tokens, jnp.int32), key,

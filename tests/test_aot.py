@@ -408,3 +408,47 @@ def test_export_t2i_adapter_roundtrip(tiny_cfg, tiny_models, tiny_tokenizer):
                        adapter_hint=(hint_u8 / 255.0)[None],
                        adapter_scale=0.7)
     np.testing.assert_array_equal(images[0], live)
+
+
+def test_export_ip_adapter_roundtrip(tiny_cfg, tiny_models, tiny_tokenizer):
+    """IP-Adapter exports: the CLIP-preprocessed image prompt + traced
+    scale ride the aux dict and the artifact bit-matches the live
+    pipeline."""
+    from pytorch_stable_diffusion_tpu.models import clip_vision as cv
+    from pytorch_stable_diffusion_tpu.weights import ip_adapter as ipw
+    from tests.test_ip_adapter import _synthetic_ip_state
+
+    vis_cfg = cv.tiny_vision_config()
+    vision = cv.init(jax.random.PRNGKey(21), vis_cfg)
+    adapter = ipw.convert_ip_adapter(
+        _synthetic_ip_state(tiny_cfg.unet, embed_dim=vis_cfg.proj_dim,
+                            seed=13), tiny_cfg.unet)
+    models = dict(tiny_models, ip_adapter=adapter, clip_vision=vision)
+
+    blob = aot.export_pipeline(tiny_cfg, models, n_steps=N_STEPS,
+                               height=H, width=W, ip_adapter=True,
+                               ip_vision=vis_cfg)
+    loaded = aot.load_pipeline(blob)
+    assert {"ip_image", "ip_scale"} <= set(loaded.aux_keys)
+
+    rng = np.random.RandomState(11)
+    img_u8 = rng.randint(0, 256, size=(vis_cfg.image_size,
+                                       vis_cfg.image_size, 3)) \
+        .astype(np.uint8)
+
+    import pytorch_stable_diffusion_tpu as sdt
+
+    live = sdt.generate("a cat", "", models=models, tokenizer=tiny_tokenizer,
+                        seed=5, n_inference_steps=N_STEPS, config=tiny_cfg,
+                        height=H, width=W, ip_adapter_image=img_u8,
+                        ip_adapter_scale=0.8, clip_vision_config=vis_cfg)
+
+    toks = np.asarray([tiny_tokenizer.encode("a cat")], np.int32)
+    un = np.asarray([tiny_tokenizer.encode("")], np.int32)
+    images, _ = loaded(models, toks, un, jax.random.PRNGKey(5), 7.5,
+                       ip_image=cv.preprocess(img_u8, vis_cfg),
+                       ip_scale=0.8)
+    np.testing.assert_array_equal(images[0], live)
+
+    with pytest.raises(ValueError, match="ip_image"):
+        loaded(models, toks, un, jax.random.PRNGKey(5), 7.5)

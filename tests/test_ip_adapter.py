@@ -1,0 +1,267 @@
+"""IP-Adapter (Ye et al. 2023) — image-prompt conditioning.
+
+No reference analog (text-only conditioning); semantics follow the
+published h94/IP-Adapter checkpoints + diffusers:
+
+  * CLIP vision tower: oracle-tested against an EXECUTED transformers
+    ``CLIPVisionModelWithProjection`` with random weights,
+  * decoupled cross-attention: oracle-tested against a torch
+    re-implementation of the IPAttnProcessor contract
+    (out_proj applied AFTER text-attn + scale * image-attn),
+  * converter: exact key coverage, layer-count spec equals the published
+    checkpoints (16 cross-attn layers for SD-1.5, 70 for SDXL),
+  * pipeline: scale 0 reproduces the no-adapter output; scale > 0 steers.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import pytorch_stable_diffusion_tpu as sdt
+from pytorch_stable_diffusion_tpu.models import clip_vision as cv
+from pytorch_stable_diffusion_tpu.models.config import (UNetConfig,
+                                                        sdxl_config)
+from pytorch_stable_diffusion_tpu.ops import attention
+from pytorch_stable_diffusion_tpu.weights import ip_adapter as ipw
+
+
+# ----------------------------------------------------------- vision tower
+@pytest.fixture(scope="module")
+def hf_vision():
+    torch = pytest.importorskip("torch")
+    from transformers import CLIPVisionConfig as HFCfg
+    from transformers import CLIPVisionModelWithProjection
+
+    cfg = cv.tiny_vision_config()
+    hf_cfg = HFCfg(hidden_size=cfg.width, intermediate_size=cfg.d_ff,
+                   num_hidden_layers=cfg.n_layers,
+                   num_attention_heads=cfg.n_heads,
+                   image_size=cfg.image_size, patch_size=cfg.patch_size,
+                   projection_dim=cfg.proj_dim, hidden_act="gelu")
+    torch.manual_seed(7)
+    model = CLIPVisionModelWithProjection(hf_cfg).eval()
+    return torch, cfg, model
+
+
+def test_clip_vision_matches_transformers(hf_vision):
+    torch, cfg, model = hf_vision
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params = ipw.convert_clip_vision(sd, cfg)
+    pixels = np.random.RandomState(0).randn(
+        2, cfg.image_size, cfg.image_size, 3).astype(np.float32)
+    ours = np.asarray(cv.apply_projected(params, jnp.asarray(pixels), cfg))
+    with torch.no_grad():
+        theirs = model(torch.tensor(pixels).permute(0, 3, 1, 2)).image_embeds
+    np.testing.assert_allclose(ours, theirs.numpy(), rtol=2e-4, atol=2e-5)
+
+
+def test_clip_vision_penultimate_matches_transformers(hf_vision):
+    torch, cfg, model = hf_vision
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params = ipw.convert_clip_vision(sd, cfg)
+    pixels = np.random.RandomState(1).randn(
+        1, cfg.image_size, cfg.image_size, 3).astype(np.float32)
+    ours = np.asarray(cv.apply(params, jnp.asarray(pixels), cfg,
+                               stop_at_layer=cfg.n_layers - 1))
+    with torch.no_grad():
+        hs = model(torch.tensor(pixels).permute(0, 3, 1, 2),
+                   output_hidden_states=True).hidden_states[-2]
+    np.testing.assert_allclose(ours, hs.numpy(), rtol=2e-4, atol=2e-5)
+
+
+def test_preprocess_shapes_and_range():
+    cfg = cv.tiny_vision_config()
+    img = (np.random.RandomState(0).rand(cfg.image_size, cfg.image_size, 3)
+           * 255).astype(np.uint8)
+    out = cv.preprocess(img, cfg)
+    assert out.shape == (1, cfg.image_size, cfg.image_size, 3)
+    # normalization round-trips: out * std + mean must be the [0,1] image
+    back = out[0] * cv.CLIP_STD + cv.CLIP_MEAN
+    np.testing.assert_allclose(back, img / 255.0, atol=1e-6)
+
+
+# ----------------------------------------------- decoupled cross-attention
+def test_decoupled_attention_matches_torch_oracle():
+    torch = pytest.importorskip("torch")
+    rs = np.random.RandomState(3)
+    B, S, D, d_ctx, n_ip, heads = 2, 6, 16, 12, 4, 4
+    p = attention.init(jax.random.PRNGKey(0), heads, D, d_cross=d_ctx,
+                       in_bias=False)
+    ipp = {"k": {"kernel": jnp.asarray(rs.randn(d_ctx, D), jnp.float32)},
+           "v": {"kernel": jnp.asarray(rs.randn(d_ctx, D), jnp.float32)}}
+    x = rs.randn(B, S, D).astype(np.float32)
+    ctx = rs.randn(B, 8, d_ctx).astype(np.float32)
+    ip_tok = rs.randn(B, n_ip, d_ctx).astype(np.float32)
+    scale = 0.7
+    ours = np.asarray(attention.apply(
+        p, jnp.asarray(x), jnp.asarray(ctx), n_heads=heads,
+        ip=(ipp, jnp.asarray(ip_tok), jnp.float32(scale))))
+
+    # torch oracle: the IPAttnProcessor contract — q/out shared, separate
+    # bias-free k/v for the image tokens, sum BEFORE to_out
+    def t(a):
+        return torch.tensor(np.asarray(a, np.float32))
+
+    def heads_split(v):
+        return v.reshape(v.shape[0], v.shape[1], heads, -1).transpose(1, 2)
+
+    with torch.no_grad():
+        q = heads_split(t(x) @ t(p["q"]["kernel"]))
+        k = heads_split(t(ctx) @ t(p["k"]["kernel"]))
+        v = heads_split(t(ctx) @ t(p["v"]["kernel"]))
+        a_txt = torch.nn.functional.scaled_dot_product_attention(q, k, v)
+        k_ip = heads_split(t(ip_tok) @ t(ipp["k"]["kernel"]))
+        v_ip = heads_split(t(ip_tok) @ t(ipp["v"]["kernel"]))
+        a_ip = torch.nn.functional.scaled_dot_product_attention(q, k_ip, v_ip)
+        merged = (a_txt + scale * a_ip).transpose(1, 2).reshape(B, S, D)
+        want = merged @ t(p["out"]["kernel"]) + t(p["out"]["bias"])
+    np.testing.assert_allclose(ours, want.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_ip_scale_zero_is_plain_cross_attention():
+    rs = np.random.RandomState(4)
+    p = attention.init(jax.random.PRNGKey(1), 2, 8, d_cross=8, in_bias=False)
+    ipp = {"k": {"kernel": jnp.asarray(rs.randn(8, 8), jnp.float32)},
+           "v": {"kernel": jnp.asarray(rs.randn(8, 8), jnp.float32)}}
+    x = jnp.asarray(rs.randn(1, 5, 8), jnp.float32)
+    ctx = jnp.asarray(rs.randn(1, 3, 8), jnp.float32)
+    tok = jnp.asarray(rs.randn(1, 2, 8), jnp.float32)
+    base = attention.apply(p, x, ctx, n_heads=2)
+    with_ip = attention.apply(p, x, ctx, n_heads=2,
+                              ip=(ipp, tok, jnp.float32(0.0)))
+    np.testing.assert_allclose(np.asarray(with_ip), np.asarray(base),
+                               rtol=1e-6, atol=1e-7)
+
+
+# ----------------------------------------------------------- layer plans
+def test_sd15_plan_matches_published_checkpoint_layout():
+    plan = ipw.ip_layer_plan(UNetConfig())
+    # h94 ip-adapter_sd15: 16 cross-attn layers, integer keys 1..31 odd;
+    # order down (6), up (9), mid (1)
+    assert len(plan) == 16
+    assert sum(k.startswith("enc") for k in plan) == 6
+    assert sum(k.startswith("dec") for k in plan) == 9
+    assert plan[-1] == "mid_0"
+    assert plan[0].startswith("enc")
+    assert plan[6].startswith("dec")
+
+
+def test_sdxl_plan_has_70_layers():
+    # h94 ip-adapter_sdxl: 140 to_{k,v}_ip tensors = 70 cross-attn layers
+    plan = ipw.ip_layer_plan(sdxl_config().unet)
+    assert len(plan) == 70
+    assert sum(k.startswith("mid") for k in plan) == 10
+
+
+def _synthetic_ip_state(cfg: UNetConfig, n_tok=4, embed_dim=24, seed=0,
+                        flat=False):
+    from pytorch_stable_diffusion_tpu.models import unet as unet_mod
+
+    rs = np.random.RandomState(seed)
+    d_ctx = cfg.d_context
+    proj = {"proj.weight": rs.randn(n_tok * d_ctx, embed_dim)
+            .astype(np.float32),
+            "proj.bias": rs.randn(n_tok * d_ctx).astype(np.float32),
+            "norm.weight": rs.randn(d_ctx).astype(np.float32),
+            "norm.bias": rs.randn(d_ctx).astype(np.float32)}
+    # channel width per plan layer, derived from the stage plans
+    widths = {}
+    for i, st in enumerate(unet_mod.encoder_plan(cfg)[1:]):
+        if st["kind"] == "block" and st["attn"]:
+            widths.update({f"enc_{i}_{li}": st["c_out"]
+                           for li in range(st["depth"])})
+    for i, st in enumerate(unet_mod.decoder_plan(cfg)):
+        if st["attn"]:
+            widths.update({f"dec_{i}_{li}": st["c_out"]
+                           for li in range(st["depth"])})
+    widths.update({f"mid_{li}": cfg.level_channels[-1]
+                   for li in range(cfg.depth_for(len(cfg.ch_mults) - 1))})
+    ada = {}
+    for j, key in enumerate(ipw.ip_layer_plan(cfg)):
+        c = widths[key]
+        ada[f"{2 * j + 1}.to_k_ip.weight"] = rs.randn(c, d_ctx) \
+            .astype(np.float32)
+        ada[f"{2 * j + 1}.to_v_ip.weight"] = rs.randn(c, d_ctx) \
+            .astype(np.float32)
+    if flat:
+        out = {f"image_proj.{k}": v for k, v in proj.items()}
+        out.update({f"ip_adapter.{k}": v for k, v in ada.items()})
+        return out
+    return {"image_proj": proj, "ip_adapter": ada}
+
+
+def test_converter_coverage_and_shapes(tiny_cfg):
+    cfg = tiny_cfg.unet
+    state = _synthetic_ip_state(cfg)
+    params = ipw.convert_ip_adapter(state, cfg)
+    assert set(params["layers"]) == set(ipw.ip_layer_plan(cfg))
+    assert ipw.num_image_tokens(params, cfg) == 4
+    for lay in params["layers"].values():
+        assert lay["k"]["kernel"].shape[0] == cfg.d_context
+        assert "bias" not in lay["k"]
+    # flat (.safetensors) layout converts identically
+    flat = ipw.convert_ip_adapter(_synthetic_ip_state(cfg, flat=True), cfg)
+    np.testing.assert_array_equal(flat["image_proj"]["proj"]["kernel"],
+                                  params["image_proj"]["proj"]["kernel"])
+
+
+def test_converter_rejects_plus_and_mismatch(tiny_cfg):
+    cfg = tiny_cfg.unet
+    state = _synthetic_ip_state(cfg)
+    state["image_proj"] = {"latents": np.zeros((4, 8), np.float32)}
+    with pytest.raises(ValueError, match="plus"):
+        ipw.convert_ip_adapter(state, cfg)
+    state = _synthetic_ip_state(cfg)
+    first = sorted(state["ip_adapter"])[0]
+    state["ip_adapter"].pop(first)
+    with pytest.raises(ValueError):
+        ipw.convert_ip_adapter(state, cfg)
+
+
+# -------------------------------------------------------------- pipeline
+@pytest.fixture(scope="module")
+def ip_fixture(tiny_cfg):
+    vis_cfg = cv.tiny_vision_config()
+    vision = cv.init(jax.random.PRNGKey(11), vis_cfg)
+    adapter = ipw.convert_ip_adapter(
+        _synthetic_ip_state(tiny_cfg.unet, embed_dim=vis_cfg.proj_dim,
+                            seed=5), tiny_cfg.unet)
+    img = (np.random.RandomState(9).rand(
+        vis_cfg.image_size, vis_cfg.image_size, 3) * 255).astype(np.uint8)
+    return vis_cfg, vision, adapter, img
+
+
+def _gen(tiny_cfg, tiny_models, tiny_tokenizer, extra_models, **kw):
+    models = dict(tiny_models, **extra_models)
+    return sdt.generate("a photo of a dog", models=models,
+                        tokenizer=tiny_tokenizer, config=tiny_cfg,
+                        height=16, width=16, n_inference_steps=2,
+                        seed=3, return_latents=True, **kw)
+
+
+def test_pipeline_ip_adapter_steers(tiny_cfg, tiny_models, tiny_tokenizer,
+                                    ip_fixture):
+    vis_cfg, vision, adapter, img = ip_fixture
+    base_img, base_lat = _gen(tiny_cfg, tiny_models, tiny_tokenizer, {})
+    extra = {"ip_adapter": adapter, "clip_vision": vision}
+    z_img, z_lat = _gen(tiny_cfg, tiny_models, tiny_tokenizer, extra,
+                        ip_adapter_image=img, ip_adapter_scale=0.0,
+                        clip_vision_config=vis_cfg)
+    # scale 0: the decoupled branch contributes exactly nothing
+    np.testing.assert_allclose(z_lat, base_lat, rtol=1e-5, atol=1e-6)
+    s_img, s_lat = _gen(tiny_cfg, tiny_models, tiny_tokenizer, extra,
+                        ip_adapter_image=img, ip_adapter_scale=1.0,
+                        clip_vision_config=vis_cfg)
+    assert np.abs(s_lat - base_lat).max() > 1e-4
+    assert s_img.shape == base_img.shape
+
+
+def test_pipeline_ip_requires_models(tiny_cfg, tiny_models, tiny_tokenizer,
+                                     ip_fixture):
+    vis_cfg, vision, _, img = ip_fixture
+    with pytest.raises(ValueError, match="ip_adapter"):
+        _gen(tiny_cfg, tiny_models, tiny_tokenizer,
+             {"clip_vision": vision}, ip_adapter_image=img,
+             clip_vision_config=vis_cfg)
