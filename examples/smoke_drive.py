@@ -85,7 +85,7 @@ img_hn = sd_hn.txt2img("a cat", seed=1, n_inference_steps=2, height=16,
                        width=16)
 print("hypernetwork txt2img:", img_hn.shape, "differs:",
       bool((img_hn != img).any()), flush=True)
-for _s in ("lms", "dpm2_a", "dpm++_2s_a"):
+for _s in ("lms", "dpm2_a", "dpm++_2s_a", "dpm_fast", "dpm_adaptive"):
     img_s = sd.txt2img("a cat", seed=1, n_inference_steps=3, height=16,
                        width=16, sampler_name=_s)
     print(f"{_s} txt2img:", img_s.shape, flush=True)
@@ -177,3 +177,9 @@ img_tm = sdt.StableDiffusion(models, tok, _wt(cfg, 0.5, min_tokens=16)) \
     .txt2img("a cat", seed=1, n_inference_steps=2, height=16, width=16)
 print("tome txt2img:", img_tm.shape, "differs:", bool((img_tm != img).any()),
       flush=True)
+# reference-only guidance (capture/read self-attention banking)
+img_ref = sd.txt2img("a cat", seed=1, n_inference_steps=2, height=16,
+                     width=16, reference_image=_ipimg,
+                     reference_fidelity=0.5)
+print("reference-only txt2img:", img_ref.shape, "differs:",
+      bool((img_ref != img).any()), flush=True)

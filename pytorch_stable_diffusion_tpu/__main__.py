@@ -141,6 +141,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="A1111 CLIP-skip: 1 = family default; each "
                         "increment conditions one text-encoder layer "
                         "earlier (2 = penultimate on SD-1.x)")
+    p.add_argument("--reference-image", default=None, metavar="PATH",
+                   help="reference-only guidance (the A1111 ControlNet "
+                        "'reference' preprocessor, no weights needed): "
+                        "self-attention attends over this image's "
+                        "features")
+    p.add_argument("--reference-fidelity", type=float, default=0.5,
+                   help="style fidelity (0 = reference everywhere, 1 = "
+                        "uncond lane stays plain; A1111 default 0.5)")
     p.add_argument("--tome-ratio", type=float, default=None,
                    help="ToMe token merging ratio (A1111 'Token merging "
                         "ratio'; ~0.5 typical — approximate speedup, "
@@ -341,6 +349,12 @@ def main(argv=None) -> int:
                              f"{len(a_imgs)} --t2i-adapter")
         kw["adapter_image"] = a_imgs if len(a_imgs) > 1 else a_imgs[0]
         kw["adapter_scale"] = a_scales if len(a_scales) > 1 else a_scales[0]
+    if args.reference_image:
+        from PIL import Image
+
+        kw["reference_image"] = Image.open(args.reference_image) \
+            .convert("RGB")
+        kw["reference_fidelity"] = args.reference_fidelity
     if args.ip_adapter_image:
         from PIL import Image
 

@@ -186,6 +186,59 @@ def apply_projected(params, pixels, cfg: CLIPVisionConfig,
     return jnp.dot(pooled, params["projection"].astype(pooled.dtype))
 
 
+def apply_resampler(p, x, policy: Policy = FP32, dim_head: int = 64):
+    """IP-Adapter-plus perceiver ``Resampler`` (tencent IPAdapter
+    resampler.py): ``num_queries`` learned latents cross-attend to the
+    CLIP vision PENULTIMATE hidden states (not the projected embedding)
+    over ``depth`` attention+FF layers.
+
+    x: (B, S, embedding_dim) -> (B, num_queries, output_dim).
+
+    Per layer (PerceiverAttention): LN(x), LN(latents); q from latents,
+    k/v from concat([x, latents]) through ONE fused to_kv (all bias-free);
+    scale q and k each by dim_head**-0.25 (== the standard 1/sqrt(dh)),
+    fp32 softmax; FeedForward = LN -> Linear -> exact GELU -> Linear
+    (bias-free).  Then proj_out + norm_out.
+
+    ``dim_head`` is not recorded in the checkpoints; 64 is the published
+    constant for every released IP-Adapter-plus (heads = inner_dim / 64,
+    derived from the to_q shape — a static trace-time fact).
+    """
+    b = x.shape[0]
+    n_heads = p["layers"][0]["q"]["kernel"].shape[1] // dim_head
+    if n_heads < 1:
+        raise ValueError(f"resampler inner dim "
+                         f"{p['layers'][0]['q']['kernel'].shape[1]} < "
+                         f"dim_head {dim_head}")
+    lat = jnp.broadcast_to(p["latents"].astype(x.dtype),
+                           (b,) + p["latents"].shape)
+    x = linear.apply(p["proj_in"], x, policy)
+    for lp in p["layers"]:
+        xn = norm.layer_norm(lp["ln_x"], x, policy=policy)
+        ln = norm.layer_norm(lp["ln_lat"], lat, policy=policy)
+        q = linear.apply(lp["q"], ln, policy)
+        kv = linear.apply(lp["kv"], jnp.concatenate([xn, ln], axis=1),
+                          policy)
+        k, v = jnp.split(kv, 2, axis=-1)
+
+        def heads(t):
+            return t.reshape(b, t.shape[1], n_heads, -1).transpose(0, 2, 1, 3)
+
+        dh = q.shape[-1] // n_heads
+        s = jnp.einsum("bhqd,bhkd->bhqk", heads(q), heads(k),
+                       preferred_element_type=jnp.float32) / dh**0.5
+        w = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(q.dtype)
+        o = jnp.einsum("bhqk,bhkd->bhqd", w, heads(v))
+        o = o.transpose(0, 2, 1, 3).reshape(b, q.shape[1], -1)
+        lat = lat + linear.apply(lp["out"], o, policy)
+        f = norm.layer_norm(lp["ff_ln"], lat, policy=policy)
+        f = linear.apply(lp["ff1"], f, policy)
+        f = jax.nn.gelu(f, approximate=False)
+        lat = lat + linear.apply(lp["ff2"], f, policy)
+    out = linear.apply(p["proj_out"], lat, policy)
+    return norm.layer_norm(p["norm_out"], out, policy=policy)
+
+
 def project_image_tokens(proj_params, embed, d_context: int,
                          policy: Policy = FP32):
     """IP-Adapter ``ImageProjModel``: global image embedding (B, proj_dim)

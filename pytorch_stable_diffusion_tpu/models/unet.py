@@ -236,7 +236,8 @@ def apply_attn_block(p, x, context, n_heads: int, groups: int, policy: Policy,
                      *, backend: str = "xla", reference_quirks: bool = False,
                      fuse_qkv: bool = True, quant: str = "none",
                      sp_mesh=None, pag_self_attn: bool = False,
-                     return_self_probs: bool = False, ip=None, tome=None):
+                     return_self_probs: bool = False, ip=None, tome=None,
+                     ref=None, ref_key: str = None):
     """diffusion.py:212-381.
 
     The whole block runs in flattened (B, HW, C) form — one reshape at each
@@ -292,6 +293,37 @@ def apply_attn_block(p, x, context, n_heads: int, groups: int, policy: Policy,
                                 backend=backend, policy=policy,
                                 fuse=fuse_qkv, quant=quant)
             y = y + tome_mod.unmerge(a, t_info)
+        elif ref is not None:
+            # reference-only attention (the A1111 ControlNet "reference"
+            # preprocessor): "capture" banks this layer's pre-attention
+            # hidden states; "read" attends over [own, banked reference]
+            # tokens, with style_fidelity lerping the masked lanes
+            # (uncond, under CFG) back toward plain self-attention
+            mode, bank = ref[0], ref[1]
+            lkey = f"{ref_key}_{li}"
+            if mode == "capture":
+                bank[lkey] = t
+                y = y + attention.apply(lp["self_attn"], t,
+                                        n_heads=n_heads, backend=backend,
+                                        policy=policy, fuse=fuse_qkv,
+                                        quant=quant)
+            else:
+                _, _, fidelity, plain_mask = ref
+                t_kv = jnp.concatenate([t, bank[lkey].astype(t.dtype)],
+                                       axis=1)
+                a_ref = attention.apply(lp["self_attn"], t, t_kv,
+                                        n_heads=n_heads, backend=backend,
+                                        policy=policy, fuse=False,
+                                        quant=quant)
+                if plain_mask is not None:
+                    a_plain = attention.apply(
+                        lp["self_attn"], t, n_heads=n_heads,
+                        backend=backend, policy=policy, fuse=fuse_qkv,
+                        quant=quant)
+                    mix = (fidelity * plain_mask)[:, None, None] \
+                        .astype(a_ref.dtype)
+                    a_ref = a_plain * mix + a_ref * (1.0 - mix)
+                y = y + a_ref
         else:
             y = y + attention.apply(lp["self_attn"], t, n_heads=n_heads,
                                     backend=backend, policy=policy,
@@ -412,7 +444,7 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
           add_cond: Optional[jax.Array] = None, control=None,
           adapter=None, t_cond: Optional[jax.Array] = None,
           return_cache: bool = False, cache=None, pag: bool = False,
-          return_mid_attn: bool = False, ip=None):
+          return_mid_attn: bool = False, ip=None, ref=None):
     """latents: (B, h, w, in_ch); context: (B, S, d_context); t: scalar timestep.
 
     Returns predicted noise (B, h, w, out_ch).
@@ -488,7 +520,8 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
                                  reference_quirks=reference_quirks,
                                  fuse_qkv=fuse_qkv, quant=quant,
                                  sp_mesh=sp_mesh, tome=cfg.tome,
-                                 ip=ip_for(ip_key, stage["attn"]))
+                                 ip=ip_for(ip_key, stage["attn"]),
+                                 ref=ref, ref_key=ip_key)
         return x
 
     dec_per_level = cfg.num_res_blocks + 1
@@ -527,7 +560,8 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
                 cfg.groups, policy, backend=attention_backend,
                 reference_quirks=reference_quirks, fuse_qkv=fuse_qkv,
                 quant=quant, pag_self_attn=pag, return_self_probs=True,
-                tome=cfg.tome, ip=ip_for("mid", mid["attn"]))
+                tome=cfg.tome, ip=ip_for("mid", mid["attn"]),
+                ref=ref, ref_key="mid")
         else:
             x = apply_attn_block(mid["attn"], x, context,
                                  cfg.heads_for(x.shape[-1]), cfg.groups,
@@ -536,7 +570,8 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
                                  fuse_qkv=fuse_qkv, quant=quant,
                                  sp_mesh=sp_mesh, pag_self_attn=pag,
                                  tome=cfg.tome,
-                                 ip=ip_for("mid", mid["attn"]))
+                                 ip=ip_for("mid", mid["attn"]),
+                                 ref=ref, ref_key="mid")
         x = apply_res_block(mid["res2"], x, t_emb, cfg.groups, policy,
                             backend=attention_backend, quant=quant)
         if adapter is not None and ad_mid is not None:

@@ -45,12 +45,15 @@ from .models import unet as unet_mod
 from .models import vae as vae_mod
 from .models.config import SDConfig, sd15_config
 from . import prompt_schedule
-from .sampling import (ddim, ddpm, dpm, dpm2, euler, lcm, lms, pndm,
+from .sampling import (ddim, ddpm, dpm, dpm2,
+                       dpm_adaptive as dpm_adaptive_mod,
+                       dpm_fast as dpm_fast_mod,
+                       euler, lcm, lms, pndm,
                        restart as restart_mod, unipc)
 
 SAMPLERS = ("ddpm", "ddim", "dpm++", "dpm++_sde", "dpm++_3m_sde",
             "dpm++_2s_a", "euler", "euler_a", "heun", "unipc", "lcm", "plms",
-            "lms", "dpm2", "dpm2_a", "restart")
+            "lms", "dpm2", "dpm2_a", "restart", "dpm_fast", "dpm_adaptive")
 
 # --------------------------------------------------------------- tokenizing
 def _encode_tokens(tokenizer, prompts, max_len: int) -> np.ndarray:
@@ -243,7 +246,8 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                       noise_multiplier: bool = False,
                       size_ids: Optional[Tuple[float, ...]] = None,
                       use_ip: bool = False,
-                      ip_vision=None):
+                      ip_vision=None,
+                      use_ref: bool = False):
     """Build + jit the full generate computation for one static shape.
 
     ``fixed_noise=True`` compiles a variant whose latent-init / encoder /
@@ -356,6 +360,18 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
         # (sampling/restart.py); the pipeline grid is used only for the
         # strength->entry mapping
         restart_plan = restart_mod.build_plan(schedule, n_steps)
+    fast_plan = None
+    if sampler == "dpm_fast":
+        # DPM fast builds its own t-space segment grid over the FULL
+        # training sigma range (sampling/dpm_fast.py); the pipeline grid
+        # is used only for the strength->entry mapping
+        if timestep_spacing != "uniform":
+            raise ValueError("sampler 'dpm_fast' defines its own t-space "
+                             "grid; timestep_spacing must be 'uniform'")
+        fast_plan = dpm_fast_mod.build_plan(schedule, n_steps)
+    if sampler == "dpm_adaptive" and timestep_spacing != "uniform":
+        raise ValueError("sampler 'dpm_adaptive' chooses its own steps "
+                         "adaptively; timestep_spacing must be 'uniform'")
     timesteps = jnp.asarray(ts_np)
     # explicit next-step timestep per index (-1 past the end): identical to
     # the samplers' internal t - T//n on the uniform grid, required for the
@@ -528,15 +544,29 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
             from .models import clip_vision as cv_mod
 
             ipp = params["ip_adapter"]
-            embed = cv_mod.apply_projected(
-                params["clip_vision"],
-                noises["ip_image"].astype(policy.compute_dtype),
-                ip_vision, policy)
-            cond_ip = cv_mod.project_image_tokens(
-                ipp["image_proj"], embed, cfg.unet.d_context, policy)
-            uncond_ip = cv_mod.project_image_tokens(
-                ipp["image_proj"], jnp.zeros_like(embed),
-                cfg.unet.d_context, policy)
+            ip_px = noises["ip_image"].astype(policy.compute_dtype)
+            if "latents" in ipp["image_proj"]:
+                # IP-Adapter-plus: the perceiver Resampler consumes the
+                # PENULTIMATE vision hidden states; the negative lane runs
+                # a zero image through the same path (diffusers
+                # encode_image with output_hidden_states)
+                def _plus_tokens(px):
+                    h = cv_mod.apply(params["clip_vision"], px, ip_vision,
+                                     policy,
+                                     stop_at_layer=ip_vision.n_layers - 1)
+                    return cv_mod.apply_resampler(ipp["image_proj"], h,
+                                                  policy)
+
+                cond_ip = _plus_tokens(ip_px)
+                uncond_ip = _plus_tokens(jnp.zeros_like(ip_px))
+            else:
+                embed = cv_mod.apply_projected(params["clip_vision"],
+                                               ip_px, ip_vision, policy)
+                cond_ip = cv_mod.project_image_tokens(
+                    ipp["image_proj"], embed, cfg.unet.d_context, policy)
+                uncond_ip = cv_mod.project_image_tokens(
+                    ipp["image_proj"], jnp.zeros_like(embed),
+                    cfg.unet.d_context, policy)
             ip_tokens = jnp.concatenate([cond_ip] * n_and + [uncond_ip],
                                         axis=0) if do_cfg else cond_ip
             ip_arg = (ipp["layers"], ip_tokens, noises["ip_scale"])
@@ -582,11 +612,15 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
             else all_step_noises("sampler")
 
         lat0 = None
-        # restart: the state enters the (reduced) restart grid, so
+        # restart / dpm_fast: the state enters the sampler's OWN grid, so
         # img2img must noise to ITS entry timestep, not the
         # pipeline grid's
-        entry_ts = jnp.asarray(restart_plan["start_t"]) \
-            if restart_plan is not None else timesteps
+        if restart_plan is not None:
+            entry_ts = jnp.asarray(restart_plan["start_t"])
+        elif fast_plan is not None:
+            entry_ts = jnp.asarray(fast_plan["start_t"])
+        else:
+            entry_ts = timesteps
         if img2img == "latent":
             # init_image slot carries ready latents in the model's scaled
             # latent space (e.g. a base pass's output for hires-fix or a
@@ -705,6 +739,25 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
         else:
             adapter_lanes = adapter_feats = None
 
+        if use_ref:
+            # reference-only guidance (the A1111 ControlNet "reference"
+            # preprocessor, attn mode): VAE-encode the reference image
+            # ONCE; every step re-noises it to the current timestep, runs
+            # a capture UNet pass banking each self-attention's hidden
+            # states, and the main pass attends over [own, reference]
+            # tokens.  style_fidelity (traced) lerps the uncond lanes
+            # back toward plain self-attention.
+            r_noise = draw("ref_encoder")
+            ref_lat0 = vae_mod.apply_encoder(
+                params["encoder"], noises["ref_image"], r_noise, cfg.vae,
+                policy, attention_backend=cfg.vae_attention_backend,
+                reference_quirks=cfg.reference_quirks).astype(jnp.float32)
+            ref_step_noises = all_step_noises("ref_noise")
+            ref_lanes = 2 if do_cfg else 1
+            ref_plain_mask = jnp.concatenate(
+                [jnp.zeros((batch,), jnp.float32),
+                 jnp.ones((batch,), jnp.float32)]) if do_cfg else None
+
         if sp_mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as _P
 
@@ -780,6 +833,26 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                 fuse_qkv=cfg.fuse_qkv, quant=cfg.quant, sp_mesh=sp_mesh,
                 add_cond=add_c, control=control, adapter=adapter_lanes,
                 t_cond=t_cond, ip=ip_arg)
+            if use_ref:
+                # capture pass: an independent diffusion of the reference
+                # (no ControlNet/adapter residuals); its banked hidden
+                # states feed the main pass's [own, ref] self-attention.
+                # XLA dead-code-eliminates the capture pass's unused tail.
+                rn = ddpm.add_noise(
+                    schedule, ref_lat0, t,
+                    ref_step_noises[jnp.minimum(step_i, n_steps - 1)])
+                ref_in = jnp.concatenate(
+                    [rn.astype(policy.compute_dtype)] * ref_lanes, axis=0)
+                bank = {}
+                unet_mod.apply(params["diffusion"], ref_in, ctx, t,
+                               cfg.unet, policy,
+                               attention_backend=cfg.attention_backend,
+                               reference_quirks=cfg.reference_quirks,
+                               fuse_qkv=cfg.fuse_qkv, quant=cfg.quant,
+                               sp_mesh=sp_mesh, add_cond=add_c,
+                               t_cond=t_cond, ref=("capture", bank))
+                unet_kw["ref"] = ("read", bank, noises["ref_fidelity"],
+                                  ref_plain_mask)
             mid_probs = None
             if deepcache is None:
                 if sag:
@@ -1107,6 +1180,89 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
             latents, _ = jax.lax.fori_loop(
                 op_start_a[start_step], n_ops, body,
                 (latents.astype(jnp.float32), dc0))
+        elif sampler == "dpm_fast":
+            # DPM fast (sampling/dpm_fast.py): one fori_loop over the
+            # precomputed segments; a UNIFORM 3-eval body whose combine
+            # coefficients encode the segment's solver order (lower-order
+            # remainder segments zero the unused difference terms).
+            fp = fast_plan
+            t0_a = jnp.asarray(fp["t0"])
+            s1_a = jnp.asarray(fp["s1"])
+            s2_a = jnp.asarray(fp["s2"])
+            co = {k: jnp.asarray(fp[k])
+                  for k in ("u1c", "u2c0", "u2c1", "e0c", "c1", "c2", "su")}
+            m_seg = fp["m"]
+            seg_start_a = jnp.asarray(fp["seg_start"])
+
+            def seg_draw(i):
+                base = rng_mod.step_key(key, "dpm_fast", i)
+                ks = jax.vmap(lambda j: jax.random.fold_in(base, j))(
+                    jnp.arange(batch))
+                return jax.vmap(lambda kk: jax.random.normal(
+                    kk, lat_shape[1:], jnp.float32))(ks)
+
+            seg_noises = jax.vmap(seg_draw)(jnp.arange(m_seg))
+
+            def body(i, carry):
+                lat, dc = carry  # VP latents at this segment's t0
+                t0 = t0_a[i]
+                a0 = schedule.alphas_cumprod[t0]
+                x_k = lat.astype(jnp.float32) / jnp.sqrt(a0)
+                disp = jnp.minimum(i, n_steps - 1)  # progress display
+                eps0, _, dc = eps_at(disp, lat.astype(jnp.float32), dc,
+                                     t_override=t0)
+                eps0 = eps0.astype(jnp.float32)
+                s1 = s1_a[i]
+                u1 = x_k - co["u1c"][i] * eps0
+                lat1 = jnp.sqrt(schedule.alphas_cumprod[s1]) * u1
+                eps1, _, _ = eps_at(disp, lat1, dc, t_override=s1)
+                eps1 = eps1.astype(jnp.float32)
+                s2 = s2_a[i]
+                u2 = x_k - co["u2c0"][i] * eps0 \
+                    - co["u2c1"][i] * (eps1 - eps0)
+                lat2 = jnp.sqrt(schedule.alphas_cumprod[s2]) * u2
+                eps2, _, _ = eps_at(disp, lat2, dc, t_override=s2)
+                eps2 = eps2.astype(jnp.float32)
+                x_k = x_k - co["e0c"][i] * eps0 \
+                    - co["c1"][i] * (eps1 - eps0) \
+                    - co["c2"][i] * (eps2 - eps0)
+                x_k = x_k + co["su"][i] * seg_noises[i]
+                t_next = jnp.where(i + 1 < m_seg,
+                                   t0_a[jnp.minimum(i + 1, m_seg - 1)],
+                                   fp["t_exit"])
+                a_n = schedule.alphas_cumprod[t_next]
+                return (jnp.sqrt(a_n) * x_k).astype(jnp.float32), dc
+
+            latents, _ = jax.lax.fori_loop(
+                seg_start_a[start_step], m_seg, body,
+                (latents.astype(jnp.float32), dc0))
+        elif sampler == "dpm_adaptive":
+            # DPM adaptive (sampling/dpm_adaptive.py): one lax.while_loop
+            # with PID-controlled step size; n_steps only BOUNDS the
+            # iteration count (each iteration = 3 UNet evals).  txt2img
+            # enters at the full sigma_max (the A1111/k-diffusion range);
+            # img2img at the strength's grid timestep.
+            def ad_draw(i):
+                base = rng_mod.step_key(key, "dpm_adaptive", i)
+                ks = jax.vmap(lambda j: jax.random.fold_in(base, j))(
+                    jnp.arange(batch))
+                return jax.vmap(lambda kk: jax.random.normal(
+                    kk, lat_shape[1:], jnp.float32))(ks)
+
+            ad_noises = jax.vmap(ad_draw)(jnp.arange(n_steps))
+
+            def eval_eps(x_vp, t_idx):
+                eps, _, _ = eps_at(jnp.int32(0), x_vp, dc0,
+                                   t_override=t_idx)
+                return eps
+
+            t_entry = jnp.where(
+                start_step > 0,
+                timesteps[jnp.minimum(start_step, n_steps - 1)],
+                schedule.num_train_timesteps - 1)
+            latents = dpm_adaptive_mod.sample(
+                schedule, latents, t_entry, eval_eps, ad_noises,
+                max_iters=n_steps)
         elif sampler == "heun":
             # two model evals per step: Euler predict, then trapezoidal
             # correct with eps at (prediction, next timestep).  The final
@@ -1233,6 +1389,8 @@ def _run_generate(
     ip_adapter_image=None,
     ip_adapter_scale: float = 1.0,
     clip_vision_config=None,
+    reference_image=None,
+    reference_fidelity: float = 0.5,
     edit_image=None,
     image_guidance_scale: float = 1.5,
     fixed_noise: Optional[Dict[str, np.ndarray]] = None,
@@ -1626,6 +1784,35 @@ def _run_generate(
     else:
         ip_vis_cfg = None
 
+    use_ref = reference_image is not None
+    if use_ref:
+        # reference-only guidance (A1111 ControlNet "reference" attn
+        # mode): one extra capture UNet eval per step; the lane-mixing
+        # contract assumes the plain [cond, uncond] CFG stack.
+        if pag_scale or sag_scale or n_and > 1 or n_sched > 1 or ip2p:
+            raise ValueError("reference_image does not compose with "
+                             "PAG/SAG/AND/prompt-editing/InstructPix2Pix")
+        if deepcache is not None:
+            raise ValueError("reference_image does not compose with "
+                             "deepcache (the attention bank needs the "
+                             "full UNet every step)")
+        if inpaint == "unet9":
+            raise ValueError("reference_image is not supported with "
+                             "9-channel inpaint checkpoints")
+        if cfg.unet.tome is not None:
+            raise ValueError("reference_image does not compose with ToMe "
+                             "(merged tokens cannot bank reference "
+                             "states)")
+        if fixed_noise is not None:
+            raise ValueError("reference_image is not supported in "
+                             "fixed_noise parity mode")
+        if not 0.0 <= float(reference_fidelity) <= 1.0:
+            raise ValueError("reference_fidelity must be in [0, 1], got "
+                             f"{reference_fidelity}")
+        ref_img = np.broadcast_to(
+            _prepare_image(reference_image, width, height),
+            (batch, height, width, 3)).copy()
+
     lat_shape = (batch, h_lat, w_lat, cfg.vae.latent_channels)
     use_fixed = fixed_noise is not None
     if use_fixed:
@@ -1656,28 +1843,32 @@ def _run_generate(
     if use_ip:
         noises["ip_image"] = jnp.asarray(ip_img, jnp.float32)
         noises["ip_scale"] = jnp.float32(ip_adapter_scale)
+    if use_ref:
+        noises["ref_image"] = jnp.asarray(ref_img, jnp.float32)
+        noises["ref_fidelity"] = jnp.float32(reference_fidelity)
     if ip2p:
         noises["image_cfg_scale"] = jnp.float32(image_guidance_scale)
     if emphasis:
         noises["cond_weights"] = jnp.asarray(cond_w)
         noises["uncond_weights"] = jnp.asarray(uncond_w)
 
-    if sampler_name == "restart":
-        # the restart op list replaces the per-step arrays the other
-        # features key off (sampler noises, blend schedule, per-step
-        # context switching, DeepCache refresh counting)
+    if sampler_name in ("restart", "dpm_fast", "dpm_adaptive"):
+        # these samplers run their own op/segment grids, replacing the
+        # per-step arrays the other features key off (sampler noises,
+        # blend schedule, per-step context switching, DeepCache refresh
+        # counting)
         if inpaint is not None:
-            raise ValueError("sampler 'restart' does not support "
+            raise ValueError(f"sampler {sampler_name!r} does not support "
                              "inpainting")
         if deepcache is not None:
-            raise ValueError("sampler 'restart' does not compose with "
-                             "deepcache")
+            raise ValueError(f"sampler {sampler_name!r} does not compose "
+                             "with deepcache")
         if n_sched > 1:
-            raise ValueError("sampler 'restart' does not compose with "
-                             "prompt editing/alternation")
+            raise ValueError(f"sampler {sampler_name!r} does not compose "
+                             "with prompt editing/alternation")
         if fixed_noise is not None:
-            raise ValueError("sampler 'restart' is not supported in "
-                             "fixed_noise parity mode")
+            raise ValueError(f"sampler {sampler_name!r} is not supported "
+                             "in fixed_noise parity mode")
     key = jax.random.PRNGKey(0 if seed is None else seed) if _key is None \
         else _key
     # A1111 variation seeds: slerp between the base seed's init noise and
@@ -1783,7 +1974,7 @@ def _run_generate(
                             int(encode_tile) if encode_tile else None,
                             hyper, use_sag, n_and, bool(tiling),
                             use_dyn_thresh, use_noise_mult, size_ids,
-                            use_ip, ip_vis_cfg)
+                            use_ip, ip_vis_cfg, use_ref)
     if n_sched > 1:
         noises["sched_idx"] = jnp.asarray(sched_idx_arr)
     if n_and > 1:

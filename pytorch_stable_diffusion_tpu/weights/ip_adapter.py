@@ -79,26 +79,26 @@ def convert_ip_adapter(state: Dict, cfg: UNetConfig) -> Dict:
     """
     nested = _nest(state)
     proj_sd = nested["image_proj"]
-    if "latents" in proj_sd or any(k.startswith("layers.") for k in proj_sd):
-        raise ValueError(
-            "this is an IP-Adapter-plus checkpoint (perceiver Resampler "
-            "image_proj); only the standard linear ImageProjModel is "
-            "supported")
-    want_proj = {"proj.weight", "proj.bias", "norm.weight", "norm.bias"}
-    if set(proj_sd) != want_proj:
-        raise ValueError(f"unexpected image_proj keys: {sorted(proj_sd)} "
-                         f"(want {sorted(want_proj)})")
-    w = np.asarray(proj_sd["proj.weight"], np.float32)
     d_ctx = cfg.d_context
-    if w.shape[0] % d_ctx:
-        raise ValueError(f"image_proj out dim {w.shape[0]} not a multiple "
-                         f"of d_context {d_ctx} (wrong family?)")
-    image_proj = {
-        "proj": {"kernel": w.T.copy(),
-                 "bias": np.asarray(proj_sd["proj.bias"], np.float32)},
-        "norm": {"scale": np.asarray(proj_sd["norm.weight"], np.float32),
-                 "bias": np.asarray(proj_sd["norm.bias"], np.float32)},
-    }
+    if "latents" in proj_sd or any(k.startswith("layers.") for k in proj_sd):
+        image_proj = _convert_resampler(proj_sd, d_ctx)
+    else:
+        want_proj = {"proj.weight", "proj.bias", "norm.weight", "norm.bias"}
+        if set(proj_sd) != want_proj:
+            raise ValueError(f"unexpected image_proj keys: "
+                             f"{sorted(proj_sd)} (want {sorted(want_proj)})")
+        w = np.asarray(proj_sd["proj.weight"], np.float32)
+        if w.shape[0] % d_ctx:
+            raise ValueError(f"image_proj out dim {w.shape[0]} not a "
+                             f"multiple of d_context {d_ctx} (wrong "
+                             "family?)")
+        image_proj = {
+            "proj": {"kernel": w.T.copy(),
+                     "bias": np.asarray(proj_sd["proj.bias"], np.float32)},
+            "norm": {"scale": np.asarray(proj_sd["norm.weight"],
+                                         np.float32),
+                     "bias": np.asarray(proj_sd["norm.bias"], np.float32)},
+        }
 
     plan = ip_layer_plan(cfg)
     ada_sd = dict(nested["ip_adapter"])
@@ -126,9 +126,71 @@ def convert_ip_adapter(state: Dict, cfg: UNetConfig) -> Dict:
     return {"image_proj": image_proj, "layers": layers}
 
 
+def _convert_resampler(sd: Dict[str, np.ndarray], d_ctx: int) -> Dict:
+    """IP-Adapter-plus ``Resampler`` state dict -> our pytree
+    (models/clip_vision.apply_resampler).  Exact coverage."""
+    sd = dict(sd)
+
+    def take(key):
+        if key not in sd:
+            raise ValueError(f"resampler image_proj is missing {key!r}")
+        return np.asarray(sd.pop(key), np.float32)
+
+    def take_lin(prefix, bias):
+        p = {"kernel": take(prefix + ".weight").T.copy()}
+        if bias:
+            p["bias"] = take(prefix + ".bias")
+        return p
+
+    def take_ln(prefix):
+        return {"scale": take(prefix + ".weight"),
+                "bias": take(prefix + ".bias")}
+
+    lat = take("latents")
+    if lat.ndim == 3:  # stored with the broadcast batch dim (1, nq, dim)
+        lat = lat[0]
+    out = {
+        "latents": lat,
+        "proj_in": take_lin("proj_in", bias=True),
+        "proj_out": take_lin("proj_out", bias=True),
+        "norm_out": take_ln("norm_out"),
+        "layers": [],
+    }
+    depth = 0
+    while f"layers.{depth}.0.to_q.weight" in sd:
+        i = depth
+        out["layers"].append({
+            # PerceiverAttention: norm1 normalizes x, norm2 the latents
+            "ln_x": take_ln(f"layers.{i}.0.norm1"),
+            "ln_lat": take_ln(f"layers.{i}.0.norm2"),
+            "q": take_lin(f"layers.{i}.0.to_q", bias=False),
+            "kv": take_lin(f"layers.{i}.0.to_kv", bias=False),
+            "out": take_lin(f"layers.{i}.0.to_out", bias=False),
+            # FeedForward Sequential: [0]=LN, [1]=Linear, [2]=GELU,
+            # [3]=Linear (bias-free linears)
+            "ff_ln": take_ln(f"layers.{i}.1.0"),
+            "ff1": take_lin(f"layers.{i}.1.1", bias=False),
+            "ff2": take_lin(f"layers.{i}.1.3", bias=False),
+        })
+        depth += 1
+    if not out["layers"]:
+        raise ValueError("resampler image_proj has no layers.*.0.to_q "
+                         "keys")
+    if sd:
+        raise ValueError(f"unconsumed resampler keys: {sorted(sd)[:4]}...")
+    if out["proj_out"]["kernel"].shape[1] != d_ctx:
+        raise ValueError(
+            f"resampler output dim {out['proj_out']['kernel'].shape[1]} "
+            f"!= UNet d_context {d_ctx} (wrong family?)")
+    return out
+
+
 def num_image_tokens(ip_params, cfg: UNetConfig) -> int:
-    """Static token count, derived from the projection shape."""
-    return ip_params["image_proj"]["proj"]["kernel"].shape[1] // cfg.d_context
+    """Static token count, derived from the projection shapes."""
+    proj = ip_params["image_proj"]
+    if "latents" in proj:  # plus (Resampler): one token per learned query
+        return proj["latents"].shape[0]
+    return proj["proj"]["kernel"].shape[1] // cfg.d_context
 
 
 def load_ip_adapter(path: str, cfg: UNetConfig) -> Dict:

@@ -207,11 +207,13 @@ def test_converter_coverage_and_shapes(tiny_cfg):
                                   params["image_proj"]["proj"]["kernel"])
 
 
-def test_converter_rejects_plus_and_mismatch(tiny_cfg):
+def test_converter_rejects_malformed(tiny_cfg):
     cfg = tiny_cfg.unet
+    # a bare-latents image_proj routes to the resampler path and must
+    # fail loudly (no perceiver layers)
     state = _synthetic_ip_state(cfg)
     state["image_proj"] = {"latents": np.zeros((4, 8), np.float32)}
-    with pytest.raises(ValueError, match="plus"):
+    with pytest.raises(ValueError, match="missing"):
         ipw.convert_ip_adapter(state, cfg)
     state = _synthetic_ip_state(cfg)
     first = sorted(state["ip_adapter"])[0]
@@ -265,3 +267,155 @@ def test_pipeline_ip_requires_models(tiny_cfg, tiny_models, tiny_tokenizer,
         _gen(tiny_cfg, tiny_models, tiny_tokenizer,
              {"clip_vision": vision}, ip_adapter_image=img,
              clip_vision_config=vis_cfg)
+
+
+# ------------------------------------------------- IP-Adapter-plus (Resampler)
+def _torch_resampler(torch, dim, depth, dim_head, heads, num_queries,
+                     embedding_dim, output_dim, ff_mult=4):
+    """The tencent IPAdapter resampler.py module, re-stated as the oracle."""
+    import math
+
+    import torch.nn as nn
+
+    class PerceiverAttention(nn.Module):
+        def __init__(self):
+            super().__init__()
+            inner = dim_head * heads
+            self.norm1 = nn.LayerNorm(dim)
+            self.norm2 = nn.LayerNorm(dim)
+            self.to_q = nn.Linear(dim, inner, bias=False)
+            self.to_kv = nn.Linear(dim, inner * 2, bias=False)
+            self.to_out = nn.Linear(inner, dim, bias=False)
+
+        def forward(self, x, latents):
+            x = self.norm1(x)
+            latents = self.norm2(latents)
+            b, l, _ = latents.shape
+            q = self.to_q(latents)
+            kv_input = torch.cat((x, latents), dim=-2)
+            k, v = self.to_kv(kv_input).chunk(2, dim=-1)
+
+            def rh(t):
+                return t.reshape(b, t.shape[1], heads, -1).transpose(1, 2)
+
+            q, k, v = rh(q), rh(k), rh(v)
+            scale = 1 / math.sqrt(math.sqrt(dim_head))
+            weight = (q * scale) @ (k * scale).transpose(-2, -1)
+            weight = torch.softmax(weight.float(), dim=-1).type(weight.dtype)
+            out = weight @ v
+            out = out.permute(0, 2, 1, 3).reshape(b, l, -1)
+            return self.to_out(out)
+
+    class Resampler(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.latents = nn.Parameter(
+                torch.randn(1, num_queries, dim) / dim**0.5)
+            self.proj_in = nn.Linear(embedding_dim, dim)
+            self.proj_out = nn.Linear(dim, output_dim)
+            self.norm_out = nn.LayerNorm(output_dim)
+            self.layers = nn.ModuleList([
+                nn.ModuleList([
+                    PerceiverAttention(),
+                    nn.Sequential(nn.LayerNorm(dim),
+                                  nn.Linear(dim, dim * ff_mult, bias=False),
+                                  nn.GELU(),
+                                  nn.Linear(dim * ff_mult, dim, bias=False)),
+                ]) for _ in range(depth)
+            ])
+
+        def forward(self, x):
+            latents = self.latents.repeat(x.size(0), 1, 1)
+            x = self.proj_in(x)
+            for attn, ff in self.layers:
+                latents = attn(x, latents) + latents
+                latents = ff(latents) + latents
+            return self.norm_out(self.proj_out(latents))
+
+    return Resampler()
+
+
+def test_resampler_matches_torch_oracle(tiny_cfg):
+    torch = pytest.importorskip("torch")
+    torch.manual_seed(5)
+    d_ctx = tiny_cfg.unet.d_context
+    model = _torch_resampler(torch, dim=128, depth=2, dim_head=64, heads=2,
+                             num_queries=4, embedding_dim=24,
+                             output_dim=d_ctx).eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params = ipw._convert_resampler(sd, d_ctx)
+    x = np.random.RandomState(2).randn(2, 6, 24).astype(np.float32)
+    ours = np.asarray(cv.apply_resampler(params, jnp.asarray(x)))
+    with torch.no_grad():
+        want = model(torch.tensor(x))
+    assert ours.shape == (2, 4, d_ctx)
+    np.testing.assert_allclose(ours, want.numpy(), rtol=2e-4, atol=2e-5)
+
+
+def _synthetic_plus_state(cfg, vis_cfg, num_queries=4, dim=64, depth=1,
+                          seed=0):
+    """A plus-format checkpoint: resampler image_proj + per-layer ip k/v."""
+    rs = np.random.RandomState(seed)
+    d_ctx = cfg.d_context
+    emb = vis_cfg.width
+    inner = 64  # dim_head 64 x 1 head
+
+    def lin(o, i):
+        return rs.randn(o, i).astype(np.float32) * 0.05
+
+    proj = {"latents": rs.randn(1, num_queries, dim).astype(np.float32),
+            "proj_in.weight": lin(dim, emb),
+            "proj_in.bias": np.zeros(dim, np.float32),
+            "proj_out.weight": lin(d_ctx, dim),
+            "proj_out.bias": np.zeros(d_ctx, np.float32),
+            "norm_out.weight": np.ones(d_ctx, np.float32),
+            "norm_out.bias": np.zeros(d_ctx, np.float32)}
+    for i in range(depth):
+        proj.update({
+            f"layers.{i}.0.norm1.weight": np.ones(dim, np.float32),
+            f"layers.{i}.0.norm1.bias": np.zeros(dim, np.float32),
+            f"layers.{i}.0.norm2.weight": np.ones(dim, np.float32),
+            f"layers.{i}.0.norm2.bias": np.zeros(dim, np.float32),
+            f"layers.{i}.0.to_q.weight": lin(inner, dim),
+            f"layers.{i}.0.to_kv.weight": lin(inner * 2, dim),
+            f"layers.{i}.0.to_out.weight": lin(dim, inner),
+            f"layers.{i}.1.0.weight": np.ones(dim, np.float32),
+            f"layers.{i}.1.0.bias": np.zeros(dim, np.float32),
+            f"layers.{i}.1.1.weight": lin(dim * 4, dim),
+            f"layers.{i}.1.3.weight": lin(dim, dim * 4),
+        })
+    state = _synthetic_ip_state(cfg, seed=seed + 1)
+    state["image_proj"] = proj
+    return state
+
+
+def test_plus_converter_and_token_count(tiny_cfg):
+    from pytorch_stable_diffusion_tpu.models.clip_vision import \
+        tiny_vision_config
+
+    vis_cfg = tiny_vision_config()
+    params = ipw.convert_ip_adapter(
+        _synthetic_plus_state(tiny_cfg.unet, vis_cfg, num_queries=5),
+        tiny_cfg.unet)
+    assert "latents" in params["image_proj"]
+    assert ipw.num_image_tokens(params, tiny_cfg.unet) == 5
+    assert len(params["image_proj"]["layers"]) == 1
+
+
+def test_pipeline_ip_adapter_plus(tiny_cfg, tiny_models, tiny_tokenizer,
+                                  ip_fixture):
+    vis_cfg, vision, _, img = ip_fixture
+    plus = ipw.convert_ip_adapter(
+        _synthetic_plus_state(tiny_cfg.unet, vis_cfg, seed=7),
+        tiny_cfg.unet)
+    base_img, base_lat = _gen(tiny_cfg, tiny_models, tiny_tokenizer, {})
+    extra = {"ip_adapter": plus, "clip_vision": vision}
+    s_img, s_lat = _gen(tiny_cfg, tiny_models, tiny_tokenizer, extra,
+                        ip_adapter_image=img, ip_adapter_scale=1.0,
+                        clip_vision_config=vis_cfg)
+    assert s_img.shape == base_img.shape
+    assert np.abs(s_lat - base_lat).max() > 1e-4
+    z_img, z_lat = _gen(tiny_cfg, tiny_models, tiny_tokenizer, extra,
+                        ip_adapter_image=img, ip_adapter_scale=0.0,
+                        clip_vision_config=vis_cfg)
+    np.testing.assert_allclose(z_lat, base_lat, rtol=1e-5, atol=1e-6)
