@@ -183,3 +183,26 @@ img_ref = sd.txt2img("a cat", seed=1, n_inference_steps=2, height=16,
                      reference_fidelity=0.5)
 print("reference-only txt2img:", img_ref.shape, "differs:",
       bool((img_ref != img).any()), flush=True)
+# MultiDiffusion panorama (wide canvas, overlapping windows)
+img_pan = sd.txt2img("a cat", seed=1, n_inference_steps=2, height=16,
+                     width=32, panorama=True, panorama_window=16,
+                     panorama_stride=8)
+print("panorama txt2img:", img_pan.shape, flush=True)
+# ESRGAN upscaler (tiny random weights) + esrgan hires-fix mode
+from pytorch_stable_diffusion_tpu.models import esrgan as _esr
+_ecfg = _esr.tiny_esrgan_config()
+_epar = _esr.init(_jax.random.PRNGKey(12), _ecfg)
+sd_up2 = sd.with_upscaler((_epar, _ecfg))
+img_esr = sd_up2.upscale(img[:8, :8])
+print("esrgan upscale:", img_esr.shape, flush=True)
+img_hf = sd_up2.hires_fix("a cat", height=32, width=32, base_height=16,
+                          base_width=16, strength=0.6,
+                          upscale_method="esrgan", seed=1,
+                          n_inference_steps=2)
+print("esrgan hires-fix:", img_hf.shape, flush=True)
+# regional prompting (Latent Couple masks on AND lanes)
+_ml = np.zeros((16, 16), np.float32); _ml[:, :8] = 1.0
+img_reg = sd.txt2img("a cat AND dog", "a", seed=1, n_inference_steps=2,
+                     height=16, width=16, region_masks=[_ml, 1.0 - _ml])
+print("regional txt2img:", img_reg.shape, "differs:",
+      bool((img_reg != img_and).any()), flush=True)

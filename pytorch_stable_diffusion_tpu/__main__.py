@@ -141,6 +141,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="A1111 CLIP-skip: 1 = family default; each "
                         "increment conditions one text-encoder layer "
                         "earlier (2 = penultimate on SD-1.x)")
+    p.add_argument("--region-mask", action="append", default=[],
+                   metavar="PATH",
+                   help="regional prompting (Latent Couple): one mask per "
+                        "AND segment of the prompt; each sub-prompt "
+                        "steers only inside its mask")
+    p.add_argument("--panorama", action="store_true",
+                   help="MultiDiffusion: denoise a canvas larger than the "
+                        "model's native size by averaging overlapping "
+                        "window predictions per step (e.g. --width 2048)")
+    p.add_argument("--panorama-window", type=int, default=512,
+                   help="window size in pixels (the model's native size)")
+    p.add_argument("--panorama-stride", type=int, default=None,
+                   help="window stride in pixels (default window/2)")
     p.add_argument("--reference-image", default=None, metavar="PATH",
                    help="reference-only guidance (the A1111 ControlNet "
                         "'reference' preprocessor, no weights needed): "
@@ -178,6 +191,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tiling", action="store_true",
                    help="seamless-texture mode: circular conv padding "
                         "everywhere (A1111 --tiling)")
+    p.add_argument("--upscaler", default=None, metavar="PATH",
+                   help="ESRGAN/RealESRGAN weights (.pth/.safetensors); "
+                        "with --hires-fix the second pass starts from the "
+                        "ESRGAN-upscaled pixels (A1111 upscaler modes)")
     p.add_argument("--vae", default=None, metavar="PATH",
                    help="standalone VAE override (A1111 .vae.pt / "
                         ".safetensors or diffusers vae/ dir)")
@@ -282,6 +299,10 @@ def main(argv=None) -> int:
                                 vision_config=vis_cfg)
         print(f"[cli] attached ip-adapter {args.ip_adapter}", flush=True)
 
+    if args.upscaler:
+        sd = sd.with_upscaler(args.upscaler)
+        print(f"[cli] attached upscaler {args.upscaler}", flush=True)
+
     if args.vae:
         sd = sd.with_vae(args.vae)
         print(f"[cli] swapped VAE {args.vae}", flush=True)
@@ -307,6 +328,9 @@ def main(argv=None) -> int:
               pag_scale=args.pag_scale,
               sag_scale=args.sag_scale,
               tiling=args.tiling,
+              panorama=args.panorama,
+              panorama_window=args.panorama_window,
+              panorama_stride=args.panorama_stride,
               dynamic_threshold=args.dynamic_threshold,
               freeu=None if args.freeu is None
               else (True if not args.freeu else args.freeu))
@@ -355,6 +379,11 @@ def main(argv=None) -> int:
         kw["reference_image"] = Image.open(args.reference_image) \
             .convert("RGB")
         kw["reference_fidelity"] = args.reference_fidelity
+    if args.region_mask:
+        from PIL import Image
+
+        kw["region_masks"] = [Image.open(p).convert("L")
+                              for p in args.region_mask]
     if args.ip_adapter_image:
         from PIL import Image
 
@@ -393,6 +422,8 @@ def main(argv=None) -> int:
     elif args.hires_fix:
         img = sd.hires_fix(args.prompt, uncond_prompt=args.uncond_prompt,
                            strength=args.strength,
+                           upscale_method="esrgan" if args.upscaler
+                           else "bilinear",
                            **{k: v for k, v in kw.items()
                               if k not in ("height", "width")},
                            height=args.height, width=args.width)

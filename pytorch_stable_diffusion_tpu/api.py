@@ -119,6 +119,7 @@ class StableDiffusion:
         out.mesh = self.mesh
         out._hyper = getattr(self, "_hyper", None)
         out._ip_vision = getattr(self, "_ip_vision", None)
+        out._upscaler = getattr(self, "_upscaler", None)
         if reshard and self.mesh is not None:
             # re-place only the standard model entries; extras (controlnet
             # list, hypernetwork tree) keep their existing placement
@@ -231,6 +232,25 @@ class StableDiffusion:
 
         bh, bw = base_height or height // 2, base_width or width // 2
         kw = self._kw(dict(kwargs))
+        if upscale_method == "esrgan":
+            # pixel-space upscale through the attached ESRGAN (A1111's
+            # "upscaler" hires-fix modes): decode the base pass, upscale,
+            # lanczos to the exact target if the model scale overshoots,
+            # then img2img at the target size
+            if getattr(self, "_upscaler", None) is None:
+                raise ValueError("upscale_method='esrgan' needs an "
+                                 "attached upscaler (with_upscaler)")
+            base_img = pipeline_mod.generate(prompt, uncond_prompt,
+                                             height=bh, width=bw, **kw)
+            up_img = self.upscale(base_img)
+            if up_img.shape[:2] != (height, width):
+                up_img = np.clip(np.round(np.asarray(jax.image.resize(
+                    jnp.asarray(up_img, jnp.float32), (height, width, 3),
+                    "lanczos3"))), 0, 255).astype(np.uint8)
+            return pipeline_mod.generate(prompt, uncond_prompt,
+                                         height=height, width=width,
+                                         input_image=up_img,
+                                         strength=strength, **kw)
         _, lat = pipeline_mod.generate(prompt, uncond_prompt, height=bh,
                                        width=bw, return_latents=True, **kw)
         f = self.config.vae.downsample_factor
@@ -297,6 +317,33 @@ class StableDiffusion:
             if isinstance(controlnet, (list, tuple)) else _load(controlnet)
         return self._clone(models=dict(self.models, controlnet=controlnet),
                            reshard=True)
+
+    def with_upscaler(self, upscaler):
+        """Attach an ESRGAN/RealESRGAN pixel upscaler (models/esrgan.py).
+
+        ``upscaler`` is a weight file path (.pth/.safetensors, old- or
+        new-arch naming) or a ready ``(params, ESRGANConfig)`` pair.
+        Enables :meth:`upscale` and ``hires_fix(upscale_method=
+        "esrgan")``."""
+        if isinstance(upscaler, str):
+            from .weights.esrgan import load_esrgan
+
+            upscaler = load_esrgan(upscaler)
+        out = self._clone()
+        out._upscaler = upscaler
+        return out
+
+    def upscale(self, image, *, tile: Optional[int] = None) -> np.ndarray:
+        """Upscale an image with the attached ESRGAN (the A1111 "Extras"
+        upscale flow).  ``tile``: process in padded tiles (memory bound
+        for large inputs)."""
+        if getattr(self, "_upscaler", None) is None:
+            raise ValueError("no upscaler attached (with_upscaler)")
+        from .models import esrgan as esrgan_mod
+
+        params, ecfg = self._upscaler
+        return esrgan_mod.upscale_image(params, image, ecfg,
+                                        self.config.policy, tile=tile)
 
     def with_ip_adapter(self, adapter, image_encoder, *, vision_config=None):
         """Return a bundle with an IP-Adapter attached (image prompting,

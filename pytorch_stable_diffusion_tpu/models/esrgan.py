@@ -1,0 +1,172 @@
+"""ESRGAN / RealESRGAN upscaler (RRDBNet, Wang et al. 2018) —
+functional JAX, NHWC.
+
+No reference analog; behavior target is the published RRDBNet
+architecture every A1111 "ESRGAN_4x"-style upscaler checkpoint uses:
+conv_first -> ``num_block`` RRDB blocks (each 3 residual-dense blocks of
+5 convs with 0.2-scaled residuals) -> trunk conv + long skip -> two
+nearest-2x + conv + LeakyReLU upsample stages (x4) -> HR conv ->
+conv_last.  LeakyReLU slope 0.2 everywhere; no normalization layers.
+
+RealESRGAN's x2 variant feeds pixel-unshuffled input (scale 2 checkpoints
+carry 12 input channels); both paths share this module — the unshuffle
+happens in :func:`apply` keyed by the config.
+
+Weight ingestion (both the old ``model.0.weight`` A1111/old-arch naming
+and the new ``conv_first.weight`` naming): weights/esrgan.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.dtypes import Policy, FP32
+from ..ops import conv
+
+
+@dataclasses.dataclass(frozen=True)
+class ESRGANConfig:
+    in_channels: int = 3
+    out_channels: int = 3
+    features: int = 64        # num_feat
+    num_blocks: int = 23      # num_block (RRDB count)
+    growth: int = 32          # num_grow_ch (dense growth channels)
+    scale: int = 4            # output upscale factor (4, 2, or 1)
+
+
+def tiny_esrgan_config() -> ESRGANConfig:
+    return ESRGANConfig(features=8, num_blocks=2, growth=4)
+
+
+def _init_rdb(key, nf: int, gc: int, dtype):
+    ks = jax.random.split(key, 5)
+    return {
+        "conv1": conv.init(ks[0], nf, gc, 3, dtype=dtype),
+        "conv2": conv.init(ks[1], nf + gc, gc, 3, dtype=dtype),
+        "conv3": conv.init(ks[2], nf + 2 * gc, gc, 3, dtype=dtype),
+        "conv4": conv.init(ks[3], nf + 3 * gc, gc, 3, dtype=dtype),
+        "conv5": conv.init(ks[4], nf + 4 * gc, nf, 3, dtype=dtype),
+    }
+
+
+def init(key, cfg: ESRGANConfig, dtype=jnp.float32):
+    nf, gc = cfg.features, cfg.growth
+    c_in = cfg.in_channels * (4 if cfg.scale == 2 else
+                              16 if cfg.scale == 1 else 1)
+    keys = jax.random.split(key, cfg.num_blocks + 6)
+    return {
+        "conv_first": conv.init(keys[0], c_in, nf, 3, dtype=dtype),
+        "body": [
+            {"rdb1": _init_rdb(jax.random.fold_in(keys[1 + i], 0), nf, gc, dtype),
+             "rdb2": _init_rdb(jax.random.fold_in(keys[1 + i], 1), nf, gc, dtype),
+             "rdb3": _init_rdb(jax.random.fold_in(keys[1 + i], 2), nf, gc, dtype)}
+            for i in range(cfg.num_blocks)
+        ],
+        "conv_body": conv.init(keys[-5], nf, nf, 3, dtype=dtype),
+        "conv_up1": conv.init(keys[-4], nf, nf, 3, dtype=dtype),
+        "conv_up2": conv.init(keys[-3], nf, nf, 3, dtype=dtype),
+        "conv_hr": conv.init(keys[-2], nf, nf, 3, dtype=dtype),
+        "conv_last": conv.init(keys[-1], nf, cfg.out_channels, 3, dtype=dtype),
+    }
+
+
+def _lrelu(x):
+    return jnp.where(x >= 0, x, 0.2 * x)
+
+
+def _rdb(p, x, policy):
+    x1 = _lrelu(conv.apply(p["conv1"], x, padding=1, policy=policy))
+    x2 = _lrelu(conv.apply(p["conv2"], jnp.concatenate([x, x1], -1),
+                           padding=1, policy=policy))
+    x3 = _lrelu(conv.apply(p["conv3"], jnp.concatenate([x, x1, x2], -1),
+                           padding=1, policy=policy))
+    x4 = _lrelu(conv.apply(p["conv4"], jnp.concatenate([x, x1, x2, x3], -1),
+                           padding=1, policy=policy))
+    x5 = conv.apply(p["conv5"], jnp.concatenate([x, x1, x2, x3, x4], -1),
+                    padding=1, policy=policy)
+    return x5 * 0.2 + x
+
+
+def _nearest2x(x):
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, 2 * h, 2 * w, c)
+
+
+def pixel_unshuffle(x, factor: int):
+    """NHWC space-to-depth (torch pixel_unshuffle channel order: the
+    (fh, fw) offsets interleave as c * f * f with channel-major)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // factor, factor, w // factor, factor, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4)  # (B, H/f, W/f, C, fh, fw)
+    return x.reshape(b, h // factor, w // factor, c * factor * factor)
+
+
+def apply(params, x, cfg: ESRGANConfig, policy: Policy = FP32):
+    """x: (B, H, W, 3) in [0, 1] -> (B, scale*H, scale*W, 3).
+
+    Scale-2/1 checkpoints expect pixel-unshuffled input (RealESRGAN's
+    convention) — handled here; the trunk always upsamples 4x from its
+    input resolution.
+    """
+    if cfg.scale == 2:
+        x = pixel_unshuffle(x, 2)
+    elif cfg.scale == 1:
+        x = pixel_unshuffle(x, 4)
+    feat = conv.apply(params["conv_first"], x.astype(policy.compute_dtype),
+                      padding=1, policy=policy)
+    body = feat
+    for blk in params["body"]:
+        b1 = _rdb(blk["rdb1"], body, policy)
+        b2 = _rdb(blk["rdb2"], b1, policy)
+        b3 = _rdb(blk["rdb3"], b2, policy)
+        body = b3 * 0.2 + body
+    feat = feat + conv.apply(params["conv_body"], body, padding=1,
+                             policy=policy)
+    feat = _lrelu(conv.apply(params["conv_up1"], _nearest2x(feat),
+                             padding=1, policy=policy))
+    feat = _lrelu(conv.apply(params["conv_up2"], _nearest2x(feat),
+                             padding=1, policy=policy))
+    feat = _lrelu(conv.apply(params["conv_hr"], feat, padding=1,
+                             policy=policy))
+    return conv.apply(params["conv_last"], feat, padding=1, policy=policy)
+
+
+def upscale_image(params, image, cfg: ESRGANConfig,
+                  policy: Policy = FP32, tile: int = None,
+                  tile_pad: int = 8) -> np.ndarray:
+    """uint8/float (H, W, 3) image -> upscaled uint8 (sH, sW, 3).
+
+    ``tile``: process in padded tiles of this size (memory bound for
+    large inputs; the pad region is recomputed context, RealESRGAN's
+    tiling scheme).
+    """
+    arr = np.asarray(image, np.float32)
+    if arr.max() > 1.5:
+        arr = arr / 255.0
+    x = jnp.asarray(arr[None])
+    s = cfg.scale
+
+    @jax.jit
+    def run(v):
+        return apply(params, v, cfg, policy)
+
+    if tile is None:
+        out = np.asarray(run(x)[0], np.float32)
+    else:
+        h, w = arr.shape[:2]
+        out = np.zeros((h * s, w * s, 3), np.float32)
+        for y0 in range(0, h, tile):
+            for x0 in range(0, w, tile):
+                y1, x1 = min(y0 + tile, h), min(x0 + tile, w)
+                py0, px0 = max(y0 - tile_pad, 0), max(x0 - tile_pad, 0)
+                py1, px1 = min(y1 + tile_pad, h), min(x1 + tile_pad, w)
+                patch = run(x[:, py0:py1, px0:px1])[0]
+                out[y0 * s:y1 * s, x0 * s:x1 * s] = np.asarray(
+                    patch[(y0 - py0) * s:(y1 - py0) * s,
+                          (x0 - px0) * s:(x1 - px0) * s], np.float32)
+    return np.clip(np.round(out * 255.0), 0, 255).astype(np.uint8)

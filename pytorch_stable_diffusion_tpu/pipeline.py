@@ -247,7 +247,9 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                       size_ids: Optional[Tuple[float, ...]] = None,
                       use_ip: bool = False,
                       ip_vision=None,
-                      use_ref: bool = False):
+                      use_ref: bool = False,
+                      pano=None,
+                      use_regions: bool = False):
     """Build + jit the full generate computation for one static shape.
 
     ``fixed_noise=True`` compiles a variant whose latent-init / encoder /
@@ -854,7 +856,46 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                 unet_kw["ref"] = ("read", bank, noises["ref_fidelity"],
                                   ref_plain_mask)
             mid_probs = None
-            if deepcache is None:
+            if pano is not None:
+                # MultiDiffusion (Bar-Tal et al. 2023) / diffusers
+                # panorama: the canvas exceeds the model's native window,
+                # so the UNet sweeps the precomputed overlapping windows
+                # (ONE instance, fori_loop) and per-pixel eps predictions
+                # average.  Deterministic samplers then take one GLOBAL
+                # step on the fused eps — affine in (x, eps), equivalent
+                # to diffusers' per-view step-then-average.
+                win, ys_t, xs_t = pano
+                ys_a, xs_a = jnp.asarray(ys_t), jnp.asarray(xs_t)
+                b_eff, ch_in = model_in.shape[0], model_in.shape[3]
+                ch_out = cfg.unet.out_channels
+
+                def w_body(j, acc_cnt):
+                    acc, cnt = acc_cnt
+                    y0, x0 = ys_a[j], xs_a[j]
+                    win_in = jax.lax.dynamic_slice(
+                        model_in, (0, y0, x0, 0), (b_eff, win, win, ch_in))
+                    eps_w = unet_mod.apply(
+                        params["diffusion"], win_in, ctx, t, cfg.unet,
+                        policy, **unet_kw).astype(jnp.float32)
+                    cur = jax.lax.dynamic_slice(
+                        acc, (0, y0, x0, 0), (b_eff, win, win, ch_out))
+                    acc = jax.lax.dynamic_update_slice(
+                        acc, cur + eps_w, (0, y0, x0, 0))
+                    ccur = jax.lax.dynamic_slice(
+                        cnt, (0, y0, x0, 0), (1, win, win, 1))
+                    cnt = jax.lax.dynamic_update_slice(
+                        cnt, ccur + 1.0, (0, y0, x0, 0))
+                    return acc, cnt
+
+                acc0 = jnp.zeros(
+                    (b_eff,) + model_in.shape[1:3] + (ch_out,), jnp.float32)
+                cnt0 = jnp.zeros((1,) + model_in.shape[1:3] + (1,),
+                                 jnp.float32)
+                acc, cnt = jax.lax.fori_loop(0, len(ys_t), w_body,
+                                             (acc0, cnt0))
+                eps = (acc / jnp.maximum(cnt, 1.0)) \
+                    .astype(policy.compute_dtype)
+            elif deepcache is None:
                 if sag:
                     eps, mid_probs = unet_mod.apply(
                         params["diffusion"], model_in, ctx, t, cfg.unet,
@@ -962,13 +1003,17 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                     + noises["image_cfg_scale"] * (e_i - e_u)
             elif do_cfg and n_and > 1:
                 # composable diffusion (A1111 AND): eps_uncond +
-                # cfg Σ w_i (eps_cond_i − eps_uncond); lanes are part-major
+                # cfg Σ w_i (eps_cond_i − eps_uncond); lanes are part-major.
+                # Regional prompting (Latent Couple) additionally weights
+                # each lane by its spatial mask (traced, latent-res).
                 parts = jnp.split(eps, n_and + 1, axis=0)
                 eps_u = parts[-1].astype(jnp.float32)
                 w = noises["and_weights"]  # (B, n_and), traced
                 eps = eps_u
                 for i in range(n_and):
                     wi = w[:, i][:, None, None, None]
+                    if use_regions:
+                        wi = wi * noises["region_masks"][i]
                     eps = eps + cfg_scale * wi \
                         * (parts[i].astype(jnp.float32) - eps_u)
             elif do_cfg:
@@ -1391,6 +1436,10 @@ def _run_generate(
     clip_vision_config=None,
     reference_image=None,
     reference_fidelity: float = 0.5,
+    panorama: bool = False,
+    panorama_window: int = 512,
+    panorama_stride: Optional[int] = None,
+    region_masks=None,
     edit_image=None,
     image_guidance_scale: float = 1.5,
     fixed_noise: Optional[Dict[str, np.ndarray]] = None,
@@ -1784,6 +1833,69 @@ def _run_generate(
     else:
         ip_vis_cfg = None
 
+    use_regions = region_masks is not None
+    if use_regions:
+        # regional prompting (A1111 "Latent Couple" semantics): each AND
+        # sub-prompt steers only inside its mask — the composable combine
+        # gains a per-lane spatial weight.  Masks are area-downsampled to
+        # the latent grid and ride traced (no recompile per mask).
+        if n_and < 2:
+            raise ValueError("region_masks needs an AND prompt (one mask "
+                             "per AND segment, e.g. 'a cat AND a dog')")
+        if len(region_masks) != n_and:
+            raise ValueError(f"{len(region_masks)} region masks for "
+                             f"{n_and} AND segments")
+        region_lat = np.stack([
+            mask_to_latent_area(
+                _prepare_mask(m, width, height), factor)
+            for m in region_masks])  # (K, 1, h_lat, w_lat, 1)
+
+    pano = None
+    if panorama:
+        # MultiDiffusion: denoise a canvas larger than the model's native
+        # window by averaging overlapping window predictions per step.
+        if (control_image is not None or adapter_image is not None
+                or reference_image is not None or ip2p or inpaint
+                or pag_scale or sag_scale or n_and > 1 or n_sched > 1):
+            raise ValueError("panorama composes only with the plain "
+                             "txt2img/img2img path (no ControlNet/"
+                             "T2I-Adapter/reference/ip2p/inpaint/PAG/SAG/"
+                             "AND/prompt-editing)")
+        if deepcache is not None:
+            raise ValueError("panorama does not compose with deepcache")
+        if sequence_parallel:
+            raise ValueError("panorama does not compose with "
+                             "sequence_parallel")
+        if fixed_noise is not None:
+            raise ValueError("panorama is not supported in fixed_noise "
+                             "parity mode")
+        if panorama_window % factor or panorama_window <= 0:
+            raise ValueError(f"panorama_window must be a positive "
+                             f"multiple of {factor}")
+        stride_px = panorama_stride or panorama_window // 2
+        if stride_px % factor or stride_px <= 0:
+            raise ValueError(f"panorama_stride must be a positive "
+                             f"multiple of {factor}")
+        win_lat = panorama_window // factor
+        stride_lat = stride_px // factor
+        if h_lat < win_lat or w_lat < win_lat:
+            raise ValueError(f"canvas {height}x{width} smaller than the "
+                             f"panorama window {panorama_window}")
+
+        def _starts(total):
+            s = list(range(0, total - win_lat + 1, stride_lat))
+            if s[-1] != total - win_lat:
+                s.append(total - win_lat)
+            return s
+
+        # row-major window sweep (static — part of the compile key)
+        ys, xs = [], []
+        for yy in _starts(h_lat):
+            for xx in _starts(w_lat):
+                ys.append(yy)
+                xs.append(xx)
+        pano = (win_lat, tuple(ys), tuple(xs))
+
     use_ref = reference_image is not None
     if use_ref:
         # reference-only guidance (A1111 ControlNet "reference" attn
@@ -1846,6 +1958,8 @@ def _run_generate(
     if use_ref:
         noises["ref_image"] = jnp.asarray(ref_img, jnp.float32)
         noises["ref_fidelity"] = jnp.float32(reference_fidelity)
+    if use_regions:
+        noises["region_masks"] = jnp.asarray(region_lat, jnp.float32)
     if ip2p:
         noises["image_cfg_scale"] = jnp.float32(image_guidance_scale)
     if emphasis:
@@ -1974,7 +2088,7 @@ def _run_generate(
                             int(encode_tile) if encode_tile else None,
                             hyper, use_sag, n_and, bool(tiling),
                             use_dyn_thresh, use_noise_mult, size_ids,
-                            use_ip, ip_vis_cfg, use_ref)
+                            use_ip, ip_vis_cfg, use_ref, pano, use_regions)
     if n_sched > 1:
         noises["sched_idx"] = jnp.asarray(sched_idx_arr)
     if n_and > 1:
