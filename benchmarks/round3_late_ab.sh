@@ -30,3 +30,8 @@ run --sampler dpm2                      # DPM2 (two evals/step, ~heun cost)
 run --tome 0.5                          # 512^2 batch 4
 run --batch 1 --tome 0.5                # latency config
 run --family sdxl --tome 0.5            # SDXL 1024^2 batch 1
+
+# round-3-late-2 feature wave costs (reference-only, IP-Adapter, tome,
+# dpm_fast, panorama, ESRGAN) via the generate() API:
+echo "### features (exp_round3_features.py)"
+timeout 3600 python benchmarks/exp_round3_features.py 2>&1 | tail -20

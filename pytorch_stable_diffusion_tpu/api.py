@@ -242,10 +242,13 @@ class StableDiffusion:
                                  "attached upscaler (with_upscaler)")
             base_img = pipeline_mod.generate(prompt, uncond_prompt,
                                              height=bh, width=bw, **kw)
-            up_img = self.upscale(base_img)
-            if up_img.shape[:2] != (height, width):
+            up_img = self.upscale(base_img)  # keeps the batch rank
+            want = (height, width) if up_img.ndim == 3 \
+                else (up_img.shape[0], height, width)
+            if up_img.shape[:up_img.ndim - 1] != want:
+                shape = want + (3,)
                 up_img = np.clip(np.round(np.asarray(jax.image.resize(
-                    jnp.asarray(up_img, jnp.float32), (height, width, 3),
+                    jnp.asarray(up_img, jnp.float32), shape,
                     "lanczos3"))), 0, 255).astype(np.uint8)
             return pipeline_mod.generate(prompt, uncond_prompt,
                                          height=height, width=width,

@@ -86,14 +86,21 @@ CLIP_STD = np.asarray([0.26862954, 0.26130258, 0.27577711], np.float32)
 def preprocess(image, cfg: CLIPVisionConfig) -> np.ndarray:
     """PIL image / uint8-ish array -> (1, S, S, 3) float32, CLIP-normalized.
 
-    Resizes with PIL bicubic when given a PIL image (the transformers
-    processor's resample); arrays must already be (S, S, 3) or
-    (B, S, S, 3) in [0, 255] or [0, 1].
+    PIL inputs follow the transformers ``CLIPImageProcessor`` contract
+    the published IP-Adapters were used with: bicubic resize of the
+    SHORTEST edge to S, then an SxS center crop (a plain SxS resize
+    would aspect-distort non-square prompts — review finding).  Arrays
+    must already be (S, S, 3) or (B, S, S, 3) in [0, 255] or [0, 1].
     """
     s = cfg.image_size
     if not isinstance(image, np.ndarray) and hasattr(image, "resize"):
         image = image.convert("RGB") if hasattr(image, "convert") else image
-        arr = np.asarray(image.resize((s, s), resample=3), np.float32)  # 3=BICUBIC
+        w0, h0 = image.size
+        scale = s / min(w0, h0)
+        nw, nh = round(w0 * scale), round(h0 * scale)
+        image = image.resize((nw, nh), resample=3)  # 3 = BICUBIC
+        left, top = (nw - s) // 2, (nh - s) // 2
+        arr = np.asarray(image, np.float32)[top:top + s, left:left + s]
     else:
         arr = np.asarray(image, np.float32)
         spatial = arr.shape[1:3] if arr.ndim == 4 else arr.shape[:2]

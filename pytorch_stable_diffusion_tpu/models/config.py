@@ -403,8 +403,9 @@ def with_tome(cfg: SDConfig, ratio: float = 0.5, *, sx: int = 2, sy: int = 2,
     """ToMe token merging (the A1111 "Token merging ratio" setting;
     tomesd defaults: 2x2 stride, highest-resolution blocks only — at SD's
     native sizes that is the 4096+-token level).  ``ratio`` is the
-    fraction of src (non-representative) tokens merged; 0 returns the
-    config unchanged (exact)."""
+    fraction of TOTAL tokens merged (the tomesd knob, clamped to the
+    non-representative population); 0 returns the config unchanged
+    (exact)."""
     if not 0.0 <= ratio < 1.0:
         raise ValueError(f"tome ratio must be in [0, 1), got {ratio}")
     if ratio == 0.0:

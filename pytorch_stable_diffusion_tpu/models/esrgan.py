@@ -139,16 +139,20 @@ def apply(params, x, cfg: ESRGANConfig, policy: Policy = FP32):
 def upscale_image(params, image, cfg: ESRGANConfig,
                   policy: Policy = FP32, tile: int = None,
                   tile_pad: int = 8) -> np.ndarray:
-    """uint8/float (H, W, 3) image -> upscaled uint8 (sH, sW, 3).
+    """uint8/float (H, W, 3) or batched (B, H, W, 3) image -> upscaled
+    uint8 of the same rank.
 
     ``tile``: process in padded tiles of this size (memory bound for
     large inputs; the pad region is recomputed context, RealESRGAN's
     tiling scheme).
     """
     arr = np.asarray(image, np.float32)
+    batched = arr.ndim == 4
+    if not batched:
+        arr = arr[None]
     if arr.max() > 1.5:
         arr = arr / 255.0
-    x = jnp.asarray(arr[None])
+    x = jnp.asarray(arr)
     s = cfg.scale
 
     @jax.jit
@@ -156,17 +160,18 @@ def upscale_image(params, image, cfg: ESRGANConfig,
         return apply(params, v, cfg, policy)
 
     if tile is None:
-        out = np.asarray(run(x)[0], np.float32)
+        out = np.asarray(run(x), np.float32)
     else:
-        h, w = arr.shape[:2]
-        out = np.zeros((h * s, w * s, 3), np.float32)
+        b, h, w = arr.shape[:3]
+        out = np.zeros((b, h * s, w * s, 3), np.float32)
         for y0 in range(0, h, tile):
             for x0 in range(0, w, tile):
                 y1, x1 = min(y0 + tile, h), min(x0 + tile, w)
                 py0, px0 = max(y0 - tile_pad, 0), max(x0 - tile_pad, 0)
                 py1, px1 = min(y1 + tile_pad, h), min(x1 + tile_pad, w)
-                patch = run(x[:, py0:py1, px0:px1])[0]
-                out[y0 * s:y1 * s, x0 * s:x1 * s] = np.asarray(
-                    patch[(y0 - py0) * s:(y1 - py0) * s,
+                patch = run(x[:, py0:py1, px0:px1])
+                out[:, y0 * s:y1 * s, x0 * s:x1 * s] = np.asarray(
+                    patch[:, (y0 - py0) * s:(y1 - py0) * s,
                           (x0 - px0) * s:(x1 - px0) * s], np.float32)
-    return np.clip(np.round(out * 255.0), 0, 255).astype(np.uint8)
+    out = np.clip(np.round(out * 255.0), 0, 255).astype(np.uint8)
+    return out if batched else out[0]

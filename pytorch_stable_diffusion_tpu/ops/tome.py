@@ -33,7 +33,10 @@ def plan(h: int, w: int, sx: int = 2, sy: int = 2,
 
     Returns ``(dst_idx, src_idx, r)``: flat token indices of the dst set
     (one per stride cell, top-left member) and the src set (everything
-    else), and the merge count ``r = floor(len(src) * ratio)``.
+    else), and the merge count ``r = floor(h*w * ratio)`` — the tomesd /
+    A1111 "Token merging ratio" convention counts the TOTAL tokens (a
+    review finding: ``ratio * len(src)`` under-merged by 25% at the 2x2
+    stride), clamped to the src count like tomesd.
     """
     if h % sy or w % sx:
         raise ValueError(f"token grid {h}x{w} not divisible by the ToMe "
@@ -43,7 +46,7 @@ def plan(h: int, w: int, sx: int = 2, sy: int = 2,
     is_dst = ((ii % sy == 0) & (jj % sx == 0)).ravel()
     dst_idx = flat[is_dst]
     src_idx = flat[~is_dst]
-    r = int(len(src_idx) * ratio)
+    r = int(h * w * ratio)
     return dst_idx, src_idx, max(0, min(r, len(src_idx) - 1))
 
 

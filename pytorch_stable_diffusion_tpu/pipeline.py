@@ -1301,10 +1301,15 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                                    t_override=t_idx)
                 return eps
 
-            t_entry = jnp.where(
-                start_step > 0,
-                timesteps[jnp.minimum(start_step, n_steps - 1)],
-                schedule.num_train_timesteps - 1)
+            # img2img latents were noised to the GRID's entry timestep
+            # (entry_ts above) — enter there at any strength, incl. 1.0;
+            # txt2img pure noise enters at the full sigma_max (the
+            # A1111/k-diffusion range).  img2img is a static flag, so
+            # this is a trace-time branch.
+            if img2img:
+                t_entry = timesteps[jnp.minimum(start_step, n_steps - 1)]
+            else:
+                t_entry = jnp.int32(schedule.num_train_timesteps - 1)
             latents = dpm_adaptive_mod.sample(
                 schedule, latents, t_entry, eval_eps, ad_noises,
                 max_iters=n_steps)

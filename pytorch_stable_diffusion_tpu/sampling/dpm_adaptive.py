@@ -104,7 +104,7 @@ def sample(schedule: DDPMSchedule, x_vp, t_entry, eval_eps, noises, *,
             - sigma(t_) / (2.0 * r1) * jnp.expm1(h_) * (eps1 - eps0)
         u2 = X - sigma(s2) * jnp.expm1(r2 * h_) * eps0 \
             - sigma(s2) * (r2 / r1) \
-            * (jnp.expm1(r2 * h_) / (r2 * h_) - 1.0) * h_ * (eps1 - eps0)
+            * (jnp.expm1(r2 * h_) / (r2 * h_) - 1.0) * (eps1 - eps0)
         eps2 = eval_at(u2, s2)
         x_high = X - sigma(t_) * jnp.expm1(h_) * eps0 \
             - sigma(t_) / r2 * (jnp.expm1(h_) / h_ - 1.0) * (eps2 - eps0)

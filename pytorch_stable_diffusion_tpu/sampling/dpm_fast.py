@@ -23,7 +23,7 @@ Order-p update over a segment [t0, t1'] with h = t1' - t0 (k-diffusion
 ``dpm_solver_{1,2,3}_step``):
     u1 = X - sigma(s1) * expm1(r1 h) * eps0                        (p>=2)
     u2 = X - sigma(s2) * expm1(r2 h) * eps0
-           - sigma(s2) (r2/r1) (expm1(r2 h)/(r2 h) - 1) h (eps1 - eps0)
+           - sigma(s2) (r2/r1) (expm1(r2 h)/(r2 h) - 1) (eps1 - eps0)
                                                                    (p=3)
     X' = X - sigma(t1') expm1(h) eps0 - c1 (eps1 - eps0)
            - c2 (eps2 - eps0)
@@ -105,14 +105,19 @@ def build_plan(schedule: DDPMSchedule, n: int, eta: float = 1.0) -> dict:
             c["c1"][i] = sig_n / (2.0 * r1) * np.expm1(h)
         if order == 3:
             c["u2c0"][i] = sig_all[s2] * np.expm1(r2 * h)
+            # dimensionless phi-2 factor — k-diffusion dpm_solver_3_step
+            # has NO trailing h here (caught in review: an extra *h made
+            # u2's correction ~h x too large)
             c["u2c1"][i] = sig_all[s2] * (r2 / r1) \
-                * (np.expm1(r2 * h) / (r2 * h) - 1.0) * h
+                * (np.expm1(r2 * h) / (r2 * h) - 1.0)
             c["c2"][i] = sig_n / r2 * (np.expm1(h) / h - 1.0)
 
     # img2img entry: map each uniform-grid start step to the segment
-    # boundary with the nearest training timestep
-    grid = (np.arange(n) * (schedule.num_train_timesteps // n)) \
-        .round()[::-1].astype(np.int64)
+    # boundary with the nearest training timestep (the same grid the
+    # pipeline noised the latents on)
+    from .ddpm import inference_timesteps
+
+    grid = np.asarray(inference_timesteps(n), np.int64)
     seg_start = np.asarray(
         [int(np.abs(tq[:-1].astype(np.int64) - g).argmin()) for g in grid],
         np.int32)

@@ -88,7 +88,7 @@ def _oracle_segment(sig, plan, i, x, eps_fn):
     r2 = 2.0 / 3.0
     s2 = int(plan["s2"][i])
     u2 = x - sig[s2] * np.expm1(r2 * h) * eps0 \
-        - sig[s2] * (r2 / r1) * (np.expm1(r2 * h) / (r2 * h) - 1.0) * h \
+        - sig[s2] * (r2 / r1) * (np.expm1(r2 * h) / (r2 * h) - 1.0) \
         * (eps1 - eps0)
     eps2 = eps_fn(u2, s2)
     return x - sig[i1_] * np.expm1(h) * eps0 \

@@ -170,3 +170,16 @@ def test_api_with_upscaler_and_hires(tiny_cfg, tiny_models, tiny_tokenizer):
     with pytest.raises(ValueError, match="upscaler"):
         sdt.StableDiffusion(tiny_models, tiny_tokenizer, tiny_cfg) \
             .upscale(img)
+
+
+def test_batched_upscale_keeps_rank():
+    key = jax.random.PRNGKey(1)
+    cfg = esrgan.tiny_esrgan_config()
+    params = esrgan.init(key, cfg)
+    imgs = (np.random.RandomState(4).rand(2, 10, 12, 3) * 255) \
+        .astype(np.uint8)
+    out = esrgan.upscale_image(params, imgs, cfg)
+    assert out.shape == (2, 40, 48, 3) and out.dtype == np.uint8
+    # per-sample equality with the unbatched path
+    one = esrgan.upscale_image(params, imgs[0], cfg)
+    np.testing.assert_array_equal(out[0], one)

@@ -419,3 +419,69 @@ def test_pipeline_ip_adapter_plus(tiny_cfg, tiny_models, tiny_tokenizer,
                         ip_adapter_image=img, ip_adapter_scale=0.0,
                         clip_vision_config=vis_cfg)
     np.testing.assert_allclose(z_lat, base_lat, rtol=1e-5, atol=1e-6)
+
+
+def test_preprocess_nonsquare_matches_transformers_processor():
+    """Non-square PIL prompts follow the CLIPImageProcessor contract:
+    shortest-edge bicubic resize + center crop (NOT an aspect-distorting
+    square resize)."""
+    PIL = pytest.importorskip("PIL.Image")
+    from transformers import CLIPImageProcessor
+
+    cfg = cv.tiny_vision_config()
+    s = cfg.image_size
+    rs = np.random.RandomState(3)
+    img = PIL.fromarray(rs.randint(0, 256, (2 * s, 3 * s, 3), np.uint8))
+    proc = CLIPImageProcessor(
+        size={"shortest_edge": s}, crop_size={"height": s, "width": s},
+        do_convert_rgb=True)
+    want = proc(images=img, return_tensors="np").pixel_values  # (1,3,S,S)
+    ours = cv.preprocess(img, cfg)
+    np.testing.assert_allclose(ours, want.transpose(0, 2, 3, 1),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_pipeline_ip_adapter_sdxl_depth_layers(tiny_tokenizer):
+    """SDXL-style stacked transformer blocks: every depth layer gets its
+    own to_k_ip/to_v_ip (the per-layer list indexing inside
+    apply_attn_block) — end-to-end through the dual-tower pipeline."""
+    from tests.test_sdxl import tiny_sdxl_config
+    from pytorch_stable_diffusion_tpu.models import clip as clip_mod
+    from pytorch_stable_diffusion_tpu.models import unet as unet_mod
+    from pytorch_stable_diffusion_tpu.models import vae as vae_mod
+
+    cfg = tiny_sdxl_config()
+    key = jax.random.PRNGKey(7)
+    models = {
+        "clip": clip_mod.init(jax.random.fold_in(key, 0), cfg.clip),
+        "clip2": clip_mod.init(jax.random.fold_in(key, 4), cfg.clip2),
+        "encoder": vae_mod.init_encoder(jax.random.fold_in(key, 1),
+                                        cfg.vae),
+        "decoder": vae_mod.init_decoder(jax.random.fold_in(key, 2),
+                                        cfg.vae),
+        "diffusion": unet_mod.init(jax.random.fold_in(key, 3), cfg.unet),
+    }
+    vis_cfg = cv.tiny_vision_config()
+    vision = cv.init(jax.random.PRNGKey(31), vis_cfg)
+    adapter = ipw.convert_ip_adapter(
+        _synthetic_ip_state(cfg.unet, embed_dim=vis_cfg.proj_dim, seed=8),
+        cfg.unet)
+    # the plan has depth-2 entries at the attention level
+    assert any(k.endswith("_1") for k in adapter["layers"])
+    img = (np.random.RandomState(3).rand(
+        vis_cfg.image_size, vis_cfg.image_size, 3) * 255).astype(np.uint8)
+    kw = dict(models=dict(models, ip_adapter=adapter, clip_vision=vision),
+              tokenizer=tiny_tokenizer, config=cfg, height=16, width=16,
+              n_inference_steps=2, seed=3, return_latents=True,
+              clip_vision_config=vis_cfg)
+    _, base = sdt.generate("a photo of a dog",
+                           models=models, tokenizer=tiny_tokenizer,
+                           config=cfg, height=16, width=16,
+                           n_inference_steps=2, seed=3,
+                           return_latents=True)
+    _, lat = sdt.generate("a photo of a dog", ip_adapter_image=img,
+                          ip_adapter_scale=1.0, **kw)
+    assert np.abs(lat - base).max() > 1e-4
+    _, z = sdt.generate("a photo of a dog", ip_adapter_image=img,
+                        ip_adapter_scale=0.0, **kw)
+    np.testing.assert_allclose(z, base, rtol=1e-5, atol=1e-6)

@@ -131,3 +131,37 @@ def test_dp_composable_and_tiling_match_single_device(tiny_cfg, tiny_models,
                             n_inference_steps=N_STEPS, config=tiny_cfg,
                             height=H, width=W, tiling=True)
     assert np.abs(dp.astype(int) - single.astype(int)).max() <= 1
+
+
+def test_dp_ip_adapter_and_reference_match_single_device(
+        tiny_cfg, tiny_models, tiny_tokenizer):
+    """Round-3-late-2 conditioning features partition under DP: the
+    IP-Adapter vision/projection graph and the reference-only capture
+    pass both run per-shard; 8-way == single device up to uint8
+    rounding."""
+    from pytorch_stable_diffusion_tpu.models import clip_vision as cv
+    from pytorch_stable_diffusion_tpu.weights import ip_adapter as ipw
+    from tests.test_ip_adapter import _synthetic_ip_state
+
+    vis_cfg = cv.tiny_vision_config()
+    vision = cv.init(jax.random.PRNGKey(21), vis_cfg)
+    adapter = ipw.convert_ip_adapter(
+        _synthetic_ip_state(tiny_cfg.unet, embed_dim=vis_cfg.proj_dim,
+                            seed=6), tiny_cfg.unet)
+    models = dict(tiny_models, ip_adapter=adapter, clip_vision=vision)
+    rs = np.random.RandomState(2)
+    ip_img = (rs.rand(vis_cfg.image_size, vis_cfg.image_size, 3) * 255) \
+        .astype(np.uint8)
+    ref_img = (rs.rand(H, W, 3) * 255).astype(np.uint8)
+    prompts = ["a cat", "a dog", "a photo", "a photo of a dog",
+               "cat", "dog", "a", "of a cat"]
+    kw = dict(models=models, tokenizer=tiny_tokenizer, seed=11,
+              n_inference_steps=N_STEPS, config=tiny_cfg, height=H,
+              width=W, ip_adapter_image=ip_img, ip_adapter_scale=0.7,
+              clip_vision_config=vis_cfg, reference_image=ref_img,
+              reference_fidelity=0.5)
+    single = sdt.generate_images(prompts, **kw)
+    m = mesh_mod.make_mesh()
+    dp = generate_images_dp(prompts, mesh=m, **kw)
+    assert dp.shape == single.shape == (8, H, W, 3)
+    assert np.abs(dp.astype(int) - single.astype(int)).max() <= 1

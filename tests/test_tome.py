@@ -21,7 +21,10 @@ from pytorch_stable_diffusion_tpu.ops import tome
 
 def test_plan_partitions_the_grid():
     dst, src, r = tome.plan(8, 8, 2, 2, ratio=0.5)
-    assert len(dst) == 16 and len(src) == 48 and r == 24
+    # tomesd semantics: ratio counts TOTAL tokens (0.5 * 64 = 32)
+    assert len(dst) == 16 and len(src) == 48 and r == 32
+    # clamped to the src population
+    assert tome.plan(8, 8, 2, 2, ratio=0.9)[2] == 47
     assert sorted(np.concatenate([dst, src]).tolist()) == list(range(64))
     # dst = top-left of each 2x2 cell
     assert set(dst.tolist()) == {i * 8 + j for i in range(0, 8, 2)
