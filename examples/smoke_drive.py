@@ -206,3 +206,16 @@ img_reg = sd.txt2img("a cat AND dog", "a", seed=1, n_inference_steps=2,
                      height=16, width=16, region_masks=[_ml, 1.0 - _ml])
 print("regional txt2img:", img_reg.shape, "differs:",
       bool((img_reg != img_and).any()), flush=True)
+# AnimateDiff (synthetic motion modules; frame-coupled denoising)
+try:
+    import torch as _torch
+    from tests.test_animatediff import _synthetic_motion_state
+    from pytorch_stable_diffusion_tpu.weights import animatediff as _ad
+    _mt, _ = _ad.convert_motion_module(
+        _synthetic_motion_state(cfg.unet, _torch, seed=3), cfg.unet)
+    frames = sd.with_motion((_mt, 24)).animate(
+        "a cat", n_frames=3, seed=1, n_inference_steps=2, height=16,
+        width=16)
+    print("animatediff frames:", frames.shape, flush=True)
+except ImportError:
+    print("animatediff skipped (no torch)", flush=True)

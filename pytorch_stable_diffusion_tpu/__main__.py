@@ -191,6 +191,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tiling", action="store_true",
                    help="seamless-texture mode: circular conv padding "
                         "everywhere (A1111 --tiling)")
+    p.add_argument("--motion", default=None, metavar="PATH",
+                   help="AnimateDiff motion modules (mm_sd_v15[_v2] "
+                        ".ckpt/.safetensors): text-to-video; pair with "
+                        "--frames and a .gif --out")
+    p.add_argument("--frames", type=int, default=16,
+                   help="frame count for --motion")
+    p.add_argument("--fps", type=int, default=8,
+                   help="GIF playback rate for --motion output")
     p.add_argument("--upscaler", default=None, metavar="PATH",
                    help="ESRGAN/RealESRGAN weights (.pth/.safetensors); "
                         "with --hires-fix the second pass starts from the "
@@ -303,6 +311,10 @@ def main(argv=None) -> int:
         sd = sd.with_upscaler(args.upscaler)
         print(f"[cli] attached upscaler {args.upscaler}", flush=True)
 
+    if args.motion:
+        sd = sd.with_motion(args.motion)
+        print(f"[cli] attached motion modules {args.motion}", flush=True)
+
     if args.vae:
         sd = sd.with_vae(args.vae)
         print(f"[cli] swapped VAE {args.vae}", flush=True)
@@ -401,6 +413,22 @@ def main(argv=None) -> int:
         kw["edit_image"] = Image.open(args.edit_image).convert("RGB")
         kw["image_guidance_scale"] = args.image_guidance
     t0 = time.time()
+    if args.motion:
+        from PIL import Image
+
+        kw_anim = {k: v for k, v in kw.items()}
+        if args.image:
+            kw_anim["input_image"] = Image.open(args.image).convert("RGB")
+            kw_anim["strength"] = args.strength
+        frames = sd.animate(args.prompt, n_frames=args.frames,
+                            uncond_prompt=args.uncond_prompt, **kw_anim)
+        print(f"[cli] generated {len(frames)} frames in "
+              f"{time.time()-t0:.1f}s (incl. compile)", flush=True)
+        pils = [Image.fromarray(f) for f in frames]
+        pils[0].save(args.out, save_all=True, append_images=pils[1:],
+                     duration=int(1000 / args.fps), loop=0)
+        print(f"[cli] wrote {args.out} ({args.frames} frames)", flush=True)
+        return 0
     if args.mask:
         from PIL import Image
 

@@ -120,6 +120,7 @@ class StableDiffusion:
         out._hyper = getattr(self, "_hyper", None)
         out._ip_vision = getattr(self, "_ip_vision", None)
         out._upscaler = getattr(self, "_upscaler", None)
+        out._motion_max = getattr(self, "_motion_max", None)
         if reshard and self.mesh is not None:
             # re-place only the standard model entries; extras (controlnet
             # list, hypernetwork tree) keep their existing placement
@@ -320,6 +321,46 @@ class StableDiffusion:
             if isinstance(controlnet, (list, tuple)) else _load(controlnet)
         return self._clone(models=dict(self.models, controlnet=controlnet),
                            reshard=True)
+
+    def with_motion(self, motion):
+        """Attach AnimateDiff motion modules (weights/animatediff.py).
+
+        ``motion`` is an ``mm_sd_v15[_v2]``-style weight file path or a
+        ready ``(tree, max_len)`` pair; enables :meth:`animate`."""
+        if isinstance(motion, str):
+            from .weights.animatediff import load_motion_module
+
+            tree, max_len = load_motion_module(motion, self.config.unet)
+        else:
+            tree, max_len = motion
+        if self.mesh is not None:
+            from .parallel.dp import replicate_params
+
+            tree = replicate_params(tree, self.mesh)
+        out = self._clone(models=dict(self.models, motion=tree))
+        out._motion_max = int(max_len)
+        return out
+
+    def animate(self, prompt: str, n_frames: int = 16,
+                uncond_prompt: str = "", **kwargs) -> np.ndarray:
+        """Text-to-video via the attached motion modules: returns
+        ``(n_frames, H, W, 3)`` uint8 frames (AnimateDiff — the temporal
+        attention turns the frame batch into a coherent clip).  Pass
+        ``input_image`` for coarse video2video.  ``n_frames`` beyond the
+        modules' trained window (``with_motion`` reads it from the
+        checkpoint; 32 for v2) extrapolates the positional encoding and
+        degrades."""
+        if "motion" not in self.models:
+            raise ValueError("no motion modules attached (with_motion)")
+        mx = getattr(self, "_motion_max", None)
+        if mx and n_frames > mx and "motion_window" not in kwargs:
+            # longer clips than the trained temporal window: sweep
+            # overlapping frame windows automatically (pipeline
+            # motion_window — the community context scheduler)
+            kwargs["motion_window"] = mx
+        return pipeline_mod.generate_images(
+            [prompt], uncond_prompt, n_frames=int(n_frames),
+            **self._kw(kwargs))
 
     def with_upscaler(self, upscaler):
         """Attach an ESRGAN/RealESRGAN pixel upscaler (models/esrgan.py).

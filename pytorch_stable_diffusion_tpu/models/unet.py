@@ -444,7 +444,8 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
           add_cond: Optional[jax.Array] = None, control=None,
           adapter=None, t_cond: Optional[jax.Array] = None,
           return_cache: bool = False, cache=None, pag: bool = False,
-          return_mid_attn: bool = False, ip=None, ref=None):
+          return_mid_attn: bool = False, ip=None, ref=None,
+          motion=None, frames: int = None):
     """latents: (B, h, w, in_ch); context: (B, S, d_context); t: scalar timestep.
 
     Returns predicted noise (B, h, w, out_ch).
@@ -522,6 +523,12 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
                                  sp_mesh=sp_mesh, tome=cfg.tome,
                                  ip=ip_for(ip_key, stage["attn"]),
                                  ref=ref, ref_key=ip_key)
+        if motion is not None and ip_key in motion:
+            # AnimateDiff temporal module after the stage's (res+attn)
+            # pair, BEFORE the skip is recorded (the UNet3D block order)
+            from . import motion as motion_mod
+
+            x = motion_mod.apply_motion(motion[ip_key], x, frames, policy)
         return x
 
     dec_per_level = cfg.num_res_blocks + 1
@@ -572,6 +579,12 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
                                  tome=cfg.tome,
                                  ip=ip_for("mid", mid["attn"]),
                                  ref=ref, ref_key="mid")
+        if motion is not None and "mid" in motion:
+            # v2 checkpoints carry a bottleneck module (attn -> motion ->
+            # res2, the UNetMidBlock3D order)
+            from . import motion as motion_mod
+
+            x = motion_mod.apply_motion(motion["mid"], x, frames, policy)
         x = apply_res_block(mid["res2"], x, t_emb, cfg.groups, policy,
                             backend=attention_backend, quant=quant)
         if adapter is not None and ad_mid is not None:

@@ -249,7 +249,9 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                       ip_vision=None,
                       use_ref: bool = False,
                       pano=None,
-                      use_regions: bool = False):
+                      use_regions: bool = False,
+                      n_frames: Optional[int] = None,
+                      motion_win=None):
     """Build + jit the full generate computation for one static shape.
 
     ``fixed_noise=True`` compiles a variant whose latent-init / encoder /
@@ -835,6 +837,11 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                 fuse_qkv=cfg.fuse_qkv, quant=cfg.quant, sp_mesh=sp_mesh,
                 add_cond=add_c, control=control, adapter=adapter_lanes,
                 t_cond=t_cond, ip=ip_arg)
+            if n_frames:
+                # AnimateDiff: the batch IS the frame axis (one prompt,
+                # frame index fastest within each CFG lane group)
+                unet_kw["motion"] = params["motion"]
+                unet_kw["frames"] = n_frames
             if use_ref:
                 # capture pass: an independent diffusion of the reference
                 # (no ControlNet/adapter residuals); its banked hidden
@@ -856,7 +863,52 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                 unet_kw["ref"] = ("read", bank, noises["ref_fidelity"],
                                   ref_plain_mask)
             mid_probs = None
-            if pano is not None:
+            if motion_win is not None:
+                # long-video context windows (temporal MultiDiffusion —
+                # the community AnimateDiff scheduler for clips beyond
+                # the trained temporal window): sweep overlapping frame
+                # windows through the motion UNet, average per-frame eps
+                win_f, f_starts = motion_win
+                fs_a = jnp.asarray(f_starts)
+                lanes = model_in.shape[0] // n_frames
+                mi = model_in.reshape((lanes, n_frames)
+                                      + model_in.shape[1:])
+                ctx_f = ctx.reshape((lanes, n_frames) + ctx.shape[1:])
+
+                def f_body(j, acc_cnt):
+                    acc, cnt = acc_cnt
+                    f0 = fs_a[j]
+                    win_in = jax.lax.dynamic_slice_in_dim(mi, f0, win_f, 1)
+                    win_in = win_in.reshape((lanes * win_f,)
+                                            + model_in.shape[1:])
+                    win_ctx = jax.lax.dynamic_slice_in_dim(ctx_f, f0,
+                                                           win_f, 1)
+                    win_ctx = win_ctx.reshape((lanes * win_f,)
+                                              + ctx.shape[1:])
+                    kw_w = dict(unet_kw)
+                    kw_w["frames"] = win_f
+                    eps_w = unet_mod.apply(
+                        params["diffusion"], win_in, win_ctx, t, cfg.unet,
+                        policy, **kw_w).astype(jnp.float32)
+                    eps_w = eps_w.reshape((lanes, win_f)
+                                          + eps_w.shape[1:])
+                    cur = jax.lax.dynamic_slice_in_dim(acc, f0, win_f, 1)
+                    acc = jax.lax.dynamic_update_slice_in_dim(
+                        acc, cur + eps_w, f0, 1)
+                    ccur = jax.lax.dynamic_slice_in_dim(cnt, f0, win_f, 1)
+                    cnt = jax.lax.dynamic_update_slice_in_dim(
+                        cnt, ccur + 1.0, f0, 1)
+                    return acc, cnt
+
+                acc0 = jnp.zeros((lanes, n_frames) + model_in.shape[1:3]
+                                 + (cfg.unet.out_channels,), jnp.float32)
+                cnt0 = jnp.zeros((1, n_frames, 1, 1, 1), jnp.float32)
+                acc, cnt = jax.lax.fori_loop(0, len(f_starts), f_body,
+                                             (acc0, cnt0))
+                eps = (acc / jnp.maximum(cnt, 1.0)).reshape(
+                    (lanes * n_frames,) + model_in.shape[1:3]
+                    + (cfg.unet.out_channels,)).astype(policy.compute_dtype)
+            elif pano is not None:
                 # MultiDiffusion (Bar-Tal et al. 2023) / diffusers
                 # panorama: the canvas exceeds the model's native window,
                 # so the UNet sweeps the precomputed overlapping windows
@@ -1445,6 +1497,9 @@ def _run_generate(
     panorama_window: int = 512,
     panorama_stride: Optional[int] = None,
     region_masks=None,
+    n_frames: Optional[int] = None,
+    motion_window: Optional[int] = None,
+    motion_stride: Optional[int] = None,
     edit_image=None,
     image_guidance_scale: float = 1.5,
     fixed_noise: Optional[Dict[str, np.ndarray]] = None,
@@ -1530,6 +1585,22 @@ def _run_generate(
     if len(uncond) == 1 and len(prompts) > 1:
         uncond = uncond * len(prompts)
     batch = len(prompts)
+    if n_frames is not None:
+        # AnimateDiff (models/motion.py): one prompt becomes n_frames
+        # batch lanes whose motion modules attend across the frame axis
+        if "motion" not in models:
+            raise ValueError("n_frames given but models has no 'motion' "
+                             "entry (weights/animatediff."
+                             "load_motion_module)")
+        if batch != 1:
+            raise ValueError("n_frames animates ONE prompt (got "
+                             f"{batch})")
+        if int(n_frames) < 2:
+            raise ValueError("n_frames must be >= 2")
+        n_frames = int(n_frames)
+        prompts = prompts * n_frames
+        uncond = uncond * n_frames
+        batch = n_frames
 
     # A1111 prompt editing/alternation ([from:to:N], [a|b]): realize the
     # per-step prompts, dedupe to K distinct conditionings + an index map;
@@ -1838,6 +1909,38 @@ def _run_generate(
     else:
         ip_vis_cfg = None
 
+    if n_frames is not None:
+        if (pag_scale or sag_scale or ip2p or n_and > 1 or n_sched > 1
+                or control_image is not None or adapter_image is not None
+                or reference_image is not None or panorama
+                or inpaint is not None or deepcache is not None
+                or sequence_parallel or region_masks is not None):
+            raise ValueError("n_frames (AnimateDiff) composes only with "
+                             "the plain txt2img/img2img path in this "
+                             "build")
+        if fixed_noise is not None:
+            raise ValueError("n_frames is not supported in fixed_noise "
+                             "parity mode")
+    mwin = None
+    if motion_window is not None:
+        # long clips: sweep overlapping frame windows (the community
+        # AnimateDiff context scheduler) and average per-frame eps
+        if n_frames is None:
+            raise ValueError("motion_window requires n_frames")
+        w_f = int(motion_window)
+        if not 2 <= w_f < n_frames:
+            raise ValueError(f"motion_window must be in [2, n_frames), "
+                             f"got {w_f} for {n_frames} frames")
+        if ip_adapter_image is not None or hypernetwork is not None:
+            raise ValueError("motion_window does not compose with "
+                             "IP-Adapter/hypernetworks (per-frame lane "
+                             "slicing)")
+        s_f = int(motion_stride or max(w_f // 2, 1))
+        starts = list(range(0, n_frames - w_f + 1, s_f))
+        if starts[-1] != n_frames - w_f:
+            starts.append(n_frames - w_f)
+        mwin = (w_f, tuple(starts))
+
     use_regions = region_masks is not None
     if use_regions:
         # regional prompting (A1111 "Latent Couple" semantics): each AND
@@ -2093,7 +2196,8 @@ def _run_generate(
                             int(encode_tile) if encode_tile else None,
                             hyper, use_sag, n_and, bool(tiling),
                             use_dyn_thresh, use_noise_mult, size_ids,
-                            use_ip, ip_vis_cfg, use_ref, pano, use_regions)
+                            use_ip, ip_vis_cfg, use_ref, pano, use_regions,
+                            n_frames, mwin)
     if n_sched > 1:
         noises["sched_idx"] = jnp.asarray(sched_idx_arr)
     if n_and > 1:

@@ -44,7 +44,8 @@ def export_pipeline(cfg: SDConfig, models, *, n_steps: int = 50, batch: int = 1,
                     variation: bool = False,
                     hypernetwork=None,
                     ip_adapter: bool = False,
-                    ip_vision=None) -> bytes:
+                    ip_vision=None,
+                    n_frames: Optional[int] = None) -> bytes:
     """Serialize the full generation program for one static configuration.
 
     ``models`` supplies only shapes/dtypes for the export signature; the
@@ -99,6 +100,13 @@ def export_pipeline(cfg: SDConfig, models, *, n_steps: int = 50, batch: int = 1,
             from ..models import clip_vision as _cv
 
             ip_vision = _cv.vit_h14()
+    if n_frames is not None:
+        # AnimateDiff artifact: the batch axis IS the frame axis
+        if "motion" not in models:
+            raise ValueError("n_frames needs models['motion']")
+        if batch != n_frames:
+            raise ValueError(f"n_frames artifacts use batch == n_frames "
+                             f"(got batch={batch}, n_frames={n_frames})")
     run = _compiled_txt2img(cfg, n_steps, do_cfg, batch, h_lat, w_lat,
                             img2img, False, False, sampler, float(ddim_eta),
                             decode_tile, None, inpaint, use_control,
@@ -107,7 +115,8 @@ def export_pipeline(cfg: SDConfig, models, *, n_steps: int = 50, batch: int = 1,
                             emphasis, variation=variation, pag=pag,
                             hyper=hypernetwork, sag=sag,
                             use_ip=ip_adapter,
-                            ip_vision=ip_vision if ip_adapter else None)
+                            ip_vision=ip_vision if ip_adapter else None,
+                            n_frames=n_frames)
 
     aux = {"latent_init": jnp.zeros((1,), jnp.float32)}
     if inpaint is not None:

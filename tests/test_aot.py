@@ -452,3 +452,36 @@ def test_export_ip_adapter_roundtrip(tiny_cfg, tiny_models, tiny_tokenizer):
 
     with pytest.raises(ValueError, match="ip_image"):
         loaded(models, toks, un, jax.random.PRNGKey(5), 7.5)
+
+
+def test_export_animatediff_roundtrip(tiny_cfg, tiny_models,
+                                      tiny_tokenizer):
+    """AnimateDiff exports: batch == frame axis, motion modules ride in
+    models; the artifact bit-matches the live animate path."""
+    torch = pytest.importorskip("torch")
+    from pytorch_stable_diffusion_tpu.weights import animatediff as ad
+    from tests.test_animatediff import _synthetic_motion_state
+
+    tree, _ = ad.convert_motion_module(
+        _synthetic_motion_state(tiny_cfg.unet, torch, seed=9),
+        tiny_cfg.unet)
+    models = dict(tiny_models, motion=tree)
+    F = 3
+    blob = aot.export_pipeline(tiny_cfg, models, n_steps=N_STEPS,
+                               batch=F, height=H, width=W, n_frames=F)
+    loaded = aot.load_pipeline(blob)
+
+    import pytorch_stable_diffusion_tpu as sdt
+
+    live = sdt.generate_images(["a cat"] * 1, models=models,
+                               tokenizer=tiny_tokenizer, seed=5,
+                               n_inference_steps=N_STEPS, config=tiny_cfg,
+                               height=H, width=W, n_frames=F)
+    toks = np.asarray([tiny_tokenizer.encode("a cat")] * F, np.int32)
+    un = np.asarray([tiny_tokenizer.encode("")] * F, np.int32)
+    images, _ = loaded(models, toks, un, jax.random.PRNGKey(5), 7.5)
+    np.testing.assert_array_equal(images, live)
+
+    with pytest.raises(ValueError, match="batch == n_frames"):
+        aot.export_pipeline(tiny_cfg, models, n_steps=N_STEPS, batch=1,
+                            height=H, width=W, n_frames=F)
