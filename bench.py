@@ -70,6 +70,9 @@ def main():
     ap.add_argument("--tome", type=float, default=None, metavar="RATIO",
                     help="ToMe token merging ratio (~0.5; approximate — "
                          "merges redundant self-attention tokens)")
+    ap.add_argument("--hypertile", type=int, default=None, metavar="TILE",
+                    help="Hypertile tile side in latent tokens (~32; "
+                         "approximate — tile-local self-attention)")
     ap.add_argument("--pag-scale", type=float, default=0.0,
                     help="Perturbed-Attention Guidance (extra cond-lane "
                          "eval per step)")
@@ -96,6 +99,10 @@ def main():
         from pytorch_stable_diffusion_tpu.models.config import with_tome
 
         cfg = with_tome(cfg, args.tome)
+    if args.hypertile:
+        from pytorch_stable_diffusion_tpu.models.config import with_hypertile
+
+        cfg = with_hypertile(cfg, args.hypertile)
     if args.family in ("sdxl", "sdxl_refiner") and args.size == 512 \
             and args.batch == 4:
         args.size, args.batch = 1024, 1  # native-resolution latency config
@@ -150,6 +157,8 @@ def main():
                   + (f", deepcache={args.deepcache}" if args.deepcache
                      else "")
                   + (f", tome={args.tome}" if args.tome else "")
+                  + (f", hypertile={args.hypertile}" if args.hypertile
+                     else "")
                   + (f", pag={args.pag_scale}" if args.pag_scale else "")
                   + (f", sag={args.sag_scale}" if args.sag_scale else "")
                   + ")",

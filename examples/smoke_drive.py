@@ -183,6 +183,18 @@ img_ref = sd.txt2img("a cat", seed=1, n_inference_steps=2, height=16,
                      reference_fidelity=0.5)
 print("reference-only txt2img:", img_ref.shape, "differs:",
       bool((img_ref != img).any()), flush=True)
+# reference_adain+attn (feature-stat AdaIN banking on top of attention)
+img_ra = sd.txt2img("a cat", seed=1, n_inference_steps=2, height=16,
+                    width=16, reference_image=_ipimg,
+                    reference_fidelity=0.5, reference_mode="adain+attn")
+print("reference adain+attn txt2img:", img_ra.shape, "differs:",
+      bool((img_ra != img_ref).any()), flush=True)
+# Hypertile (tile-local self-attention)
+from pytorch_stable_diffusion_tpu.models.config import with_hypertile as _wh
+img_ht = sdt.StableDiffusion(models, tok, _wh(cfg, 2, min_tokens=16)) \
+    .txt2img("a cat", seed=1, n_inference_steps=2, height=16, width=16)
+print("hypertile txt2img:", img_ht.shape, "differs:",
+      bool((img_ht != img).any()), flush=True)
 # MultiDiffusion panorama (wide canvas, overlapping windows)
 img_pan = sd.txt2img("a cat", seed=1, n_inference_steps=2, height=16,
                      width=32, panorama=True, panorama_window=16,

@@ -24,7 +24,8 @@ from .models.config import (CLIPConfig, SDConfig, UNetConfig, VAEConfig,
                             sd15_lcm_config, sd2_inpaint_config,
                             sd21_config, sdxl_config, sdxl_lcm_config,
                             sdxl_refiner_config, tiny_sd_config,
-                            with_clip_skip, with_freeu)
+                            with_clip_skip, with_freeu,
+                            with_hypertile, with_tome)
 from .core.dtypes import BF16, FP32, MIXED, Policy
 from .pipeline import (generate, generate_images, generate_many,
                        get_time_embedding, rescale)
@@ -44,7 +45,8 @@ __all__ = [
     "sd15_lcm_config",
     "sd2_inpaint_config", "sd21_config", "sdxl_config",
     "sdxl_lcm_config", "sdxl_refiner_config",
-    "tiny_sd_config", "with_clip_skip", "with_freeu", "Policy", "FP32",
+    "tiny_sd_config", "with_clip_skip", "with_freeu", "with_hypertile",
+    "with_tome", "Policy", "FP32",
     "BF16", "MIXED",
     "get_time_embedding", "rescale",
 ]

@@ -159,6 +159,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "'reference' preprocessor, no weights needed): "
                         "self-attention attends over this image's "
                         "features")
+    p.add_argument("--reference-mode", default="attn",
+                   choices=["attn", "adain", "adain+attn"],
+                   help="which reference statistics steer the sample: "
+                        "self-attention banking (reference_attn), feature "
+                        "mean/var AdaIN (reference_adain), or both")
     p.add_argument("--reference-fidelity", type=float, default=0.5,
                    help="style fidelity (0 = reference everywhere, 1 = "
                         "uncond lane stays plain; A1111 default 0.5)")
@@ -391,6 +396,7 @@ def main(argv=None) -> int:
         kw["reference_image"] = Image.open(args.reference_image) \
             .convert("RGB")
         kw["reference_fidelity"] = args.reference_fidelity
+        kw["reference_mode"] = args.reference_mode
     if args.region_mask:
         from PIL import Image
 

@@ -119,6 +119,13 @@ class UNetConfig:
     #: representative and unmerge after.  Approximate (opt-in);
     #: None = off (exact).  Use models/config.with_tome.
     tome: Tuple[float, int, int, int] = None
+    #: Hypertile (tfernd/HyperTile; the A1111 built-in "Hypertile" perf
+    #: setting): (tile, min_tokens) — self-attention in blocks with
+    #: >= min_tokens tokens runs tile-locally over non-overlapping
+    #: (<=tile x <=tile) latent windows folded into the batch axis,
+    #: cutting the O(N^2) cost to O(N*tile^2).  Approximate (opt-in);
+    #: None = off (exact).  Use models/config.with_hypertile.
+    hypertile: Tuple[int, int] = None
 
     def depth_for(self, level: int) -> int:
         if self.transformer_depth is None:
@@ -413,6 +420,23 @@ def with_tome(cfg: SDConfig, ratio: float = 0.5, *, sx: int = 2, sy: int = 2,
             cfg.unet, tome=None))
     return dataclasses.replace(cfg, unet=dataclasses.replace(
         cfg.unet, tome=(float(ratio), int(sx), int(sy), int(min_tokens))))
+
+
+def with_hypertile(cfg: SDConfig, tile: int = 32, *,
+                   min_tokens: int = 4096) -> SDConfig:
+    """Hypertile tile-local self-attention (the A1111 built-in "Hypertile"
+    setting; tfernd/HyperTile).  ``tile`` is the max tile side in LATENT
+    tokens (the A1111 256-px default / the 8x VAE factor = 32); each
+    qualifying self-attention uses the largest divisor of its grid side
+    <= ``tile``.  Grids already within one tile run exactly (bit-identical
+    to off).  ``tile=0``/``None`` returns the config with hypertile off."""
+    if not tile:
+        return dataclasses.replace(cfg, unet=dataclasses.replace(
+            cfg.unet, hypertile=None))
+    if tile < 1:
+        raise ValueError(f"hypertile tile must be >= 1, got {tile}")
+    return dataclasses.replace(cfg, unet=dataclasses.replace(
+        cfg.unet, hypertile=(int(tile), int(min_tokens))))
 
 
 def with_freeu(cfg: SDConfig, freeu=True) -> SDConfig:

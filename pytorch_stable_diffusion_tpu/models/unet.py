@@ -232,12 +232,43 @@ def _proj1x1(p, x, policy: Policy, quant: str = "none"):
     return y
 
 
+def hypertile_sides(h: int, w: int, tile: int):
+    """Largest divisors of (h, w) that are <= tile — the static tile sides
+    (tfernd/HyperTile picks among divisors per step; one static choice
+    keeps the graph shape fixed).  Returns None when the grid already fits
+    a single tile (hypertile is then exact/off for this block)."""
+    def side(n):
+        for d in range(min(tile, n), 0, -1):
+            if n % d == 0:
+                return d
+        return n
+    th, tw = side(h), side(w)
+    return None if (th, tw) == (h, w) else (th, tw)
+
+
+def hypertile_fold(t, h: int, w: int, th: int, tw: int):
+    """(B, h*w, C) row-major tokens -> (B*nh*nw, th*tw, C) tile-local
+    sequences (tiles raster-ordered, rows within a tile raster-ordered)."""
+    n, _, c = t.shape
+    nh, nw = h // th, w // tw
+    t = t.reshape(n, nh, th, nw, tw, c).transpose(0, 1, 3, 2, 4, 5)
+    return t.reshape(n * nh * nw, th * tw, c)
+
+
+def hypertile_unfold(t, h: int, w: int, th: int, tw: int):
+    """Inverse of :func:`hypertile_fold`."""
+    nh, nw = h // th, w // tw
+    n = t.shape[0] // (nh * nw)
+    t = t.reshape(n, nh, nw, th, tw, -1).transpose(0, 1, 3, 2, 4, 5)
+    return t.reshape(n, h * w, t.shape[-1])
+
+
 def apply_attn_block(p, x, context, n_heads: int, groups: int, policy: Policy,
                      *, backend: str = "xla", reference_quirks: bool = False,
                      fuse_qkv: bool = True, quant: str = "none",
                      sp_mesh=None, pag_self_attn: bool = False,
                      return_self_probs: bool = False, ip=None, tome=None,
-                     ref=None, ref_key: str = None):
+                     hypertile=None, ref=None, ref_key: str = None):
     """diffusion.py:212-381.
 
     The whole block runs in flattened (B, HW, C) form — one reshape at each
@@ -264,6 +295,15 @@ def apply_attn_block(p, x, context, n_heads: int, groups: int, policy: Policy,
             dst_i, src_i, t_r = tome_mod.plan(h, w, sx, sy, ratio)
             if t_r > 0:
                 tome_plan = (tome_mod, dst_i, src_i, t_r)
+
+    # Hypertile (models/config.with_hypertile): tile-local self-attention
+    # for big grids; mutually exclusive with ToMe at a given block (ToMe
+    # wins — both reduce the same attn1 cost)
+    ht_plan = None
+    if hypertile is not None and sp_mesh is None and tome_plan is None:
+        ht_tile, ht_min = hypertile
+        if h * w >= ht_min:
+            ht_plan = hypertile_sides(h, w, ht_tile)
 
     # depth-1 blocks keep the flat SD-1.x layout; SDXL-style blocks carry
     # a "blocks" list of stacked transformer layers
@@ -324,6 +364,15 @@ def apply_attn_block(p, x, context, n_heads: int, groups: int, policy: Policy,
                         .astype(a_ref.dtype)
                     a_ref = a_plain * mix + a_ref * (1.0 - mix)
                 y = y + a_ref
+        elif ht_plan is not None:
+            # Hypertile: fold non-overlapping latent tiles into the batch
+            # axis — each tile attends only to itself
+            th, tw = ht_plan
+            a = attention.apply(lp["self_attn"],
+                                hypertile_fold(t, h, w, th, tw),
+                                n_heads=n_heads, backend=backend,
+                                policy=policy, fuse=fuse_qkv, quant=quant)
+            y = y + hypertile_unfold(a, h, w, th, tw)
         else:
             y = y + attention.apply(lp["self_attn"], t, n_heads=n_heads,
                                     backend=backend, policy=policy,
@@ -437,6 +486,22 @@ def _fourier_lowpass_scale(x, scale: float, threshold: int = 1):
     return out.astype(x.dtype)
 
 
+def adain_transform(xf, mean, var, m_ref, v_ref, fidelity, plain_mask):
+    """The reference_adain read transform, exactly the published formula
+    (diffusers community stable_diffusion_reference):
+    ``x_uc = (x - mean)/max(var,1e-6)**.5 * max(var_ref,1e-6)**.5 + mean_ref``
+    then masked lanes lerp toward plain: ``fidelity*x_c + (1-fidelity)*x_uc``
+    with ``x_c = x`` on masked lanes, ``x_uc`` elsewhere.  All fp32;
+    (mean, var) are the per-sample per-channel spatial stats of ``xf``."""
+    x_ad = (xf - mean) / jnp.sqrt(jnp.maximum(var, 1e-6)) \
+        * jnp.sqrt(jnp.maximum(v_ref, 1e-6)) + m_ref
+    if plain_mask is not None:
+        mix = (fidelity * plain_mask)[:, None, None, None] \
+            .astype(jnp.float32)
+        x_ad = xf * mix + x_ad * (1.0 - mix)
+    return x_ad
+
+
 def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
           *, attention_backend: str = "xla", reference_quirks: bool = False,
           t_emb: Optional[jax.Array] = None, fuse_qkv: bool = True,
@@ -444,7 +509,7 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
           add_cond: Optional[jax.Array] = None, control=None,
           adapter=None, t_cond: Optional[jax.Array] = None,
           return_cache: bool = False, cache=None, pag: bool = False,
-          return_mid_attn: bool = False, ip=None, ref=None,
+          return_mid_attn: bool = False, ip=None, ref=None, ref_adain=None,
           motion=None, frames: int = None):
     """latents: (B, h, w, in_ch); context: (B, S, d_context); t: scalar timestep.
 
@@ -474,6 +539,14 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
     to_k_ip/to_v_ip params, ``tokens`` is the (B, n_tok, d_context)
     projected image-prompt context and ``scale`` the traced strength;
     every cross-attention layer runs the decoupled image attention.
+
+    ``ref`` / ``ref_adain``: reference-only guidance (training-free; the
+    A1111 ControlNet "reference" preprocessor family).  ``ref`` banks/reads
+    every self-attention's pre-attention hidden states (reference_attn);
+    ``ref_adain`` banks/reads per-sample per-channel spatial (mean, var)
+    after every encoder/decoder res(+attn) stage and the bottleneck — the
+    diffusers community stable_diffusion_reference gn-hook sites.  Both
+    take ``("capture", bank)`` or ``("read", bank, fidelity, plain_mask)``.
 
     DeepCache (Ma et al. 2023) support: ``return_cache=True`` additionally
     returns the backbone feature entering the SHALLOWEST decoder level;
@@ -511,6 +584,29 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
         return ([ip[0][f"{key_prefix}_{li}"] for li in range(depth)],
                 ip[1], ip[2])
 
+    def adain_site(x, key):
+        """Reference-only AdaIN banking site (the A1111 ControlNet
+        "reference_adain" preprocessor / diffusers community
+        stable_diffusion_reference gn hooks): in capture mode bank this
+        feature map's per-sample per-channel spatial (mean, var); in read
+        mode re-normalize to the banked reference statistics, with
+        ``fidelity`` lerping the masked (uncond) lanes back toward the
+        untouched features.  Stats in fp32 (variance of bf16 activations
+        is catastrophically cancellation-prone)."""
+        if ref_adain is None:
+            return x
+        mode, bank = ref_adain[0], ref_adain[1]
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
+        if mode == "capture":
+            bank[key] = (mean, var)
+            return x
+        _, _, fidelity, plain_mask = ref_adain
+        m_ref, v_ref = bank[key]
+        return adain_transform(xf, mean, var, m_ref, v_ref, fidelity,
+                               plain_mask).astype(x.dtype)
+
     def block(stage, x, ip_key=None):
         x = apply_res_block(stage["res"], x, t_emb, cfg.groups, policy,
                             backend=attention_backend, quant=quant)
@@ -521,6 +617,7 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
                                  reference_quirks=reference_quirks,
                                  fuse_qkv=fuse_qkv, quant=quant,
                                  sp_mesh=sp_mesh, tome=cfg.tome,
+                                 hypertile=cfg.hypertile,
                                  ip=ip_for(ip_key, stage["attn"]),
                                  ref=ref, ref_key=ip_key)
         if motion is not None and ip_key in motion:
@@ -547,6 +644,7 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
                                policy=policy, quant=quant)
             else:
                 x = block(stage, x, f"enc_{i}")
+                x = adain_site(x, f"enc_{i}")
                 if adapter is not None and i in ad_pre:
                     x = x + adapter[ad_pre[i]].astype(x.dtype)
             skips.append(x)
@@ -567,7 +665,8 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
                 cfg.groups, policy, backend=attention_backend,
                 reference_quirks=reference_quirks, fuse_qkv=fuse_qkv,
                 quant=quant, pag_self_attn=pag, return_self_probs=True,
-                tome=cfg.tome, ip=ip_for("mid", mid["attn"]),
+                tome=cfg.tome, hypertile=cfg.hypertile,
+                ip=ip_for("mid", mid["attn"]),
                 ref=ref, ref_key="mid")
         else:
             x = apply_attn_block(mid["attn"], x, context,
@@ -577,6 +676,7 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
                                  fuse_qkv=fuse_qkv, quant=quant,
                                  sp_mesh=sp_mesh, pag_self_attn=pag,
                                  tome=cfg.tome,
+                                 hypertile=cfg.hypertile,
                                  ip=ip_for("mid", mid["attn"]),
                                  ref=ref, ref_key="mid")
         if motion is not None and "mid" in motion:
@@ -587,6 +687,7 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
             x = motion_mod.apply_motion(motion["mid"], x, frames, policy)
         x = apply_res_block(mid["res2"], x, t_emb, cfg.groups, policy,
                             backend=attention_backend, quant=quant)
+        x = adain_site(x, "mid")
         if adapter is not None and ad_mid is not None:
             # full_adapter_xl's extra feature, before the ControlNet mid
             # residual (the diffusers forward order)
@@ -630,6 +731,7 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
                 skip = _fourier_lowpass_scale(skip, s)
         x = jnp.concatenate([x, skip], axis=-1)
         x = block(stage, x, f"dec_{si}")
+        x = adain_site(x, f"dec_{si}")
         if "upsample" in stage:
             x = upsample_nearest_2x(x)
             x = conv.apply(stage["upsample"], x, padding=1, policy=policy,

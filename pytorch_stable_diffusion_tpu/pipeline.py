@@ -248,6 +248,7 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                       use_ip: bool = False,
                       ip_vision=None,
                       use_ref: bool = False,
+                      ref_mode: str = "attn",
                       pano=None,
                       use_regions: bool = False,
                       n_frames: Optional[int] = None,
@@ -757,6 +758,8 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                 policy, attention_backend=cfg.vae_attention_backend,
                 reference_quirks=cfg.reference_quirks).astype(jnp.float32)
             ref_step_noises = all_step_noises("ref_noise")
+            ref_attn = "attn" in ref_mode
+            ref_adain = "adain" in ref_mode
             ref_lanes = 2 if do_cfg else 1
             ref_plain_mask = jnp.concatenate(
                 [jnp.zeros((batch,), jnp.float32),
@@ -852,16 +855,25 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                     ref_step_noises[jnp.minimum(step_i, n_steps - 1)])
                 ref_in = jnp.concatenate(
                     [rn.astype(policy.compute_dtype)] * ref_lanes, axis=0)
-                bank = {}
+                bank = {} if ref_attn else None
+                abank = {} if ref_adain else None
                 unet_mod.apply(params["diffusion"], ref_in, ctx, t,
                                cfg.unet, policy,
                                attention_backend=cfg.attention_backend,
                                reference_quirks=cfg.reference_quirks,
                                fuse_qkv=cfg.fuse_qkv, quant=cfg.quant,
                                sp_mesh=sp_mesh, add_cond=add_c,
-                               t_cond=t_cond, ref=("capture", bank))
-                unet_kw["ref"] = ("read", bank, noises["ref_fidelity"],
-                                  ref_plain_mask)
+                               t_cond=t_cond,
+                               ref=("capture", bank) if ref_attn else None,
+                               ref_adain=(("capture", abank)
+                                          if ref_adain else None))
+                if ref_attn:
+                    unet_kw["ref"] = ("read", bank, noises["ref_fidelity"],
+                                      ref_plain_mask)
+                if ref_adain:
+                    unet_kw["ref_adain"] = ("read", abank,
+                                            noises["ref_fidelity"],
+                                            ref_plain_mask)
             mid_probs = None
             if motion_win is not None:
                 # long-video context windows (temporal MultiDiffusion —
@@ -1493,6 +1505,7 @@ def _run_generate(
     clip_vision_config=None,
     reference_image=None,
     reference_fidelity: float = 0.5,
+    reference_mode: str = "attn",
     panorama: bool = False,
     panorama_window: int = 512,
     panorama_stride: Optional[int] = None,
@@ -2006,9 +2019,10 @@ def _run_generate(
 
     use_ref = reference_image is not None
     if use_ref:
-        # reference-only guidance (A1111 ControlNet "reference" attn
-        # mode): one extra capture UNet eval per step; the lane-mixing
-        # contract assumes the plain [cond, uncond] CFG stack.
+        # reference-only guidance (the A1111 ControlNet "reference"
+        # preprocessors — reference_mode picks attn banking, feature-stat
+        # AdaIN, or both): one extra capture UNet eval per step; the
+        # lane-mixing contract assumes the plain [cond, uncond] CFG stack.
         if pag_scale or sag_scale or n_and > 1 or n_sched > 1 or ip2p:
             raise ValueError("reference_image does not compose with "
                              "PAG/SAG/AND/prompt-editing/InstructPix2Pix")
@@ -2023,12 +2037,24 @@ def _run_generate(
             raise ValueError("reference_image does not compose with ToMe "
                              "(merged tokens cannot bank reference "
                              "states)")
+        if cfg.unet.hypertile is not None:
+            raise ValueError("reference_image does not compose with "
+                             "hypertile (tile-local attention cannot "
+                             "bank full-grid reference states)")
         if fixed_noise is not None:
             raise ValueError("reference_image is not supported in "
                              "fixed_noise parity mode")
         if not 0.0 <= float(reference_fidelity) <= 1.0:
             raise ValueError("reference_fidelity must be in [0, 1], got "
                              f"{reference_fidelity}")
+        # the three A1111 "reference" preprocessor variants; accept both
+        # orderings of the combined mode
+        if reference_mode not in ("attn", "adain", "adain+attn",
+                                  "attn+adain"):
+            raise ValueError("reference_mode must be 'attn', 'adain' or "
+                             f"'adain+attn', got {reference_mode!r}")
+        reference_mode = ("adain+attn" if "+" in reference_mode
+                          else reference_mode)
         ref_img = np.broadcast_to(
             _prepare_image(reference_image, width, height),
             (batch, height, width, 3)).copy()
@@ -2196,7 +2222,9 @@ def _run_generate(
                             int(encode_tile) if encode_tile else None,
                             hyper, use_sag, n_and, bool(tiling),
                             use_dyn_thresh, use_noise_mult, size_ids,
-                            use_ip, ip_vis_cfg, use_ref, pano, use_regions,
+                            use_ip, ip_vis_cfg, use_ref,
+                            reference_mode if use_ref else "attn",
+                            pano, use_regions,
                             n_frames, mwin)
     if n_sched > 1:
         noises["sched_idx"] = jnp.asarray(sched_idx_arr)
