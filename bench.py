@@ -154,6 +154,8 @@ def main():
                   f"{args.steps}-step {args.sampler.upper()}"
                   f"{'+CFG' if do_cfg else ''} "
                   f"batch={b} images/sec/chip ({backend} attention, bf16"
+                  + (f", quant={args.quant}" if args.quant != "none"
+                     else "")
                   + (f", deepcache={args.deepcache}" if args.deepcache
                      else "")
                   + (f", tome={args.tome}" if args.tome else "")
