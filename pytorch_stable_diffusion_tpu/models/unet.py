@@ -236,12 +236,15 @@ def hypertile_sides(h: int, w: int, tile: int):
     """Largest divisors of (h, w) that are <= tile — the static tile sides
     (tfernd/HyperTile picks among divisors per step; one static choice
     keeps the graph shape fixed).  Returns None when the grid already fits
-    a single tile (hypertile is then exact/off for this block)."""
+    a single tile (hypertile is then exact/off for this block).  An axis
+    with no divisor in [2, tile] (e.g. a prime side) is left untiled —
+    divisor 1 would mean 1-row strip "tiles", a far harsher approximation
+    than upstream HyperTile intends; if neither axis tiles, returns None."""
     def side(n):
-        for d in range(min(tile, n), 0, -1):
+        for d in range(min(tile, n), 1, -1):
             if n % d == 0:
                 return d
-        return n
+        return n  # no usable divisor: keep the full side (axis untiled)
     th, tw = side(h), side(w)
     return None if (th, tw) == (h, w) else (th, tw)
 

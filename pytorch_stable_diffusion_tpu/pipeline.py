@@ -1750,6 +1750,10 @@ def _run_generate(
             raise ValueError("ToMe token merging does not compose with "
                              "sequence_parallel (the spatial shard_map "
                              "needs the full token grid)")
+        if cfg.unet.hypertile is not None:
+            raise ValueError("Hypertile does not compose with "
+                             "sequence_parallel (tile folding needs the "
+                             "full token grid, not a spatial shard)")
         sp_mesh = mesh
     # ---------------------------------------------------------- inpaint mode
     # "unet9": dedicated 9-channel inpaint checkpoint (runwayml-style);

@@ -190,6 +190,12 @@ def test_cli_multi_controlnet(assets, tiny_cfg):
               "--prompt", "a cat", "--config-preset", "tiny",
               "--controlnet", cn_paths[0], "--controlnet", cn_paths[1],
               "--control-image", img_paths[0], "--out", out])
+    # --reference-mode without --reference-image is a typo'd invocation,
+    # not a silent plain generation (ADVICE r3)
+    with pytest.raises(SystemExit, match="reference-image"):
+        main(["--ckpt", ckpt, "--vocab", vocab, "--merges", merges,
+              "--prompt", "a cat", "--config-preset", "tiny",
+              "--reference-mode", "adain", "--out", out])
 
 
 def test_cli_zero_snr_and_new_samplers(assets):

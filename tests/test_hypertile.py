@@ -28,8 +28,13 @@ def test_hypertile_sides_divisor_choice():
     # grid already fits one tile -> None (exact / off)
     assert unet_mod.hypertile_sides(16, 16, 32) is None
     assert unet_mod.hypertile_sides(32, 32, 32) is None
-    # degenerate tile=1 still legal (per-token "attention")
-    assert unet_mod.hypertile_sides(4, 4, 1) == (1, 1)
+    # a prime side has no divisor in [2, tile]: that axis stays untiled
+    # (divisor 1 would mean 1-row strip "tiles" — harsher than upstream
+    # HyperTile intends); the other axis still tiles
+    assert unet_mod.hypertile_sides(61, 64, 32) == (61, 32)
+    # neither axis tileable -> None (degenerate tile=1 included)
+    assert unet_mod.hypertile_sides(61, 53, 32) is None
+    assert unet_mod.hypertile_sides(4, 4, 1) is None
 
 
 def test_hypertile_fold_roundtrip_and_indexing():

@@ -19,23 +19,40 @@ from pytorch_stable_diffusion_tpu.ops import attention
 
 
 # ------------------------------------------------------------- attn level
-def test_read_with_own_bank_matches_duplicated_keys():
-    """Reading a bank equal to the query tokens must equal attending over
-    the tokens duplicated along the KV axis (definition check)."""
+def test_block_read_own_bank_matches_plain_attention():
+    """Through the REAL block path: capture on x then read on the SAME x
+    means every layer attends over its own tokens duplicated along the KV
+    axis — softmax weights halve, the average is unchanged, so the block
+    output must match plain self-attention (ref=None) up to reduction
+    noise.  Definition check for the read path itself (the round-3 version
+    of this test compared the duplicated-KV computation against itself)."""
+    from pytorch_stable_diffusion_tpu.core.dtypes import FP32
+
     key = jax.random.PRNGKey(0)
-    p = attention.init(key, 2, 16, in_bias=False)
-    x = jax.random.normal(jax.random.fold_in(key, 1), (2, 6, 16))
-    dup = attention.apply(p, x, jnp.concatenate([x, x], axis=1), n_heads=2,
-                          fuse=False)
-    # through the block-level path: capture then read with fidelity 0
-    lp = {"ln1": {"scale": jnp.ones(16), "bias": jnp.zeros(16)},
-          "self_attn": p}
-    # emulate just the self-attn segment: t == x here for directness
-    bank = {"blk_0": x}
-    t_kv = jnp.concatenate([x, bank["blk_0"]], axis=1)
-    read = attention.apply(p, x, t_kv, n_heads=2, fuse=False)
-    np.testing.assert_allclose(np.asarray(read), np.asarray(dup),
+    p = unet_mod.init_attn_block(key, 16, 24)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (2, 4, 4, 16))
+    ctx = jax.random.normal(jax.random.fold_in(key, 2), (2, 5, 24))
+    kw = dict(n_heads=2, groups=4, policy=FP32, fuse_qkv=False)
+    plain = unet_mod.apply_attn_block(p, x, ctx, **kw)
+    bank = {}
+    cap = unet_mod.apply_attn_block(p, x, ctx, **kw,
+                                    ref=("capture", bank), ref_key="blk")
+    assert set(bank) == {"blk_0"} and bank["blk_0"].shape == (2, 16, 16)
+    # capture mode's own output is plain attention (it only banks t)
+    np.testing.assert_allclose(np.asarray(cap), np.asarray(plain),
                                rtol=1e-6, atol=1e-6)
+    read = unet_mod.apply_attn_block(p, x, ctx, **kw,
+                                     ref=("read", bank, 0.0, None),
+                                     ref_key="blk")
+    np.testing.assert_allclose(np.asarray(read), np.asarray(plain),
+                               rtol=1e-5, atol=1e-5)
+    # and a DIFFERENT bank must change the output (read really reads)
+    other = {"blk_0": jnp.asarray(
+        np.random.RandomState(3).randn(2, 16, 16).astype(np.float32))}
+    far = unet_mod.apply_attn_block(p, x, ctx, **kw,
+                                    ref=("read", other, 0.0, None),
+                                    ref_key="blk")
+    assert np.abs(np.asarray(far) - np.asarray(plain)).max() > 1e-4
 
 
 # ------------------------------------------------------------- unet level

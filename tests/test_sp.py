@@ -60,6 +60,18 @@ def test_sp_validations(tiny_cfg, tiny_models, tiny_tokenizer):
         # latent height 2 not divisible by model axis 4
         sdt.generate("a cat", "", mesh=mesh_mod.make_mesh(data=1, model=4, devices=_dev4()),
                      sequence_parallel=True, height=4, width=32, **kw)
+    # approximation features that need the full token grid are rejected,
+    # not silently dropped (ADVICE r3: hypertile was silently disabled)
+    import dataclasses
+
+    sp_mesh = mesh_mod.make_mesh(data=1, model=4, devices=_dev4())
+    for field, match in ((dict(tome=(0.5, 2, 2, 64)), "ToMe"),
+                         (dict(hypertile=(4, 64)), "Hypertile")):
+        cfg2 = dataclasses.replace(
+            tiny_cfg, unet=dataclasses.replace(tiny_cfg.unet, **field))
+        with pytest.raises(ValueError, match=match):
+            sdt.generate("a cat", "", mesh=sp_mesh, sequence_parallel=True,
+                         height=H, width=W, **dict(kw, config=cfg2))
 
 
 def test_sp_pallas_backend_matches_single_device(tiny_cfg, tiny_models,
