@@ -21,6 +21,10 @@ _NEEDS_CPU_REEXEC = (
 
 
 def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "timeout(seconds): per-test watchdog ceiling override "
+        "(default SDT_TEST_TIMEOUT, 900 s; 0 disables)")
     if not _NEEDS_CPU_REEXEC:
         return
     env = dict(os.environ)
@@ -59,6 +63,50 @@ if _REPO not in sys.path:
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# Per-test watchdog (round-3 lesson: a stale expected-raise probe became a
+# silent multi-hour 512^2 CPU generation — twice).  Two tiers because a
+# Python SIGALRM handler cannot interrupt a thread blocked inside an XLA
+# C call:
+#   soft  (limit):        SIGALRM raises TimeoutError -> the test FAILS with
+#                         a normal traceback whenever control is in Python.
+#   hard  (1.5x + 60 s):  faulthandler's watchdog thread dumps all stack
+#                         traces and exits the process -- bounded CI even if
+#                         the main thread is wedged inside a compile/execute.
+# Override per test with @pytest.mark.timeout(seconds); 0 disables.  Scale
+# globally with SDT_TEST_TIMEOUT (e.g. slower cold-cache hosts).
+# ---------------------------------------------------------------------------
+import faulthandler  # noqa: E402
+import signal  # noqa: E402
+import threading  # noqa: E402
+
+_DEFAULT_TEST_TIMEOUT = float(os.environ.get("SDT_TEST_TIMEOUT", "900"))
+
+
+@pytest.hookimpl(hookwrapper=True)
+def pytest_runtest_protocol(item, nextitem):
+    limit = _DEFAULT_TEST_TIMEOUT
+    marker = item.get_closest_marker("timeout")
+    if marker is not None and marker.args:
+        limit = float(marker.args[0])
+    use_alarm = (limit > 0 and hasattr(signal, "SIGALRM")
+                 and threading.current_thread() is threading.main_thread())
+    if use_alarm:
+        def _on_alarm(signum, frame):
+            raise TimeoutError(
+                f"{item.nodeid} exceeded the {limit:.0f}s test watchdog "
+                f"(override with @pytest.mark.timeout or SDT_TEST_TIMEOUT)")
+        prev = signal.signal(signal.SIGALRM, _on_alarm)
+        signal.setitimer(signal.ITIMER_REAL, limit)
+        faulthandler.dump_traceback_later(limit * 1.5 + 60, exit=True)
+    try:
+        yield
+    finally:
+        if use_alarm:
+            signal.setitimer(signal.ITIMER_REAL, 0)
+            signal.signal(signal.SIGALRM, prev)
+            faulthandler.cancel_dump_traceback_later()
 
 from pytorch_stable_diffusion_tpu.core.cache import enable_compilation_cache  # noqa: E402
 

@@ -75,6 +75,9 @@ def test_pipeline_ddim(tiny_cfg, tiny_models, tiny_tokenizer):
 
 
 def test_unknown_sampler_still_rejected(tiny_cfg, tiny_models, tiny_tokenizer):
+    # NOTE: the probe name must never be able to become a real sampler
+    # (the "plms" trap: round 3 implemented it and this kind of
+    # expected-raise silently became a full default-size CPU run).
     with pytest.raises(ValueError, match="Unknown sampler"):
-        sdt.generate("x", sampler_name="pndm", models=tiny_models,
+        sdt.generate("x", sampler_name="not_a_sampler", models=tiny_models,
                      tokenizer=tiny_tokenizer, config=tiny_cfg)
