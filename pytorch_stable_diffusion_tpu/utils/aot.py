@@ -45,7 +45,10 @@ def export_pipeline(cfg: SDConfig, models, *, n_steps: int = 50, batch: int = 1,
                     hypernetwork=None,
                     ip_adapter: bool = False,
                     ip_vision=None,
-                    n_frames: Optional[int] = None) -> bytes:
+                    n_frames: Optional[int] = None,
+                    original_size=None,
+                    crop_coords=(0, 0),
+                    target_size=None) -> bytes:
     """Serialize the full generation program for one static configuration.
 
     ``models`` supplies only shapes/dtypes for the export signature; the
@@ -70,6 +73,11 @@ def export_pipeline(cfg: SDConfig, models, *, n_steps: int = 50, batch: int = 1,
     activate_output) metadata — the module tree then rides in ``models``
     at call time, ``guidance_rescale``/``timestep_spacing`` the CFG
     rescale and non-uniform grids.
+
+    Round 4: ``original_size``/``crop_coords``/``target_size`` export the
+    SDXL micro-conditioning ids (static per artifact, like the live
+    pipeline); the refiner family exports through ``img2img="latent"``
+    for the base→refiner ensemble handoff (tests/test_aot.py).
     """
     f = cfg.vae.downsample_factor
     if height % f or width % f:
@@ -107,6 +115,27 @@ def export_pipeline(cfg: SDConfig, models, *, n_steps: int = 50, batch: int = 1,
         if batch != n_frames:
             raise ValueError(f"n_frames artifacts use batch == n_frames "
                              f"(got batch={batch}, n_frames={n_frames})")
+    # SDXL micro-conditioning is a static per-artifact choice, same
+    # canonicalization as the live pipeline (pipeline.py generate():
+    # identical-to-implicit ids collapse to None so the artifact matches
+    # the default-program bit stream)
+    size_ids = None
+    if (original_size is not None or tuple(crop_coords) != (0, 0)
+            or target_size is not None):
+        if cfg.unet.add_embed_dim is None:
+            raise ValueError("original_size/crop_coords/target_size are "
+                             "SDXL micro-conditioning (add_embed families "
+                             "only)")
+        if cfg.unet.add_time_ids == 5 and target_size is not None:
+            raise ValueError("refiner families (5 add_time_ids) have no "
+                             "target_size id; drop target_size")
+        oh, ow = original_size or (height, width)
+        tgt_h, tgt_w = target_size or (height, width)
+        size_ids = (float(oh), float(ow), float(crop_coords[0]),
+                    float(crop_coords[1]), float(tgt_h), float(tgt_w))
+        if size_ids == (float(height), float(width), 0.0, 0.0,
+                        float(height), float(width)):
+            size_ids = None
     run = _compiled_txt2img(cfg, n_steps, do_cfg, batch, h_lat, w_lat,
                             img2img, False, False, sampler, float(ddim_eta),
                             decode_tile, None, inpaint, use_control,
@@ -114,6 +143,7 @@ def export_pipeline(cfg: SDConfig, models, *, n_steps: int = 50, batch: int = 1,
                             float(guidance_rescale), timestep_spacing,
                             emphasis, variation=variation, pag=pag,
                             hyper=hypernetwork, sag=sag,
+                            size_ids=size_ids,
                             use_ip=ip_adapter,
                             ip_vision=ip_vision if ip_adapter else None,
                             n_frames=n_frames)

@@ -485,3 +485,107 @@ def test_export_animatediff_roundtrip(tiny_cfg, tiny_models,
     with pytest.raises(ValueError, match="batch == n_frames"):
         aot.export_pipeline(tiny_cfg, models, n_steps=N_STEPS, batch=1,
                             height=H, width=W, n_frames=F)
+
+
+def test_export_sdxl_micro_conditioning(tiny_tokenizer):
+    """Round 4: the SDXL micro-conditioning ids (diffusers original_size /
+    crops_coords_top_left / target_size, SDXL report §2.2) are static
+    per-artifact choices; an artifact exported with them bit-matches the
+    live pipeline called with the same knobs, and non-add_embed families
+    reject them like the live pipeline does."""
+    from tests.test_sdxl import tiny_sdxl_config
+
+    from pytorch_stable_diffusion_tpu.models import clip as clip_mod
+    from pytorch_stable_diffusion_tpu.models import unet as unet_mod
+    from pytorch_stable_diffusion_tpu.models import vae as vae_mod
+
+    cfg = tiny_sdxl_config()
+    key = jax.random.PRNGKey(29)
+    models = {
+        "clip": clip_mod.init(jax.random.fold_in(key, 0), cfg.clip),
+        "clip2": clip_mod.init(jax.random.fold_in(key, 4), cfg.clip2),
+        "encoder": vae_mod.init_encoder(jax.random.fold_in(key, 1), cfg.vae),
+        "decoder": vae_mod.init_decoder(jax.random.fold_in(key, 2), cfg.vae),
+        "diffusion": unet_mod.init(jax.random.fold_in(key, 3), cfg.unet),
+    }
+    blob = aot.export_pipeline(cfg, models, n_steps=N_STEPS, height=H,
+                               width=W, sampler="euler",
+                               original_size=(64, 64), crop_coords=(2, 2))
+    toks = np.asarray([tiny_tokenizer.encode("a cat")], np.int32)
+    un = np.asarray([tiny_tokenizer.encode("")], np.int32)
+    images, _ = aot.load_pipeline(blob)(models, toks, un,
+                                        jax.random.PRNGKey(7), 7.5)
+
+    import pytorch_stable_diffusion_tpu as sdt
+
+    live = sdt.generate("a cat", "", models=models, tokenizer=tiny_tokenizer,
+                        seed=7, n_inference_steps=N_STEPS, config=cfg,
+                        height=H, width=W, sampler_name="euler",
+                        original_size=(64, 64), crop_coords=(2, 2))
+    np.testing.assert_array_equal(images[0], live)
+    # the knobs must actually condition the artifact
+    base = aot.export_pipeline(cfg, models, n_steps=N_STEPS, height=H,
+                               width=W, sampler="euler")
+    plain, _ = aot.load_pipeline(base)(models, toks, un,
+                                       jax.random.PRNGKey(7), 7.5)
+    assert (plain != images).any()
+
+
+def test_export_micro_conditioning_rejected_off_family(tiny_cfg, tiny_models):
+    with pytest.raises(ValueError, match="micro-conditioning"):
+        aot.export_pipeline(tiny_cfg, tiny_models, n_steps=N_STEPS, height=H,
+                            width=W, original_size=(64, 64))
+
+
+def test_export_refiner_ensemble_handoff(tiny_tokenizer):
+    """Round 4 (VERDICT #7): the SDXL base->refiner ensemble as two serving
+    artifacts — a base txt2img artifact whose returned latents feed a
+    refiner ``img2img="latent"`` artifact (no decode/re-encode between the
+    experts, the diffusers ensemble-of-experts flow).  Both legs bit-match
+    the live pipeline; target_size is rejected for the 5-id family."""
+    from tests.test_sdxl_refiner import tiny_refiner_config
+
+    from pytorch_stable_diffusion_tpu.models import clip as clip_mod
+    from pytorch_stable_diffusion_tpu.models import unet as unet_mod
+    from pytorch_stable_diffusion_tpu.models import vae as vae_mod
+    from pytorch_stable_diffusion_tpu.sampling import ddpm
+
+    cfg = tiny_refiner_config()
+    key = jax.random.PRNGKey(13)
+    models = {
+        "clip": clip_mod.init(jax.random.fold_in(key, 0), cfg.clip),
+        "encoder": vae_mod.init_encoder(jax.random.fold_in(key, 1), cfg.vae),
+        "decoder": vae_mod.init_decoder(jax.random.fold_in(key, 2), cfg.vae),
+        "diffusion": unet_mod.init(jax.random.fold_in(key, 3), cfg.unet),
+    }
+    toks = np.asarray([tiny_tokenizer.encode("a cat")], np.int32)
+    un = np.asarray([tiny_tokenizer.encode("")], np.int32)
+
+    # base leg: any txt2img artifact's latents (here the refiner family
+    # itself in txt2img mode, to keep the test to one model set)
+    base_blob = aot.export_pipeline(cfg, models, n_steps=N_STEPS, height=H,
+                                    width=W, sampler="euler")
+    _, base_lat = aot.load_pipeline(base_blob)(models, toks, un,
+                                               jax.random.PRNGKey(9), 7.5)
+
+    strength = 0.5
+    start = ddpm.start_step_for_strength(N_STEPS, strength)
+    ref_blob = aot.export_pipeline(cfg, models, n_steps=N_STEPS, height=H,
+                                   width=W, sampler="euler",
+                                   img2img="latent")
+    images, _ = aot.load_pipeline(ref_blob)(
+        models, toks, un, jax.random.PRNGKey(9), 7.5, start_step=start,
+        input_image=base_lat)
+
+    import pytorch_stable_diffusion_tpu as sdt
+
+    live = sdt.generate("a cat", "", models=models,
+                        tokenizer=tiny_tokenizer, seed=9,
+                        n_inference_steps=N_STEPS, config=cfg, height=H,
+                        width=W, sampler_name="euler",
+                        init_latents=base_lat, strength=strength)
+    np.testing.assert_array_equal(images[0], live)
+
+    with pytest.raises(ValueError, match="target_size"):
+        aot.export_pipeline(cfg, models, n_steps=N_STEPS, height=H, width=W,
+                            target_size=(64, 64))
