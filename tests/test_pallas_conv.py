@@ -1,0 +1,117 @@
+"""Fused GN->SiLU->conv3x3 Pallas kernel vs the shipping XLA composition.
+
+Oracle provenance: the expected value is the package's own *already
+golden-tested* composition ``conv.apply(conv_p, group_norm_silu(norm_p, x),
+padding=1)`` (ops/norm.py + ops/conv.py, themselves verified against the
+executed reference in tests/test_reference_exec.py) — i.e. the kernel is
+tested against the independent XLA lowering of the same published math
+(GroupNorm, Wu & He 2018; SiLU; SAME-pad conv), not against itself.
+
+Interpret mode on CPU: fp32 exact to ~1e-5 (fp ordering); the bf16 path is
+checked at looser tolerance (the kernel rounds (x+temb) later than the XLA
+path).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pytorch_stable_diffusion_tpu.core.dtypes import FP32
+from pytorch_stable_diffusion_tpu.ops import conv as conv_op
+from pytorch_stable_diffusion_tpu.ops import norm
+from pytorch_stable_diffusion_tpu.ops.pallas import conv as pconv
+
+
+def _params(key, c_in, c_out, dtype=jnp.float32):
+    k1, k2 = jax.random.split(key)
+    norm_p = {"scale": jax.random.normal(k1, (c_in,), dtype) * 0.2 + 1.0,
+              "bias": jax.random.normal(k2, (c_in,), dtype) * 0.1}
+    conv_p = conv_op.init(jax.random.fold_in(key, 3), c_in, c_out, 3,
+                          dtype=dtype)
+    return norm_p, conv_p
+
+
+def _oracle(norm_p, conv_p, x, groups, temb=None):
+    h = x if temb is None else x + temb[:, None, None, :].astype(x.dtype)
+    h = norm.group_norm_silu(norm_p, h, groups, policy=FP32)
+    return conv_op.apply(conv_p, h, padding=1, policy=FP32)
+
+
+@pytest.mark.parametrize("shape,groups,kw", [
+    ((2, 8, 8, 32), 4, {}),                       # whole-H block
+    ((2, 16, 8, 32), 4, dict(block_h=4)),          # multi-H halo path
+    ((4, 8, 8, 32), 4, dict(batch_group=2)),       # batch grid
+    ((1, 8, 16, 64), 8, dict(co_block=32)),        # Co split
+    ((2, 12, 8, 32), 4, dict(block_h=4)),          # 3 H-blocks (interior)
+])
+def test_matches_xla_composition(shape, groups, kw):
+    key = jax.random.PRNGKey(0)
+    b, h, w, c = shape
+    co = kw.get("co_block", 0) * 2 or c
+    norm_p, conv_p = _params(key, c, co)
+    x = jax.random.normal(jax.random.fold_in(key, 1), shape, jnp.float32)
+    want = _oracle(norm_p, conv_p, x, groups)
+    got = pconv.gn_silu_conv3x3(norm_p, conv_p, x, groups, interpret=True,
+                                **kw)
+    assert got.shape == want.shape and got.dtype == want.dtype
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_temb_folding_matches():
+    """The res block's second half: stats over (h + t), t joins the shift —
+    the kernel reads raw h and must equal the explicit-add composition."""
+    key = jax.random.PRNGKey(7)
+    b, h, w, c = 2, 8, 8, 32
+    norm_p, conv_p = _params(key, c, c)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (b, h, w, c))
+    t = jax.random.normal(jax.random.fold_in(key, 2), (b, c))
+    want = _oracle(norm_p, conv_p, x, 4, temb=t)
+    got = pconv.gn_silu_conv3x3(norm_p, conv_p, x, 4, temb=t,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_bf16_path_tolerance():
+    key = jax.random.PRNGKey(3)
+    b, h, w, c = 2, 8, 8, 32
+    norm_p, conv_p = _params(key, c, c)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (b, h, w, c)
+                          ).astype(jnp.bfloat16)
+    t = jax.random.normal(jax.random.fold_in(key, 2), (b, c)
+                          ).astype(jnp.bfloat16)
+    want = _oracle(norm_p, conv_p, x, 4, temb=t)
+    got = pconv.gn_silu_conv3x3(norm_p, conv_p, x, 4, temb=t,
+                                interpret=True)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=0.05, atol=0.05)
+
+
+def test_jit_and_grad_free_shapes():
+    """jits cleanly and block chooser handles the real SD levels' shapes
+    (scaled down in C to keep CPU interpret time sane)."""
+    key = jax.random.PRNGKey(5)
+    fn = jax.jit(functools.partial(pconv.gn_silu_conv3x3, num_groups=4,
+                                   interpret=True))
+    norm_p, conv_p = _params(key, 32, 32)
+    x = jax.random.normal(key, (2, 16, 16, 32))
+    y = fn(norm_p, conv_p, x)
+    assert y.shape == (2, 16, 16, 32) and bool(jnp.isfinite(y).all())
+
+
+def test_validation():
+    key = jax.random.PRNGKey(0)
+    norm_p, conv_p = _params(key, 32, 32)
+    x = jax.random.normal(key, (2, 8, 12, 32))  # W not sublane multiple
+    with pytest.raises(ValueError, match="sublane"):
+        pconv.gn_silu_conv3x3(norm_p, conv_p, x, 4, interpret=True)
+    x = jax.random.normal(key, (2, 8, 8, 32))
+    with pytest.raises(ValueError, match="divide"):
+        pconv.gn_silu_conv3x3(norm_p, conv_p, x, 4, block_h=3,
+                              interpret=True)
