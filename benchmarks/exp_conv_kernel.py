@@ -23,12 +23,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from pytorch_stable_diffusion_tpu.core.cache import enable_compilation_cache
-from pytorch_stable_diffusion_tpu.core.dtypes import BF16, FP32
+from pytorch_stable_diffusion_tpu.core.dtypes import BF16
 from pytorch_stable_diffusion_tpu.models import unet
 from pytorch_stable_diffusion_tpu.models.config import sd15_config
 from pytorch_stable_diffusion_tpu.ops import conv as conv_op
-from pytorch_stable_diffusion_tpu.ops import linear, norm
-from pytorch_stable_diffusion_tpu.ops.act import silu
+from pytorch_stable_diffusion_tpu.ops import norm
 from pytorch_stable_diffusion_tpu.ops.pallas import conv as pconv
 
 R = 30
@@ -95,41 +94,25 @@ def isolated():
               f"  maxerr {err:.4f}", flush=True)
 
 
-def _fused_res_block(p, x, t_emb, groups, policy, backend="xla",
-                     quant="none"):
-    """apply_res_block with both GN->SiLU->conv halves through the kernel
-    (time-emb add folded into the second half's affine)."""
-    h = pconv.gn_silu_conv3x3(p["norm1"], p["conv1"], x, groups)
-    t = linear.apply(p["time_proj"], silu(t_emb), policy)
-    t = jnp.broadcast_to(t, (x.shape[0], t.shape[-1]))
-    h = pconv.gn_silu_conv3x3(p["norm2"], p["conv2"], h, groups, temb=t)
-    res = conv_op.apply(p["shortcut"], x, policy=policy, quant=quant) \
-        if "shortcut" in p else x
-    return h + res
-
-
 def insitu():
     cfg = sd15_config(policy=BF16)
     key = jax.random.PRNGKey(0)
     up = unet.init(jax.random.fold_in(key, 3), cfg.unet, dtype=jnp.bfloat16)
-    orig = unet.apply_res_block
     for b in (2, 8):
         lat = jax.random.normal(key, (b, 64, 64, 4), jnp.bfloat16)
         ctx = jax.random.normal(key, (b, 77, 768), jnp.bfloat16)
-        for name, rb in (("shipping", orig), ("fused-conv", _fused_res_block)):
-            unet.apply_res_block = rb
+        for name, cb in (("shipping", "xla"), ("fused-conv", "pallas")):
 
             @jax.jit
-            def chained(p, l, c):
+            def chained(p, l, c, cb=cb):
                 def body(i, x):
                     return unet.apply(p, x, c, 981, cfg.unet, cfg.policy,
-                                      attention_backend="pallas"
-                                      ).astype(x.dtype)
+                                      attention_backend="pallas",
+                                      conv_backend=cb).astype(x.dtype)
                 return jax.lax.fori_loop(0, 10, body, l)
 
             t = bench(chained, up, lat, ctx) / 10
             print(f"UNet fwd batch {b} [{name}]: {t*1e3:.2f} ms", flush=True)
-        unet.apply_res_block = orig
 
 
 if __name__ == "__main__":

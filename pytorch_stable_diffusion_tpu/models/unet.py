@@ -154,14 +154,40 @@ def init_res_block(key, c_in: int, c_out: int, t_dim: int, dtype=jnp.float32):
 
 
 def apply_res_block(p, x, t_emb, groups: int, policy: Policy,
-                    backend: str = "xla", quant: str = "none"):
-    """diffusion.py:83-209.  t_emb: (B, t_dim) or (1, t_dim) (broadcast)."""
-    h = norm.group_norm_silu(p["norm1"], x, groups, policy=policy, backend=backend)
-    h = conv.apply(p["conv1"], h, padding=1, policy=policy, quant=quant)
-    t = linear.apply(p["time_proj"], silu(t_emb), policy)
-    h = h + t[:, None, None, :].astype(h.dtype)
-    h = norm.group_norm_silu(p["norm2"], h, groups, policy=policy, backend=backend)
-    h = conv.apply(p["conv2"], h, padding=1, policy=policy, quant=quant)
+                    backend: str = "xla", quant: str = "none",
+                    conv_backend: str = "xla"):
+    """diffusion.py:83-209.  t_emb: (B, t_dim) or (1, t_dim) (broadcast).
+
+    ``conv_backend="pallas"``: both GN->SiLU->conv halves run through the
+    fused Pallas kernel (ops/pallas/conv.py) with the time-embedding add
+    folded into the second half's affine — equivalent up to bf16 rounding
+    of the (h + t) sum (opt-in; tests/test_pallas_conv.py).  Falls back to
+    XLA when the shape is ineligible, under int8 quant, or in seamless-
+    tiling mode (the kernel pads with zeros, not circularly).
+    """
+    use_pallas = (conv_backend == "pallas" and quant == "none"
+                  and not conv.circular_padding_active())
+    if use_pallas:
+        from ..ops.pallas import conv as pconv
+
+        use_pallas = (
+            pconv.eligible(x.shape, p["conv1"]["kernel"].shape)
+            and pconv.eligible((*x.shape[:3], p["conv1"]["kernel"].shape[3]),
+                               p["conv2"]["kernel"].shape))
+    if use_pallas:
+        h = pconv.gn_silu_conv3x3(p["norm1"], p["conv1"], x, groups)
+        t = linear.apply(p["time_proj"], silu(t_emb), policy)
+        t = jnp.broadcast_to(t, (x.shape[0], t.shape[-1]))
+        h = pconv.gn_silu_conv3x3(p["norm2"], p["conv2"], h, groups, temb=t)
+    else:
+        h = norm.group_norm_silu(p["norm1"], x, groups, policy=policy,
+                                 backend=backend)
+        h = conv.apply(p["conv1"], h, padding=1, policy=policy, quant=quant)
+        t = linear.apply(p["time_proj"], silu(t_emb), policy)
+        h = h + t[:, None, None, :].astype(h.dtype)
+        h = norm.group_norm_silu(p["norm2"], h, groups, policy=policy,
+                                 backend=backend)
+        h = conv.apply(p["conv2"], h, padding=1, policy=policy, quant=quant)
     res = conv.apply(p["shortcut"], x, policy=policy, quant=quant) \
         if "shortcut" in p else x
     return h + res
@@ -508,7 +534,7 @@ def adain_transform(xf, mean, var, m_ref, v_ref, fidelity, plain_mask):
 def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
           *, attention_backend: str = "xla", reference_quirks: bool = False,
           t_emb: Optional[jax.Array] = None, fuse_qkv: bool = True,
-          quant: str = "none", sp_mesh=None,
+          quant: str = "none", sp_mesh=None, conv_backend: str = "xla",
           add_cond: Optional[jax.Array] = None, control=None,
           adapter=None, t_cond: Optional[jax.Array] = None,
           return_cache: bool = False, cache=None, pag: bool = False,
@@ -571,6 +597,10 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
                                      policy)
     t_emb = linear.apply(params["time_embed"]["fc1"], t_emb, policy)
     t_emb = linear.apply(params["time_embed"]["fc2"], silu(t_emb), policy)
+    # fused conv kernel is globally off under sequence parallelism: GSPMD
+    # cannot spatially partition the opaque pallas_call (parallel/sp.py
+    # relies on conv halo propagation)
+    rb_conv_backend = "xla" if sp_mesh is not None else conv_backend
     if add_cond is not None:
         # SDXL: emb = time_emb + add_embedding(concat(pooled, size_embs))
         a = linear.apply(params["add_embed"]["fc1"],
@@ -612,7 +642,8 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
 
     def block(stage, x, ip_key=None):
         x = apply_res_block(stage["res"], x, t_emb, cfg.groups, policy,
-                            backend=attention_backend, quant=quant)
+                            backend=attention_backend, quant=quant,
+                            conv_backend=rb_conv_backend)
         if "attn" in stage:
             x = apply_attn_block(stage["attn"], x, context,
                                  cfg.heads_for(x.shape[-1]), cfg.groups,
@@ -661,7 +692,8 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
 
         mid = params["bottleneck"]
         x = apply_res_block(mid["res1"], x, t_emb, cfg.groups, policy,
-                            backend=attention_backend, quant=quant)
+                            backend=attention_backend, quant=quant,
+                            conv_backend=rb_conv_backend)
         if return_mid_attn:
             x, mid_probs = apply_attn_block(
                 mid["attn"], x, context, cfg.heads_for(x.shape[-1]),
@@ -689,7 +721,8 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
 
             x = motion_mod.apply_motion(motion["mid"], x, frames, policy)
         x = apply_res_block(mid["res2"], x, t_emb, cfg.groups, policy,
-                            backend=attention_backend, quant=quant)
+                            backend=attention_backend, quant=quant,
+                            conv_backend=rb_conv_backend)
         x = adain_site(x, "mid")
         if adapter is not None and ad_mid is not None:
             # full_adapter_xl's extra feature, before the ControlNet mid

@@ -47,6 +47,11 @@ def circular_padding(on: bool = True):
         _CIRCULAR.reset(token)
 
 
+def circular_padding_active() -> bool:
+    """Trace-time query — fused kernels that zero-pad must fall back."""
+    return _CIRCULAR.get()
+
+
 def init(key, c_in: int, c_out: int, ksize: int = 3, bias: bool = True, dtype=jnp.float32):
     kw, kb = jax.random.split(key)
     fan_in = c_in * ksize * ksize

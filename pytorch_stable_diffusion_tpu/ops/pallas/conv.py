@@ -117,8 +117,12 @@ def _kernel(x_hbm, scale_ref, shift_ref, w_ref, b_ref, out_ref,
 
     for b in range(bg):
         xf = raw[b].astype(jnp.float32)
-        sc = scale_ref[b].astype(jnp.float32).reshape(1, 1, c_in)
-        sh = shift_ref[b].astype(jnp.float32).reshape(1, 1, c_in)
+        # scale/shift ride unblocked (B, C): a (1, sublane) block would
+        # violate the Mosaic min-tile rule, so index the row dynamically
+        sc = scale_ref[pl.ds(b0 + b, 1)].astype(jnp.float32
+                                                ).reshape(1, 1, c_in)
+        sh = shift_ref[pl.ds(b0 + b, 1)].astype(jnp.float32
+                                                ).reshape(1, 1, c_in)
         v = xf * sc + sh
         act = (v * jax.nn.sigmoid(v))
         act = jnp.where(rowmask, act, 0.0).astype(raw.dtype)
@@ -153,11 +157,19 @@ def _divisors_desc(n, start):
     return [d for d in range(min(start, n), 0, -1) if n % d == 0]
 
 
+def _co_candidates(c_out):
+    """Mosaic lane rule: the Co block must be the whole axis or a multiple
+    of 128."""
+    cands = [c_out] + [d for d in _divisors_desc(c_out, 512)
+                       if d % 128 == 0 and d != c_out]
+    return sorted(set(cands), reverse=True)
+
+
 @functools.lru_cache(maxsize=None)
 def _pick_blocks(batch, h_px, w_px, c_in, c_out, itemsize):
     """Largest (bg, bh, co_blk) fitting the VMEM budget, preferring big
     matmul tiles (bh first, then bg, then co)."""
-    for co_blk in _divisors_desc(c_out, 256):
+    for co_blk in _co_candidates(c_out):
         for bh in _divisors_desc(h_px, h_px):
             for bg in _divisors_desc(batch, batch):
                 if _estimate_vmem(bg, bh, w_px, c_in, co_blk,
@@ -168,17 +180,32 @@ def _pick_blocks(batch, h_px, w_px, c_in, c_out, itemsize):
         f"(B={batch}, {h_px}x{w_px}, {c_in}->{c_out})")
 
 
+def eligible(x_shape, kernel_shape) -> bool:
+    """Can the fused kernel run this conv?  3x3, sublane-aligned W, and a
+    block assignment that fits the VMEM budget."""
+    b_n, h_px, w_px, c_in = x_shape
+    if tuple(kernel_shape[:3]) != (3, 3, c_in) or w_px % 8 or h_px < 1:
+        return False
+    try:
+        _pick_blocks(b_n, h_px, w_px, c_in, kernel_shape[3], 2)
+        return True
+    except ValueError:
+        return False
+
+
 def scaled_silu_conv3x3(x, scale, shift, kernel, bias, *,
                         block_h: Optional[int] = None,
                         co_block: Optional[int] = None,
                         batch_group: Optional[int] = None,
-                        interpret: bool = False):
+                        interpret: Optional[bool] = None):
     """``conv3x3(silu(x*scale[b] + shift[b]), kernel) + bias`` (SAME pad).
 
     x: (B, H, W, C); scale/shift: (B, C) fp32 (see ``fold_gn_affine``);
     kernel: (3, 3, C, Co) HWIO; bias: (Co,).  Returns (B, H, W, Co) in
     x.dtype.
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     b_n, h_px, w_px, c_in = x.shape
     if kernel.shape[:3] != (3, 3, c_in):
         raise ValueError(f"kernel {kernel.shape} is not 3x3x{c_in}xCo")
@@ -204,9 +231,9 @@ def scaled_silu_conv3x3(x, scale, shift, kernel, bias, *,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((bg, c_in), lambda co, bi, h: (bi, 0),
+            pl.BlockSpec((b_n, c_in), lambda co, bi, h: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bg, c_in), lambda co, bi, h: (bi, 0),
+            pl.BlockSpec((b_n, c_in), lambda co, bi, h: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, 3, c_in, co_blk),
                          lambda co, bi, h: (0, 0, 0, co),
@@ -258,8 +285,8 @@ def fold_gn_affine(norm_params, x, num_groups: int, *, eps: float = 1e-5,
 
 
 def gn_silu_conv3x3(norm_params, conv_params, x, num_groups: int, *,
-                    eps: float = 1e-5, temb=None, interpret: bool = False,
-                    **block_kw):
+                    eps: float = 1e-5, temb=None,
+                    interpret: Optional[bool] = None, **block_kw):
     """Whole fused res-block half: GN(x [+ temb]) -> SiLU -> 3x3 conv.
 
     Drop-in for ``conv.apply(conv_p, norm.group_norm_silu(norm_p, x), pad=1)``

@@ -838,6 +838,8 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                 attention_backend=cfg.attention_backend,
                 reference_quirks=cfg.reference_quirks,
                 fuse_qkv=cfg.fuse_qkv, quant=cfg.quant, sp_mesh=sp_mesh,
+                conv_backend=("xla" if sp_mesh is not None
+                              else cfg.conv_backend),
                 add_cond=add_c, control=control, adapter=adapter_lanes,
                 t_cond=t_cond, ip=ip_arg)
             if n_frames:

@@ -115,3 +115,61 @@ def test_validation():
     with pytest.raises(ValueError, match="divide"):
         pconv.gn_silu_conv3x3(norm_p, conv_p, x, 4, block_h=3,
                               interpret=True)
+
+
+def test_pipeline_conv_backend_opt_in(tiny_models, tiny_tokenizer):
+    """conv_backend="pallas" routes every eligible UNet res block through
+    the fused kernel (counted via a wrapper) and the image stays within a
+    uint8 bin of the XLA path (fp32 CPU interpret: only fp-ordering
+    differences)."""
+    import pytorch_stable_diffusion_tpu as sdt
+    from pytorch_stable_diffusion_tpu.models.config import tiny_sd_config
+
+    # 32px -> 16^2 latents -> UNet levels 16^2 and 8^2, both eligible
+    kw = dict(models=tiny_models, tokenizer=tiny_tokenizer, seed=5,
+              n_inference_steps=2, height=32, width=32)
+    base = sdt.generate("a cat", "", config=tiny_sd_config(), **kw)
+
+    calls = {"n": 0}
+    orig = pconv.gn_silu_conv3x3
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    pconv.gn_silu_conv3x3 = counting
+    try:
+        fused = sdt.generate("a cat", "",
+                             config=tiny_sd_config(conv_backend="pallas"),
+                             **kw)
+    finally:
+        pconv.gn_silu_conv3x3 = orig
+    assert calls["n"] > 0, "fused kernel never engaged"
+    assert np.abs(fused.astype(np.int16) - base.astype(np.int16)).max() <= 1
+
+
+def test_pipeline_conv_backend_falls_back_on_tiling(tiny_models,
+                                                    tiny_tokenizer):
+    """Seamless-tiling mode pads circularly; the kernel must NOT engage
+    (zero-pad would break roll equivariance)."""
+    import pytorch_stable_diffusion_tpu as sdt
+    from pytorch_stable_diffusion_tpu.models.config import tiny_sd_config
+
+    calls = {"n": 0}
+    orig = pconv.gn_silu_conv3x3
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    pconv.gn_silu_conv3x3 = counting
+    try:
+        img = sdt.generate("a cat", "",
+                           config=tiny_sd_config(conv_backend="pallas"),
+                           models=tiny_models, tokenizer=tiny_tokenizer,
+                           seed=5, n_inference_steps=2, height=32, width=32,
+                           tiling=True)
+    finally:
+        pconv.gn_silu_conv3x3 = orig
+    assert calls["n"] == 0
+    assert img.shape == (32, 32, 3)
