@@ -57,6 +57,10 @@ LEVELS = [
 def isolated():
     key = jax.random.PRNGKey(0)
     for (b, h, w, c) in LEVELS:
+        if not pconv.eligible((b, h, w, c), (3, 3, c, c)):
+            print(f"({b},{h}x{w},{c}): ineligible (C%128 DMA alignment) — "
+                  f"falls back to XLA", flush=True)
+            continue
         norm_p = {"scale": jnp.ones((c,), jnp.bfloat16),
                   "bias": jnp.zeros((c,), jnp.bfloat16)}
         conv_p = conv_op.init(jax.random.fold_in(key, 1), c, c, 3,

@@ -15,7 +15,8 @@ component on hardware, chained to bury the ~30 ms fetch baseline:
 Check: 20*(2 - 1) + 3 should explain (4.ip - 4.base).
 
 Usage (TPU host):
-    PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/exp_ip_insitu.py
+    PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/exp_ip_insitu.py \
+        [steps] [vision] [e2e]     # default: all parts
 """
 
 from __future__ import annotations
@@ -43,7 +44,7 @@ from bench import build_models  # noqa: E402
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
 from test_ip_adapter import _synthetic_ip_state  # noqa: E402
 
-R = 20
+R = 10
 
 
 def fetch(x):
@@ -60,7 +61,7 @@ def bench(fn, *args, iters=3):
     return float(np.median(ts))
 
 
-def main():
+def main(parts):
     enable_compilation_cache()
     cfg = sdt.sd15_config(policy=BF16, attention_backend="pallas")
     models = build_models(cfg)
@@ -75,13 +76,15 @@ def main():
         _synthetic_ip_state(cfg.unet, embed_dim=vis_cfg.proj_dim), cfg.unet)
 
     # --- 1/2. UNet CFG forward x R, ip off/on ---
+    t_base = t_ip = float("nan")
     lat = jax.random.normal(key, (2, 64, 64, 4), jnp.bfloat16)
     ctx = jax.random.normal(key, (2, 77, 768), jnp.bfloat16)
     ip_tokens = jax.random.normal(key, (2, 4, cfg.unet.d_context),
                                   jnp.bfloat16)
     scale = jnp.float32(1.0)
 
-    def chained(use_ip):
+    if "steps" in parts:
+      def chained(use_ip):
         @jax.jit
         def run(p, l, c, toks, s):
             ip = (ipa["layers"], toks, s) if use_ip else None
@@ -92,32 +95,40 @@ def main():
             return jax.lax.fori_loop(0, R, body, l)
         return run
 
-    t_base = bench(chained(False), models["diffusion"], lat, ctx,
+      t_base = bench(chained(False), models["diffusion"], lat, ctx,
+                     ip_tokens, scale) / R
+      t_ip = bench(chained(True), models["diffusion"], lat, ctx,
                    ip_tokens, scale) / R
-    t_ip = bench(chained(True), models["diffusion"], lat, ctx,
-                 ip_tokens, scale) / R
-    print(f"UNet CFG fwd/step: base {t_base*1e3:.2f} ms, "
-          f"ip {t_ip*1e3:.2f} ms  (+{(t_ip/t_base-1)*100:.1f}%)", flush=True)
+      print(f"UNet CFG fwd/step: base {t_base*1e3:.2f} ms, "
+            f"ip {t_ip*1e3:.2f} ms  (+{(t_ip/t_base-1)*100:.1f}%)", flush=True)
 
     # --- 3. vision encode + projection (cond + uncond), single eval ---
     # (once-per-generation cost; fetch baseline subtracted, so +-5 ms)
-    px = jnp.asarray(
-        np.random.RandomState(1).rand(1, vis_cfg.image_size,
-                                      vis_cfg.image_size, 3), jnp.bfloat16)
+    # cond+uncond ride as ONE batch-2 tower call: two separate calls would
+    # instantiate the 32-layer tower twice in the jitted graph and double
+    # the (relay-fragile) compile.
+    t_vis = float("nan")
+    if "vision" in parts:
+        px = jnp.asarray(
+            np.random.RandomState(1).rand(1, vis_cfg.image_size,
+                                          vis_cfg.image_size, 3),
+            jnp.bfloat16)
 
-    @jax.jit
-    def vision_both(p):
-        def one(q):
-            emb = cv.apply_projected(vision, q, vis_cfg, cfg.policy)
-            return cv.project_image_tokens(ipa["image_proj"], emb,
-                                           cfg.unet.d_context, cfg.policy)
-        return one(p).mean() + one(jnp.zeros_like(p)).mean()
+        @jax.jit
+        def vision_both(p):
+            pair = jnp.concatenate([p, jnp.zeros_like(p)], axis=0)
+            emb = cv.apply_projected(vision, pair, vis_cfg, cfg.policy)
+            return cv.project_image_tokens(
+                ipa["image_proj"], emb, cfg.unet.d_context, cfg.policy
+            ).mean()
 
-    t_vis = max(bench(vision_both, px) - fetch_ms / 1e3, 0.0)
-    print(f"ViT-H encode+project (cond+uncond): {t_vis*1e3:.2f} ms",
-          flush=True)
+        t_vis = max(bench(vision_both, px) - fetch_ms / 1e3, 0.0)
+        print(f"ViT-H encode+project (cond+uncond): {t_vis*1e3:.2f} ms",
+              flush=True)
 
     # --- 4. whole generate +- ip ---
+    if "e2e" not in parts:
+        return
     tok = make_test_tokenizer(["a", "photo", "of", "cat", "dog"], max_len=77)
     sd = sdt.StableDiffusion(models, tok, cfg)
     sd_ip = sd.with_ip_adapter(ipa, vision, vision_config=vis_cfg)
@@ -148,4 +159,5 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    sel = set(sys.argv[1:]) or {"steps", "vision", "e2e"}
+    main(sel)

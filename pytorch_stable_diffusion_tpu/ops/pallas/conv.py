@@ -181,10 +181,21 @@ def _pick_blocks(batch, h_px, w_px, c_in, c_out, itemsize):
 
 
 def eligible(x_shape, kernel_shape) -> bool:
-    """Can the fused kernel run this conv?  3x3, sublane-aligned W, and a
-    block assignment that fits the VMEM budget."""
+    """Can the fused kernel run this conv?  3x3, sublane-aligned W,
+    lane-aligned C (on hardware), and a block assignment that fits the
+    VMEM budget.
+
+    ``c_in % 128`` (Mosaic only, not interpret mode): the halo-row DMA
+    slices x on its minor (channel) dim; Mosaic pads memrefs to 128 lanes
+    and rejects slices whose minor extent isn't a multiple of 128 ("Slice
+    shape along dimension 3 must be aligned to tiling (128)") — the
+    round-3 streamed-flash lesson again.  SD's 320/960-ch levels fall
+    back to XLA; 640/1280/1920/2560 qualify.
+    """
     b_n, h_px, w_px, c_in = x_shape
     if tuple(kernel_shape[:3]) != (3, 3, c_in) or w_px % 8 or h_px < 1:
+        return False
+    if c_in % 128 and jax.default_backend() == "tpu":
         return False
     try:
         _pick_blocks(b_n, h_px, w_px, c_in, kernel_shape[3], 2)
@@ -212,6 +223,11 @@ def scaled_silu_conv3x3(x, scale, shift, kernel, bias, *,
     c_out = kernel.shape[3]
     if w_px % 8:
         raise ValueError(f"W={w_px} must be a sublane multiple (8)")
+    if c_in % 128 and not interpret:
+        raise ValueError(
+            f"C={c_in} must be a lane multiple (128) on hardware: the halo "
+            f"DMA slices x on its minor dim and Mosaic requires 128-aligned "
+            f"slices")
     bg_d, bh_d, co_d = _pick_blocks(b_n, h_px, w_px, c_in, c_out,
                                     x.dtype.itemsize)
     bg = batch_group or bg_d
