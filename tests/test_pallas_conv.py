@@ -117,6 +117,28 @@ def test_validation():
                               interpret=True)
 
 
+def test_lane_alignment_gate(monkeypatch):
+    """On hardware Mosaic rejects halo-DMA slices whose minor (channel)
+    extent isn't 128-lane aligned ("Slice shape along dimension 3 must be
+    aligned to tiling (128)" — observed live at SD's 320-ch level).
+    eligible() must refuse c_in % 128 != 0 on the TPU backend, keep it on
+    CPU (interpret mode has no such constraint), and the kernel entry
+    must hard-error rather than hand Mosaic a doomed program."""
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert not pconv.eligible((2, 64, 64, 320), (3, 3, 320, 320))
+    assert not pconv.eligible((2, 32, 32, 960), (3, 3, 960, 960))
+    assert pconv.eligible((2, 32, 32, 640), (3, 3, 640, 640))
+    assert pconv.eligible((2, 16, 16, 1280), (3, 3, 1280, 1280))
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert pconv.eligible((2, 16, 16, 32), (3, 3, 32, 32))
+
+    key = jax.random.PRNGKey(0)
+    norm_p, conv_p = _params(key, 320, 320, jnp.bfloat16)
+    x = jax.random.normal(key, (1, 8, 8, 320), jnp.bfloat16)
+    with pytest.raises(ValueError, match="lane multiple"):
+        pconv.gn_silu_conv3x3(norm_p, conv_p, x, 32, interpret=False)
+
+
 def test_pipeline_conv_backend_opt_in(tiny_models, tiny_tokenizer):
     """conv_backend="pallas" routes every eligible UNet res block through
     the fused kernel (counted via a wrapper) and the image stays within a
