@@ -47,6 +47,11 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--backend", default="pallas",
                     choices=["pallas", "xla"])
+    ap.add_argument("--conv-backend", default="xla",
+                    choices=["xla", "pallas"],
+                    help="res-block GN->SiLU->conv3x3 path; pallas = the "
+                         "fused halo-DMA kernel at 128-lane-aligned "
+                         "channel levels (ops/pallas/conv.py)")
     ap.add_argument("--quant", default="none",
                     choices=["none", "wide", "conv", "w8"],
                     help="UNet int8 tier (ops/quant.py; w8 = weight-only)")
@@ -94,7 +99,11 @@ def main():
     mk = {"sd15": sd15_config, "sd21": sd21_config, "sdxl": sdxl_config,
           "sdxl_refiner": sdxl_refiner_config, "tiny": tiny_sd_config}
     cfg = mk[args.family](policy=BF16, attention_backend=backend,
-                          quant=args.quant)
+                          quant=args.quant,
+                          conv_backend=(args.conv_backend
+                                        if jax.default_backend() == "tpu"
+                                        or args.family == "tiny"
+                                        else "xla"))
     if args.tome:
         from pytorch_stable_diffusion_tpu.models.config import with_tome
 
