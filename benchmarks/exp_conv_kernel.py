@@ -30,21 +30,40 @@ from pytorch_stable_diffusion_tpu.ops import conv as conv_op
 from pytorch_stable_diffusion_tpu.ops import norm
 from pytorch_stable_diffusion_tpu.ops.pallas import conv as pconv
 
-R = 30
+R = 200  # per-level total must dwarf the ~30 ms fetch round-trip
 
 
 def fetch(x):
     return float(jnp.ravel(x)[0])
 
 
+_FETCH_S = None
+
+
+def fetch_baseline():
+    global _FETCH_S
+    if _FETCH_S is None:
+        z = jnp.zeros((1,), jnp.float32)
+        fetch(z)
+        ts = []
+        for _ in range(7):
+            t0 = time.perf_counter()
+            fetch(z)
+            ts.append(time.perf_counter() - t0)
+        _FETCH_S = float(np.median(ts))
+        print(f"fetch baseline: {_FETCH_S*1e3:.2f} ms", flush=True)
+    return _FETCH_S
+
+
 def bench(fn, *args, iters=5):
+    """Median wall seconds per call, fetch round-trip subtracted."""
     fetch(fn(*args))
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
         fetch(fn(*args))
         ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
+    return max(float(np.median(ts)) - fetch_baseline(), 1e-9)
 
 
 # SD-1.5 UNet levels at 512^2, CFG batch 2 and 8 (bench batch 4)
