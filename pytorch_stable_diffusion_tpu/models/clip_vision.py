@@ -160,10 +160,22 @@ def apply(params, pixels, cfg: CLIPVisionConfig, policy: Policy = FP32,
     the last hidden state, also un-normed (post_layernorm is applied only
     to the pooled class token, in :func:`apply_projected`).
     """
-    x = conv.apply(params["patch_embedding"], pixels, stride=cfg.patch_size,
-                   padding=0, policy=policy)
-    b, gh, gw, c = x.shape
-    x = x.reshape(b, gh * gw, c)
+    # Patch embedding: stride == kernel size (non-overlapping), so the
+    # conv is EXACTLY space-to-depth + one matmul.  The equivalent
+    # lax.conv (14x14/stride-14, C_in=3) is the one structurally unusual
+    # op in this program — 3 input channels pad to a 128-lane MXU tile
+    # per tap and the TPU lowering degenerates; the reshape form is a
+    # single (B*256, 588)x(588, width) MXU matmul.  HWIO kernel flattens
+    # in the same (dy, dx, ch) order as the patch pixels.
+    p_sz = cfg.patch_size
+    b, s_h, s_w, _ = pixels.shape
+    gh, gw = s_h // p_sz, s_w // p_sz
+    c = cfg.width
+    patches = pixels.reshape(b, gh, p_sz, gw, p_sz, 3) \
+        .transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, p_sz * p_sz * 3)
+    w_mat = params["patch_embedding"]["kernel"].reshape(p_sz * p_sz * 3, c)
+    dt = policy.compute_dtype
+    x = jnp.dot(patches.astype(dt), w_mat.astype(dt))
     cls = jnp.broadcast_to(params["class_embedding"].astype(x.dtype),
                            (b, 1, c))
     x = jnp.concatenate([cls, x], axis=1)
