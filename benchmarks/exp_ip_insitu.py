@@ -44,7 +44,7 @@ from bench import build_models  # noqa: E402
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
 from test_ip_adapter import _synthetic_ip_state  # noqa: E402
 
-R = 10
+R = 50
 
 
 def fetch(x):
@@ -95,10 +95,12 @@ def main(parts):
             return jax.lax.fori_loop(0, R, body, l)
         return run
 
-      t_base = bench(chained(False), models["diffusion"], lat, ctx,
-                     ip_tokens, scale) / R
-      t_ip = bench(chained(True), models["diffusion"], lat, ctx,
-                   ip_tokens, scale) / R
+      # CONTRIBUTING bench contract: chain >= 50 iters AND subtract the
+      # fetch round-trip before dividing
+      t_base = max(bench(chained(False), models["diffusion"], lat, ctx,
+                         ip_tokens, scale) - fetch_ms / 1e3, 0.0) / R
+      t_ip = max(bench(chained(True), models["diffusion"], lat, ctx,
+                       ip_tokens, scale) - fetch_ms / 1e3, 0.0) / R
       print(f"UNet CFG fwd/step: base {t_base*1e3:.2f} ms, "
             f"ip {t_ip*1e3:.2f} ms  (+{(t_ip/t_base-1)*100:.1f}%)", flush=True)
 
@@ -151,6 +153,14 @@ def main(parts):
     e2e_ip = timed("e2e ip", lambda: sd_ip.txt2img(
         "a photo of a cat", ip_adapter_image=ipp_img, **KW))
 
+    if np.isnan(t_base) or np.isnan(t_vis):
+        # parts ran as separate invocations (the ab_queue scripts do this
+        # to survive relay drops): the decomposition needs all three in
+        # one process — say so instead of printing NaNs
+        print("\ne2e delta {:.3f}s; component decomposition skipped "
+              "(run with all of steps+vision+e2e in ONE invocation)"
+              .format(e2e_ip - e2e_base), flush=True)
+        return
     step_delta = 20 * (t_ip - t_base)
     explained = step_delta + t_vis
     print(f"\ne2e delta {e2e_ip-e2e_base:.3f}s; explained by components: "

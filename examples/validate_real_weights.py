@@ -70,11 +70,10 @@ def row(artifact, check, value, bar, ok):
 
 
 def psnr(a, b, peak=None):
-    a = np.asarray(a, np.float32)
-    b = np.asarray(b, np.float32)
-    peak = peak if peak is not None else max(np.abs(b).max(), 1e-6)
-    mse = np.mean((a - b) ** 2)
-    return float(10 * np.log10(peak * peak / max(mse, 1e-20)))
+    # The BASELINE.json metric — same implementation as the test suite's
+    # (utils/metrics.py), so the 40 dB bar here cannot drift from it.
+    from pytorch_stable_diffusion_tpu.utils.metrics import psnr as _psnr
+    return _psnr(a, b, peak=peak)
 
 
 def save_png(img, path):
@@ -215,7 +214,7 @@ def _gen(params, cfg, tok, **kw):
                              **base)
 
 
-def leg_family(name, path, make_cfg, args, loader=None):
+def leg_family(name, path, make_cfg, args, loader=None, gen_kw=None):
     """Load + generate + determinism for families with no offline oracle."""
     from pytorch_stable_diffusion_tpu.weights.convert import (
         load_sd_checkpoint)
@@ -224,8 +223,8 @@ def leg_family(name, path, make_cfg, args, loader=None):
     print(f"[{name}] loading {path} ...", flush=True)
     params = (loader or load_sd_checkpoint)(path, cfg)
     tok = _require_tok(args, cfg)
-    a = _gen(params, cfg, tok)
-    b = _gen(params, cfg, tok)
+    a = _gen(params, cfg, tok, **(gen_kw or {}))
+    b = _gen(params, cfg, tok, **(gen_kw or {}))
     row(name, "generate finite", bool(np.isfinite(a.astype(np.float32)).all()),
         "True", np.isfinite(a.astype(np.float32)).all())
     row(name, "deterministic (same seed)", bool((a == b).all()), "True",
@@ -407,6 +406,17 @@ def main():
             leg_ip_adapter(args, base)
         except Exception as e:  # noqa: BLE001
             row("ip_adapter", "leg crashed", repr(e), "no crash", False)
+    if args.lcm:
+        from pytorch_stable_diffusion_tpu.models.config import (
+            sd15_lcm_config)
+
+        try:
+            # LCM distilled UNet: its own sampler/grid, guidance-free
+            leg_family("lcm", args.lcm, sd15_lcm_config, args,
+                       gen_kw=dict(sampler_name="lcm", do_cfg=False,
+                                   n_inference_steps=4))
+        except Exception as e:  # noqa: BLE001
+            row("lcm", "leg crashed", repr(e), "no crash", False)
     if args.esrgan:
         try:
             leg_esrgan(args)

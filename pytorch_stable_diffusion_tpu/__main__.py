@@ -397,9 +397,9 @@ def main(argv=None) -> int:
             .convert("RGB")
         kw["reference_fidelity"] = args.reference_fidelity
         kw["reference_mode"] = args.reference_mode
-    elif args.reference_mode != "attn":
-        raise SystemExit("--reference-mode has no effect without "
-                         "--reference-image")
+    elif args.reference_mode != "attn" or args.reference_fidelity != 0.5:
+        raise SystemExit("--reference-mode/--reference-fidelity have no "
+                         "effect without --reference-image")
     if args.region_mask:
         from PIL import Image
 

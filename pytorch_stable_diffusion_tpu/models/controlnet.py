@@ -115,7 +115,7 @@ def encode_hint(params, hint, cfg: UNetConfig, downsample_factor: int,
 def apply(params, latents, context, t, hint_features, cfg: UNetConfig,
           policy: Policy = FP32, *, attention_backend: str = "xla",
           fuse_qkv: bool = True, conditioning_scale: float = 1.0,
-          add_cond: Optional[jax.Array] = None):
+          add_cond: Optional[jax.Array] = None, conv_backend: str = "xla"):
     """-> {"down": [12 residuals aligned with the UNet skip stack],
            "mid": bottleneck residual}, each scaled by conditioning_scale."""
     t_emb = unet_mod.timestep_embedding(t, cfg.model_channels)
@@ -142,7 +142,8 @@ def apply(params, latents, context, t, hint_features, cfg: UNetConfig,
                            policy=policy)
         else:
             x = unet_mod.apply_res_block(stage["res"], x, t_emb, cfg.groups,
-                                         policy, backend=attention_backend)
+                                         policy, backend=attention_backend,
+                                         conv_backend=conv_backend)
             if "attn" in stage:
                 x = unet_mod.apply_attn_block(
                     stage["attn"], x, context, cfg.heads_for(x.shape[-1]),
@@ -152,13 +153,15 @@ def apply(params, latents, context, t, hint_features, cfg: UNetConfig,
 
     mid = params["bottleneck"]
     x = unet_mod.apply_res_block(mid["res1"], x, t_emb, cfg.groups, policy,
-                                 backend=attention_backend)
+                                 backend=attention_backend,
+                                 conv_backend=conv_backend)
     x = unet_mod.apply_attn_block(mid["attn"], x, context,
                                   cfg.heads_for(x.shape[-1]), cfg.groups,
                                   policy, backend=attention_backend,
                                   fuse_qkv=fuse_qkv)
     x = unet_mod.apply_res_block(mid["res2"], x, t_emb, cfg.groups, policy,
-                                 backend=attention_backend)
+                                 backend=attention_backend,
+                                 conv_backend=conv_backend)
     mid_r = zconv(params["mid_out"], x)
 
     s = jnp.asarray(conditioning_scale, policy.compute_dtype)

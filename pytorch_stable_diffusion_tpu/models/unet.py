@@ -171,9 +171,10 @@ def apply_res_block(p, x, t_emb, groups: int, policy: Policy,
         from ..ops.pallas import conv as pconv
 
         use_pallas = (
-            pconv.eligible(x.shape, p["conv1"]["kernel"].shape)
+            pconv.eligible(x.shape, p["conv1"]["kernel"].shape,
+                           x.dtype.itemsize)
             and pconv.eligible((*x.shape[:3], p["conv1"]["kernel"].shape[3]),
-                               p["conv2"]["kernel"].shape))
+                               p["conv2"]["kernel"].shape, x.dtype.itemsize))
     if use_pallas:
         h = pconv.gn_silu_conv3x3(p["norm1"], p["conv1"], x, groups)
         t = linear.apply(p["time_proj"], silu(t_emb), policy)

@@ -180,10 +180,12 @@ def _pick_blocks(batch, h_px, w_px, c_in, c_out, itemsize):
         f"(B={batch}, {h_px}x{w_px}, {c_in}->{c_out})")
 
 
-def eligible(x_shape, kernel_shape) -> bool:
+def eligible(x_shape, kernel_shape, itemsize: int = 2) -> bool:
     """Can the fused kernel run this conv?  3x3, sublane-aligned W,
     lane-aligned C (on hardware), and a block assignment that fits the
-    VMEM budget.
+    VMEM budget.  ``itemsize`` must be the activation dtype's (the block
+    search is footprint-bound: an fp32 policy can be ineligible where
+    bf16 fits).
 
     ``c_in % 128`` (Mosaic only, not interpret mode): the halo-row DMA
     slices x on its minor (channel) dim; Mosaic pads memrefs to 128 lanes
@@ -198,7 +200,7 @@ def eligible(x_shape, kernel_shape) -> bool:
     if c_in % 128 and jax.default_backend() == "tpu":
         return False
     try:
-        _pick_blocks(b_n, h_px, w_px, c_in, kernel_shape[3], 2)
+        _pick_blocks(b_n, h_px, w_px, c_in, kernel_shape[3], itemsize)
         return True
     except ValueError:
         return False

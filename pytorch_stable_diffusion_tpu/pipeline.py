@@ -213,6 +213,35 @@ def slerp_noise(t, low, high):
     return out.reshape(low.shape)
 
 
+def canonical_size_ids(cfg: SDConfig, height: int, width: int,
+                       original_size, crop_coords, target_size):
+    """Validate + canonicalize SDXL micro-conditioning knobs to a static
+    6-tuple (orig_h, orig_w, crop_top, crop_left, tgt_h, tgt_w) — or None
+    when they equal the implicit defaults (so the same compiled program /
+    AOT artifact is keyed).  Shared by generate() and utils/aot.py so the
+    exported artifact's graph-shape key always matches the live pipeline's.
+    """
+    if (original_size is None and tuple(crop_coords) == (0, 0)
+            and target_size is None):
+        return None
+    if cfg.unet.add_embed_dim is None:
+        raise ValueError("original_size/crop_coords/target_size are "
+                         "SDXL micro-conditioning (add_embed families "
+                         "only)")
+    if cfg.unet.add_time_ids == 5 and target_size is not None:
+        raise ValueError("refiner families (5 add_time_ids) have no "
+                         "target_size id; drop target_size")
+    oh, ow = original_size or (height, width)
+    tgt_h, tgt_w = target_size or (height, width)
+    size_ids = (float(oh), float(ow), float(crop_coords[0]),
+                float(crop_coords[1]), float(tgt_h), float(tgt_w))
+    if size_ids == (float(height), float(width), 0.0, 0.0,
+                    float(height), float(width)):
+        return None  # identical to the implicit ids: don't key a second
+        # compiled variant for the same program
+    return size_ids
+
+
 def get_time_embedding(timestep) -> jax.Array:
     """(1, 320) sinusoidal embedding — reference helper parity
     (``pipeline.py:310-349``)."""
@@ -826,7 +855,9 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                         attention_backend=cfg.attention_backend,
                         fuse_qkv=cfg.fuse_qkv,
                         conditioning_scale=ctrl_scale[ci],
-                        add_cond=add_c)
+                        add_cond=add_c,
+                        conv_backend=("xla" if sp_mesh is not None
+                                      else cfg.conv_backend))
                     if control is None:
                         control = c_i
                     else:  # multi-ControlNet: residuals sum
@@ -864,8 +895,9 @@ def _compiled_txt2img(cfg: SDConfig, n_steps: int, do_cfg: bool, batch: int,
                                attention_backend=cfg.attention_backend,
                                reference_quirks=cfg.reference_quirks,
                                fuse_qkv=cfg.fuse_qkv, quant=cfg.quant,
-                               sp_mesh=sp_mesh, add_cond=add_c,
-                               t_cond=t_cond,
+                               sp_mesh=sp_mesh,
+                               conv_backend=unet_kw["conv_backend"],
+                               add_cond=add_c, t_cond=t_cond,
                                ref=("capture", bank) if ref_attn else None,
                                ref_adain=(("capture", abank)
                                           if ref_adain else None))
@@ -2181,24 +2213,8 @@ def _run_generate(
     # SDXL micro-conditioning: (orig_h, orig_w, crop_top, crop_left
     # [, tgt_h, tgt_w]) — the diffusers original_size/crops/target_size
     # knobs; only meaningful for added-conditioning families
-    size_ids = None
-    if (original_size is not None or tuple(crop_coords) != (0, 0)
-            or target_size is not None):
-        if cfg.unet.add_embed_dim is None:
-            raise ValueError("original_size/crop_coords/target_size are "
-                             "SDXL micro-conditioning (add_embed families "
-                             "only)")
-        if cfg.unet.add_time_ids == 5 and target_size is not None:
-            raise ValueError("refiner families (5 add_time_ids) have no "
-                             "target_size id; drop target_size")
-        oh, ow = original_size or (height, width)
-        tgt_h, tgt_w = target_size or (height, width)
-        size_ids = (float(oh), float(ow), float(crop_coords[0]),
-                    float(crop_coords[1]), float(tgt_h), float(tgt_w))
-        if size_ids == (float(height), float(width), 0.0, 0.0,
-                        float(height), float(width)):
-            size_ids = None  # identical to the implicit ids: don't key a
-            # second compiled variant for the same program
+    size_ids = canonical_size_ids(cfg, height, width, original_size,
+                                  crop_coords, target_size)
     use_noise_mult = noise_multiplier is not None
     if use_noise_mult:
         if fixed_noise is not None:

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.config import SDConfig
-from ..pipeline import SAMPLERS, _compiled_txt2img
+from ..pipeline import SAMPLERS, _compiled_txt2img, canonical_size_ids
 
 
 def export_pipeline(cfg: SDConfig, models, *, n_steps: int = 50, batch: int = 1,
@@ -115,27 +115,12 @@ def export_pipeline(cfg: SDConfig, models, *, n_steps: int = 50, batch: int = 1,
         if batch != n_frames:
             raise ValueError(f"n_frames artifacts use batch == n_frames "
                              f"(got batch={batch}, n_frames={n_frames})")
-    # SDXL micro-conditioning is a static per-artifact choice, same
-    # canonicalization as the live pipeline (pipeline.py generate():
-    # identical-to-implicit ids collapse to None so the artifact matches
-    # the default-program bit stream)
-    size_ids = None
-    if (original_size is not None or tuple(crop_coords) != (0, 0)
-            or target_size is not None):
-        if cfg.unet.add_embed_dim is None:
-            raise ValueError("original_size/crop_coords/target_size are "
-                             "SDXL micro-conditioning (add_embed families "
-                             "only)")
-        if cfg.unet.add_time_ids == 5 and target_size is not None:
-            raise ValueError("refiner families (5 add_time_ids) have no "
-                             "target_size id; drop target_size")
-        oh, ow = original_size or (height, width)
-        tgt_h, tgt_w = target_size or (height, width)
-        size_ids = (float(oh), float(ow), float(crop_coords[0]),
-                    float(crop_coords[1]), float(tgt_h), float(tgt_w))
-        if size_ids == (float(height), float(width), 0.0, 0.0,
-                        float(height), float(width)):
-            size_ids = None
+    # SDXL micro-conditioning is a static per-artifact choice; the SAME
+    # canonicalization helper as the live pipeline (identical-to-implicit
+    # ids collapse to None so the artifact matches the default-program
+    # bit stream)
+    size_ids = canonical_size_ids(cfg, height, width, original_size,
+                                  crop_coords, target_size)
     run = _compiled_txt2img(cfg, n_steps, do_cfg, batch, h_lat, w_lat,
                             img2img, False, False, sampler, float(ddim_eta),
                             decode_tile, None, inpaint, use_control,
