@@ -17,6 +17,34 @@ from .weights.convert import load_sd_checkpoint
 from .weights.tokenizer import CLIPTokenizer
 
 
+def _place_host_arrays(tree, mesh):
+    """Device-put numpy leaves in a models pytree ONCE, at attach time.
+
+    Adapter loaders (ip_adapter, hypernetwork, esrgan, animatediff,
+    controlnet) emit numpy fp32 trees.  A numpy leaf that stays in
+    ``models`` is re-uploaded host->device on EVERY jitted generate call
+    (jit arguments, not closure constants) — for the ~90 MB IP-Adapter
+    over the axon relay tunnel that measured +3.5 s/image at 512^2/20
+    while the UNet lane itself cost +0.7%/step (exp_ip_insitu.py).
+    Placement is replicated over ``mesh`` when one is attached, default
+    device otherwise; already-placed jax.Arrays pass through untouched.
+    """
+    import jax
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        sharding = NamedSharding(mesh, PartitionSpec())
+        place = lambda x: jax.device_put(x, sharding)  # noqa: E731
+    else:
+        place = jax.device_put
+
+    def leaf(x):
+        return place(x) if isinstance(x, np.ndarray) else x
+
+    return jax.tree_util.tree_map(leaf, tree)
+
+
 def _to_rgb_float(image) -> np.ndarray:
     """Any image input -> (H, W, 3) float32 in 0..255 (grayscale stacked,
     alpha dropped, [0, 1]-ranged FLOAT inputs rescaled — integer inputs
@@ -60,6 +88,7 @@ class StableDiffusion:
             from .parallel.dp import replicate_params
 
             self.models = replicate_params(self.models, mesh)
+        self.models = _place_host_arrays(self.models, self.mesh)
 
     @classmethod
     def from_checkpoint(cls, ckpt_path: str, vocab_path: str, merges_path: str,
@@ -135,6 +164,7 @@ class StableDiffusion:
 
                 std = replicate_params(std, self.mesh)
             out.models = {**out.models, **std}
+        out.models = _place_host_arrays(out.models, out.mesh)
         return out
 
     def with_vae(self, vae):
@@ -373,8 +403,9 @@ class StableDiffusion:
             from .weights.esrgan import load_esrgan
 
             upscaler = load_esrgan(upscaler)
+        params, ecfg = upscaler
         out = self._clone()
-        out._upscaler = upscaler
+        out._upscaler = (_place_host_arrays(params, self.mesh), ecfg)
         return out
 
     def upscale(self, image, *, tile: Optional[int] = None) -> np.ndarray:

@@ -55,6 +55,35 @@ def test_from_checkpoint_roundtrip(tiny_cfg, tiny_models, tiny_tokenizer, tmp_pa
     assert img.shape == (H, W, 3)
 
 
+def test_attach_places_numpy_leaves_on_device(sd):
+    """Adapter loaders emit numpy fp32 trees; if those leaves stay numpy
+    inside ``models``, jit re-uploads them host->device on EVERY generate
+    call (measured +3.5 s/image for IP-Adapter over the TPU relay).  Every
+    with_* builder must place them exactly once, at attach time."""
+    import jax
+
+    from pytorch_stable_diffusion_tpu.models import clip_vision as cv
+    from pytorch_stable_diffusion_tpu.weights import ip_adapter as ipw
+    from test_ip_adapter import _synthetic_ip_state
+
+    vis_cfg = cv.CLIPVisionConfig(
+        image_size=16, patch_size=8, width=16, n_layers=1, n_heads=2,
+        d_ff=32, proj_dim=8)
+    ipa = ipw.convert_ip_adapter(
+        _synthetic_ip_state(sd.config.unet, embed_dim=vis_cfg.proj_dim),
+        sd.config.unet)
+    vision = cv.init(jax.random.PRNGKey(0), vis_cfg)
+    assert any(isinstance(l, np.ndarray) and not isinstance(l, jax.Array)
+               for l in jax.tree_util.tree_leaves(ipa)), \
+        "precondition: the loader emits host arrays"
+
+    sd_ip = sd.with_ip_adapter(ipa, vision, vision_config=vis_cfg)
+    for name in ("ip_adapter", "clip_vision", "diffusion"):
+        for leaf in jax.tree_util.tree_leaves(sd_ip.models[name]):
+            assert isinstance(leaf, jax.Array), \
+                f"host-array leaf left in models[{name!r}]"
+
+
 def test_mesh_wrapper(tiny_cfg, tiny_models, tiny_tokenizer):
     from pytorch_stable_diffusion_tpu.core.mesh import make_mesh
 
