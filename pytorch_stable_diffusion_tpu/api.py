@@ -28,8 +28,28 @@ def _place_host_arrays(tree, mesh):
     while the UNet lane itself cost +0.7%/step (exp_ip_insitu.py).
     Placement is replicated over ``mesh`` when one is attached, default
     device otherwise; already-placed jax.Arrays pass through untouched.
+
+    On a tensor-parallel mesh (model axis > 1) the standard model entries
+    (clip/diffusion/...) carry Megatron shardings — replicating a numpy
+    leaf there would be silently correct (XLA reshards at dispatch) but an
+    HBM/perf footgun, so builders must route fresh std-key host arrays
+    through ``_clone(reshard=True)`` FIRST; this function raises if one
+    reaches it un-sharded.
     """
     import jax
+
+    if mesh is not None and mesh.shape.get("model", 1) > 1 \
+            and isinstance(tree, dict):
+        std_keys = ("clip", "clip2", "encoder", "decoder", "diffusion")
+        for k in std_keys:
+            if k in tree and any(isinstance(l, np.ndarray)
+                                 for l in jax.tree_util.tree_leaves(tree[k])):
+                raise RuntimeError(
+                    f"models[{k!r}] holds host (numpy) arrays on a "
+                    "tensor-parallel mesh; route them through "
+                    "_clone(reshard=True) / parallel.tp.shard_models so "
+                    "they get their Megatron shardings instead of full "
+                    "replication")
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
@@ -403,7 +423,13 @@ class StableDiffusion:
             from .weights.esrgan import load_esrgan
 
             upscaler = load_esrgan(upscaler)
-        params, ecfg = upscaler
+        try:
+            params, ecfg = upscaler
+        except (TypeError, ValueError) as e:
+            raise ValueError(
+                "with_upscaler expects a weight file path or a "
+                "(params, ESRGANConfig) pair, got "
+                f"{type(upscaler).__name__}") from e
         out = self._clone()
         out._upscaler = (_place_host_arrays(params, self.mesh), ecfg)
         return out

@@ -221,6 +221,32 @@ def tiny_sd_config(policy: Policy = FP32, **kw) -> SDConfig:
     )
 
 
+def tiny_sdxl_config(policy: Policy = FP32, **kw) -> SDConfig:
+    """Scaled-down SDXL config (dual towers, per-level transformer depth,
+    added conditioning) for fast CPU tests and the driver dryrun — same
+    topology knobs as :func:`sdxl_config` at tiny dims."""
+    return SDConfig(
+        clip=CLIPConfig(vocab_size=1024, d_model=16, max_len=16, n_layers=2,
+                        n_heads=2, d_ff=32, stop_at_layer=1,
+                        penultimate_norm=False,
+                        key_prefix="conditioner.embedders.0.transformer"
+                                   ".text_model"),
+        clip2=CLIPConfig(vocab_size=1024, d_model=32, max_len=16, n_layers=3,
+                         n_heads=4, d_ff=64, hidden_act="gelu",
+                         stop_at_layer=2, penultimate_norm=False,
+                         text_projection=True, layout="open_clip",
+                         key_prefix="conditioner.embedders.1.model"),
+        vae=VAEConfig(base_channels=16, ch_mults=(1, 2), groups=4,
+                      scale_factor=0.13025),
+        unet=UNetConfig(model_channels=16, ch_mults=(1, 2),
+                        attn_levels=(False, True), transformer_depth=(1, 2),
+                        head_dim=8, d_context=48, groups=4,
+                        add_embed_dim=32 + 6 * 4),  # pooled 32 + 6x4 sizes
+        policy=policy,
+        **kw,
+    )
+
+
 def sd15_config(policy: Policy = FP32, **kw) -> SDConfig:
     return SDConfig(policy=policy, **kw)
 

@@ -52,6 +52,47 @@ def ip_layer_plan(cfg: UNetConfig) -> List[str]:
     return plan
 
 
+def synthetic_ip_state(cfg: UNetConfig, n_tok: int = 4, embed_dim: int = 24,
+                       seed: int = 0, flat: bool = False) -> Dict:
+    """A random checkpoint-layout IP-Adapter state dict for the given UNet
+    topology — the shapes (and flat-index keying) of a real h94 file, used
+    by the test suite and the driver dryrun (no real weights on this host).
+
+    ``flat=True`` emits the .safetensors single-namespace layout; default
+    is the .bin two-dict layout."""
+    rs = np.random.RandomState(seed)
+    d_ctx = cfg.d_context
+    proj = {"proj.weight": rs.randn(n_tok * d_ctx, embed_dim)
+            .astype(np.float32),
+            "proj.bias": rs.randn(n_tok * d_ctx).astype(np.float32),
+            "norm.weight": rs.randn(d_ctx).astype(np.float32),
+            "norm.bias": rs.randn(d_ctx).astype(np.float32)}
+    # channel width per plan layer, from the same stage walk as ip_layer_plan
+    widths: Dict[str, int] = {}
+    for i, st in enumerate(unet_mod.encoder_plan(cfg)[1:]):
+        if st["kind"] == "block" and st["attn"]:
+            widths.update({f"enc_{i}_{li}": st["c_out"]
+                           for li in range(st["depth"])})
+    for i, st in enumerate(unet_mod.decoder_plan(cfg)):
+        if st["attn"]:
+            widths.update({f"dec_{i}_{li}": st["c_out"]
+                           for li in range(st["depth"])})
+    widths.update({f"mid_{li}": cfg.level_channels[-1]
+                   for li in range(cfg.depth_for(len(cfg.ch_mults) - 1))})
+    ada = {}
+    for j, key in enumerate(ip_layer_plan(cfg)):
+        c = widths[key]
+        ada[f"{2 * j + 1}.to_k_ip.weight"] = rs.randn(c, d_ctx) \
+            .astype(np.float32)
+        ada[f"{2 * j + 1}.to_v_ip.weight"] = rs.randn(c, d_ctx) \
+            .astype(np.float32)
+    if flat:
+        out = {f"image_proj.{k}": v for k, v in proj.items()}
+        out.update({f"ip_adapter.{k}": v for k, v in ada.items()})
+        return out
+    return {"image_proj": proj, "ip_adapter": ada}
+
+
 def _nest(state: Dict[str, np.ndarray]) -> Dict[str, Dict[str, np.ndarray]]:
     """Accept the .bin layout ({"image_proj": {...}, "ip_adapter": {...}})
     or the flat .safetensors layout ("image_proj.proj.weight", ...)."""

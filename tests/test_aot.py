@@ -95,7 +95,7 @@ def test_export_validates_size(tiny_cfg, tiny_models):
 def test_export_sdxl_roundtrip(tiny_tokenizer):
     """The serving artifact covers the SDXL family too (dual towers +
     add_cond all live inside the one compiled program)."""
-    from tests.test_sdxl import tiny_sdxl_config
+    from pytorch_stable_diffusion_tpu.models.config import tiny_sdxl_config
 
     from pytorch_stable_diffusion_tpu.models import clip as clip_mod
     from pytorch_stable_diffusion_tpu.models import unet as unet_mod
@@ -493,7 +493,7 @@ def test_export_sdxl_micro_conditioning(tiny_tokenizer):
     per-artifact choices; an artifact exported with them bit-matches the
     live pipeline called with the same knobs, and non-add_embed families
     reject them like the live pipeline does."""
-    from tests.test_sdxl import tiny_sdxl_config
+    from pytorch_stable_diffusion_tpu.models.config import tiny_sdxl_config
 
     from pytorch_stable_diffusion_tpu.models import clip as clip_mod
     from pytorch_stable_diffusion_tpu.models import unet as unet_mod

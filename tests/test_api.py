@@ -84,6 +84,60 @@ def test_attach_places_numpy_leaves_on_device(sd):
                 f"host-array leaf left in models[{name!r}]"
 
 
+def _assert_no_host_leaves(tree, what):
+    import jax
+
+    for leaf in jax.tree_util.tree_leaves(tree):
+        assert isinstance(leaf, jax.Array), \
+            f"host-array leaf left in {what}"
+
+
+@pytest.mark.parametrize("builder", ["hypernetwork", "motion", "upscaler",
+                                     "controlnet"])
+def test_every_attach_builder_places_numpy_leaves(sd, builder):
+    """Same contract as test_attach_places_numpy_leaves_on_device for the
+    remaining with_* builders: attach-time device placement (the leaves'
+    VALUES are irrelevant — only jit-argument leaf types are under test)."""
+    tree = {"a": np.ones((4, 4), np.float32),
+            "b": {"c": np.zeros((2,), np.float32)}}
+    if builder == "hypernetwork":
+        out = sd.with_hypernetwork((tree, ("relu", False)))
+        _assert_no_host_leaves(out.models["hypernetwork"],
+                               "models['hypernetwork']")
+    elif builder == "motion":
+        out = sd.with_motion((tree, 24))
+        _assert_no_host_leaves(out.models["motion"], "models['motion']")
+    elif builder == "upscaler":
+        from pytorch_stable_diffusion_tpu.models.esrgan import ESRGANConfig
+
+        out = sd.with_upscaler((tree, ESRGANConfig(features=8, num_blocks=2,
+                                                   growth=4)))
+        _assert_no_host_leaves(out._upscaler[0], "_upscaler params")
+    else:
+        out = sd.with_controlnet(tree)
+        _assert_no_host_leaves(out.models["controlnet"],
+                               "models['controlnet']")
+
+
+def test_with_upscaler_rejects_malformed_argument(sd):
+    with pytest.raises(ValueError, match="ESRGANConfig"):
+        sd.with_upscaler(42)
+
+
+def test_place_host_arrays_rejects_std_numpy_on_tp_mesh(tiny_models):
+    """On a model>1 mesh, a numpy leaf under a std model key means a
+    builder bypassed _clone(reshard=True); silent full replication would
+    be an HBM footgun — the placement helper must refuse."""
+    from pytorch_stable_diffusion_tpu.api import _place_host_arrays
+    from pytorch_stable_diffusion_tpu.core.mesh import make_mesh
+
+    mesh = make_mesh(data=4, model=2)
+    bad = dict(tiny_models,
+               diffusion={"w": np.ones((4, 4), np.float32)})
+    with pytest.raises(RuntimeError, match="reshard"):
+        _place_host_arrays(bad, mesh)
+
+
 def test_mesh_wrapper(tiny_cfg, tiny_models, tiny_tokenizer):
     from pytorch_stable_diffusion_tpu.core.mesh import make_mesh
 

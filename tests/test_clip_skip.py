@@ -21,7 +21,7 @@ from pytorch_stable_diffusion_tpu.models.config import (
     sd15_config, sd21_config, sdxl_config, sdxl_refiner_config,
     with_clip_skip)
 
-from test_sdxl import tiny_sdxl_config
+from pytorch_stable_diffusion_tpu.models.config import tiny_sdxl_config
 
 H = W = 16
 N_STEPS = 2

@@ -165,7 +165,7 @@ def test_api_with_controlnet(tiny_cfg, tiny_models, tiny_tokenizer,
 def test_controlnet_sdxl_topology_roundtrip():
     """Config-driven rules adapt to SDXL (stacked transformer depth,
     label_emb added-conditioning MLP) — structural round-trip."""
-    from test_sdxl import tiny_sdxl_config
+    from pytorch_stable_diffusion_tpu.models.config import tiny_sdxl_config
 
     cfg = tiny_sdxl_config()
     p = controlnet.init(jax.random.PRNGKey(1), cfg.unet,

@@ -80,7 +80,7 @@ def test_sdxl_diffusers_round_trip(tmp_path):
     directory loader picks up the 4th subfolder."""
     from safetensors.numpy import save_file
 
-    from tests.test_sdxl import tiny_sdxl_config
+    from pytorch_stable_diffusion_tpu.models.config import tiny_sdxl_config
     import jax
 
     from pytorch_stable_diffusion_tpu.models import clip as clip_mod

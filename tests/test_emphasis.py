@@ -126,7 +126,7 @@ def test_emphasis_sdxl(tiny_tokenizer):
     from pytorch_stable_diffusion_tpu.models import clip as clip_mod
     from pytorch_stable_diffusion_tpu.models import unet as unet_mod
     from pytorch_stable_diffusion_tpu.models import vae as vae_mod
-    from test_sdxl import tiny_sdxl_config
+    from pytorch_stable_diffusion_tpu.models.config import tiny_sdxl_config
 
     cfg = tiny_sdxl_config()
     key = jax.random.PRNGKey(21)

@@ -218,7 +218,7 @@ def test_sdxl_inpaint_config_preset():
 def test_sdxl_unet9_inpaint_e2e(tiny_tokenizer, image, half_mask):
     """9-channel conditioning composes with SDXL's dual-tower/add_cond
     path: masked-image concat + pooled conditioning in one compiled step."""
-    from test_sdxl import tiny_sdxl_config
+    from pytorch_stable_diffusion_tpu.models.config import tiny_sdxl_config
 
     from pytorch_stable_diffusion_tpu.models import clip as clip_mod
 

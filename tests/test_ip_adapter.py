@@ -155,41 +155,8 @@ def test_sdxl_plan_has_70_layers():
     assert sum(k.startswith("mid") for k in plan) == 10
 
 
-def _synthetic_ip_state(cfg: UNetConfig, n_tok=4, embed_dim=24, seed=0,
-                        flat=False):
-    from pytorch_stable_diffusion_tpu.models import unet as unet_mod
-
-    rs = np.random.RandomState(seed)
-    d_ctx = cfg.d_context
-    proj = {"proj.weight": rs.randn(n_tok * d_ctx, embed_dim)
-            .astype(np.float32),
-            "proj.bias": rs.randn(n_tok * d_ctx).astype(np.float32),
-            "norm.weight": rs.randn(d_ctx).astype(np.float32),
-            "norm.bias": rs.randn(d_ctx).astype(np.float32)}
-    # channel width per plan layer, derived from the stage plans
-    widths = {}
-    for i, st in enumerate(unet_mod.encoder_plan(cfg)[1:]):
-        if st["kind"] == "block" and st["attn"]:
-            widths.update({f"enc_{i}_{li}": st["c_out"]
-                           for li in range(st["depth"])})
-    for i, st in enumerate(unet_mod.decoder_plan(cfg)):
-        if st["attn"]:
-            widths.update({f"dec_{i}_{li}": st["c_out"]
-                           for li in range(st["depth"])})
-    widths.update({f"mid_{li}": cfg.level_channels[-1]
-                   for li in range(cfg.depth_for(len(cfg.ch_mults) - 1))})
-    ada = {}
-    for j, key in enumerate(ipw.ip_layer_plan(cfg)):
-        c = widths[key]
-        ada[f"{2 * j + 1}.to_k_ip.weight"] = rs.randn(c, d_ctx) \
-            .astype(np.float32)
-        ada[f"{2 * j + 1}.to_v_ip.weight"] = rs.randn(c, d_ctx) \
-            .astype(np.float32)
-    if flat:
-        out = {f"image_proj.{k}": v for k, v in proj.items()}
-        out.update({f"ip_adapter.{k}": v for k, v in ada.items()})
-        return out
-    return {"image_proj": proj, "ip_adapter": ada}
+# shared with the driver dryrun leg (weights/ip_adapter.py)
+_synthetic_ip_state = ipw.synthetic_ip_state
 
 
 def test_converter_coverage_and_shapes(tiny_cfg):
@@ -445,7 +412,7 @@ def test_pipeline_ip_adapter_sdxl_depth_layers(tiny_tokenizer):
     """SDXL-style stacked transformer blocks: every depth layer gets its
     own to_k_ip/to_v_ip (the per-layer list indexing inside
     apply_attn_block) — end-to-end through the dual-tower pipeline."""
-    from tests.test_sdxl import tiny_sdxl_config
+    from pytorch_stable_diffusion_tpu.models.config import tiny_sdxl_config
     from pytorch_stable_diffusion_tpu.models import clip as clip_mod
     from pytorch_stable_diffusion_tpu.models import unet as unet_mod
     from pytorch_stable_diffusion_tpu.models import vae as vae_mod

@@ -204,7 +204,7 @@ def test_lcm_sdxl_composition(tiny_tokenizer):
 
     import jax
 
-    from test_sdxl import tiny_sdxl_config
+    from pytorch_stable_diffusion_tpu.models.config import tiny_sdxl_config
     from pytorch_stable_diffusion_tpu.models import clip, unet, vae
 
     base = tiny_sdxl_config()

@@ -177,7 +177,7 @@ def test_sdxl_towers_and_depth(tiny_models):
     from pytorch_stable_diffusion_tpu.models import clip as clip_mod
     from pytorch_stable_diffusion_tpu.models import unet as unet_mod
     from pytorch_stable_diffusion_tpu.models import vae as vae_mod
-    from tests.test_sdxl import tiny_sdxl_config
+    from pytorch_stable_diffusion_tpu.models.config import tiny_sdxl_config
 
     cfg = tiny_sdxl_config()
     key = jax.random.PRNGKey(3)

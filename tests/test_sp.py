@@ -114,7 +114,7 @@ def test_sp_composes_with_dp(tiny_cfg, tiny_models, tiny_tokenizer):
 def test_sp_sdxl_matches_single_device(tiny_tokenizer):
     """Spatial sharding generalizes to the SDXL tree: stacked transformer
     blocks run per-shard, add_cond stays replicated."""
-    from tests.test_sdxl import tiny_sdxl_config
+    from pytorch_stable_diffusion_tpu.models.config import tiny_sdxl_config
 
     from pytorch_stable_diffusion_tpu.models import clip as clip_mod
     from pytorch_stable_diffusion_tpu.models import unet as unet_mod

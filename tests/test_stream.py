@@ -92,7 +92,7 @@ def test_streamed_sdxl_tp(tmp_path, tiny_tokenizer):
     import jax
 
     import pytorch_stable_diffusion_tpu as sdt
-    from tests.test_sdxl import tiny_sdxl_config
+    from pytorch_stable_diffusion_tpu.models.config import tiny_sdxl_config
 
     cfg = tiny_sdxl_config()
     from safetensors.numpy import save_file

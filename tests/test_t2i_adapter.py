@@ -219,7 +219,7 @@ def test_api_with_t2i_adapter(tiny_cfg, tiny_models, tiny_tokenizer,
 # ------------------------------------------------- SDXL (full_adapter_xl)
 @pytest.fixture(scope="module")
 def xl_cfg():
-    from tests.test_sdxl import tiny_sdxl_config
+    from pytorch_stable_diffusion_tpu.models.config import tiny_sdxl_config
 
     return tiny_sdxl_config()
 

@@ -170,7 +170,7 @@ def xl_bundle():
     from pytorch_stable_diffusion_tpu.models import clip as clip_mod
     from pytorch_stable_diffusion_tpu.models import unet as unet_mod
     from pytorch_stable_diffusion_tpu.models import vae as vae_mod
-    from test_sdxl import tiny_sdxl_config
+    from pytorch_stable_diffusion_tpu.models.config import tiny_sdxl_config
 
     cfg = tiny_sdxl_config()
     key = jax.random.PRNGKey(11)

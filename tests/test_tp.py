@@ -64,7 +64,7 @@ def test_unfused_qkv_matches_fused(tiny_cfg, tiny_models, tiny_tokenizer):
 def test_sdxl_tp_matches_replicated(tiny_tokenizer):
     """SDXL tree under TP: stacked-block attn paths and the clip2 tower get
     specs, and a model=2 (+2-way DP) run matches single-device (uint8 ±1)."""
-    from tests.test_sdxl import tiny_sdxl_config
+    from pytorch_stable_diffusion_tpu.models.config import tiny_sdxl_config
 
     from pytorch_stable_diffusion_tpu.models import clip as clip_mod
     from pytorch_stable_diffusion_tpu.models import unet as unet_mod
