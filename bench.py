@@ -48,10 +48,12 @@ def main():
     ap.add_argument("--backend", default="pallas",
                     choices=["pallas", "xla"])
     ap.add_argument("--conv-backend", default="xla",
-                    choices=["xla", "pallas"],
+                    choices=["xla", "pallas", "fold"],
                     help="res-block GN->SiLU->conv3x3 path; pallas = the "
                          "fused halo-DMA kernel at 128-lane-aligned "
-                         "channel levels (ops/pallas/conv.py)")
+                         "channel levels (ops/pallas/conv.py); fold = XLA "
+                         "convs with the GN normalize folded to a "
+                         "compute-dtype (B,C) affine")
     ap.add_argument("--quant", default="none",
                     choices=["none", "wide", "conv", "w8"],
                     help="UNet int8 tier (ops/quant.py; w8 = weight-only)")
@@ -165,6 +167,8 @@ def main():
                   f"batch={b} images/sec/chip ({backend} attention, bf16"
                   + (f", quant={args.quant}" if args.quant != "none"
                      else "")
+                  + (f", conv={args.conv_backend}"
+                     if args.conv_backend != "xla" else "")
                   + (f", deepcache={args.deepcache}" if args.deepcache
                      else "")
                   + (f", tome={args.tome}" if args.tome else "")

@@ -434,17 +434,20 @@ class StableDiffusion:
         out._upscaler = (_place_host_arrays(params, self.mesh), ecfg)
         return out
 
-    def upscale(self, image, *, tile: Optional[int] = None) -> np.ndarray:
+    def upscale(self, image, *, tile: Optional[int] = None,
+                tile_lanes: int = 8) -> np.ndarray:
         """Upscale an image with the attached ESRGAN (the A1111 "Extras"
         upscale flow).  ``tile``: process in padded tiles (memory bound
-        for large inputs)."""
+        for large inputs); independent tiles ride the batch axis in
+        chunks of ``tile_lanes``."""
         if getattr(self, "_upscaler", None) is None:
             raise ValueError("no upscaler attached (with_upscaler)")
         from .models import esrgan as esrgan_mod
 
         params, ecfg = self._upscaler
         return esrgan_mod.upscale_image(params, image, ecfg,
-                                        self.config.policy, tile=tile)
+                                        self.config.policy, tile=tile,
+                                        tile_lanes=tile_lanes)
 
     def with_ip_adapter(self, adapter, image_encoder, *, vision_config=None):
         """Return a bundle with an IP-Adapter attached (image prompting,

@@ -162,13 +162,15 @@ class SDConfig:
     #: XLA path (benchmarks/components.py: 19.7ms vs 21.6ms decode); the
     #: flash grid has too little parallelism there.  Overridable.
     vae_attention_backend: str = "xla"
-    #: "xla" (lax.conv + separate GN/SiLU — parity path) or "pallas": the
-    #: fused GN->SiLU->conv3x3 res-block kernel (ops/pallas/conv.py).
-    #: Opt-in pending hardware A/B (benchmarks/exp_conv_kernel.py);
-    #: equivalent up to bf16 rounding of the (h + t_emb) sum.  Auto-falls
-    #: back per block for ineligible shapes / int8 / seamless tiling, and
-    #: globally under sequence parallelism (GSPMD cannot spatially
-    #: partition the opaque kernel).
+    #: "xla" (lax.conv + separate GN/SiLU — parity path), "pallas" (the
+    #: fused GN->SiLU->conv3x3 res-block kernel, ops/pallas/conv.py), or
+    #: "fold" (XLA convs with the GN normalize folded to a compute-dtype
+    #: per-(B,C) affine — ops/norm.group_norm_silu_folded).  pallas/fold
+    #: are opt-in perf tiers, equivalent up to bf16 rounding of the
+    #: normalize / (h + t_emb) apply; pallas auto-falls back per block for
+    #: ineligible shapes / int8 / seamless tiling, and both fall back
+    #: globally under sequence parallelism (per-shard GN stats would be
+    #: wrong / GSPMD cannot spatially partition the opaque kernel).
     conv_backend: str = "xla"
     #: Reproduce the reference's three genuine bugs for golden parity:
     #: dropped GeGLU gate (diffusion.py:359-363), the VAE attention

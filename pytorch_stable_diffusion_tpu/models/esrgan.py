@@ -136,15 +136,36 @@ def apply(params, x, cfg: ESRGANConfig, policy: Policy = FP32):
     return conv.apply(params["conv_last"], feat, padding=1, policy=policy)
 
 
+def _tile_metas(h: int, w: int, tile: int, tile_pad: int):
+    """RealESRGAN tiling grid: output tile [y0:y1, x0:x1], padded input
+    patch [py0:py1, px0:px1] clamped at the image bounds."""
+    metas = []
+    for y0 in range(0, h, tile):
+        for x0 in range(0, w, tile):
+            y1, x1 = min(y0 + tile, h), min(x0 + tile, w)
+            py0, px0 = max(y0 - tile_pad, 0), max(x0 - tile_pad, 0)
+            py1, px1 = min(y1 + tile_pad, h), min(x1 + tile_pad, w)
+            metas.append((y0, y1, x0, x1, py0, py1, px0, px1))
+    return metas
+
+
 def upscale_image(params, image, cfg: ESRGANConfig,
                   policy: Policy = FP32, tile: int = None,
-                  tile_pad: int = 8) -> np.ndarray:
+                  tile_pad: int = 8, tile_lanes: int = 8) -> np.ndarray:
     """uint8/float (H, W, 3) or batched (B, H, W, 3) image -> upscaled
     uint8 of the same rank.
 
     ``tile``: process in padded tiles of this size (memory bound for
     large inputs; the pad region is recomputed context, RealESRGAN's
-    tiling scheme).
+    tiling scheme).  Tiles are independent, so they ride the BATCH axis
+    through one jitted apply instead of a sequential host loop (the
+    generate_many lane pattern): same-shape patches (interior vs
+    border-clamped) group together, chunks of ``tile_lanes`` lanes
+    dispatch asynchronously (zero-padded to the fixed lane count so each
+    shape class compiles once), and results are fetched only after every
+    chunk is in flight — this removed the per-tile dispatch+fetch round
+    trips that made the round-4 sequential loop 43 s for a 4x 512->2048
+    upscale over the TPU relay.
     """
     arr = np.asarray(image, np.float32)
     batched = arr.ndim == 4
@@ -152,7 +173,6 @@ def upscale_image(params, image, cfg: ESRGANConfig,
         arr = arr[None]
     if arr.max() > 1.5:
         arr = arr / 255.0
-    x = jnp.asarray(arr)
     s = cfg.scale
 
     @jax.jit
@@ -160,18 +180,39 @@ def upscale_image(params, image, cfg: ESRGANConfig,
         return apply(params, v, cfg, policy)
 
     if tile is None:
-        out = np.asarray(run(x), np.float32)
+        out = np.asarray(run(jnp.asarray(arr)), np.float32)
     else:
+        from collections import defaultdict
+
         b, h, w = arr.shape[:3]
         out = np.zeros((b, h * s, w * s, 3), np.float32)
-        for y0 in range(0, h, tile):
-            for x0 in range(0, w, tile):
-                y1, x1 = min(y0 + tile, h), min(x0 + tile, w)
-                py0, px0 = max(y0 - tile_pad, 0), max(x0 - tile_pad, 0)
-                py1, px1 = min(y1 + tile_pad, h), min(x1 + tile_pad, w)
-                patch = run(x[:, py0:py1, px0:px1])
-                out[:, y0 * s:y1 * s, x0 * s:x1 * s] = np.asarray(
+        groups = defaultdict(list)
+        for m in _tile_metas(h, w, tile, tile_pad):
+            groups[(m[5] - m[4], m[7] - m[6])].append(m)
+        # dispatch every chunk of every shape class before fetching any
+        in_flight = []
+        for (ph, pw), ms in groups.items():
+            patches = np.concatenate(
+                [arr[:, m[4]:m[5], m[6]:m[7]] for m in ms], axis=0)
+            n = patches.shape[0]
+            lanes = min(n, max(1, tile_lanes))
+            chunks = []
+            for i in range(0, n, lanes):
+                chunk = patches[i:i + lanes]
+                if chunk.shape[0] < lanes:
+                    chunk = np.concatenate(
+                        [chunk, np.zeros((lanes - chunk.shape[0], ph, pw, 3),
+                                         np.float32)], axis=0)
+                chunks.append(run(jnp.asarray(chunk)))
+            in_flight.append((ms, n, chunks))
+        for ms, n, chunks in in_flight:
+            up = np.concatenate(
+                [np.asarray(c, np.float32) for c in chunks], axis=0)[:n]
+            for j, m in enumerate(ms):
+                y0, y1, x0, x1, py0, py1, px0, px1 = m
+                patch = up[j * b:(j + 1) * b]
+                out[:, y0 * s:y1 * s, x0 * s:x1 * s] = \
                     patch[:, (y0 - py0) * s:(y1 - py0) * s,
-                          (x0 - px0) * s:(x1 - px0) * s], np.float32)
+                          (x0 - px0) * s:(x1 - px0) * s]
     out = np.clip(np.round(out * 255.0), 0, 255).astype(np.uint8)
     return out if batched else out[0]

@@ -164,6 +164,11 @@ def apply_res_block(p, x, t_emb, groups: int, policy: Policy,
     of the (h + t) sum (opt-in; tests/test_pallas_conv.py).  Falls back to
     XLA when the shape is ineligible, under int8 quant, or in seamless-
     tiling mode (the kernel pads with zeros, not circularly).
+
+    ``conv_backend="fold"``: XLA convs, but the GN normalize folds to a
+    per-(B, C) affine applied in compute dtype
+    (ops/norm.group_norm_silu_folded) — no fp32 full-tensor normalize
+    intermediate; the temb add rides the second half's shift.
     """
     use_pallas = (conv_backend == "pallas" and quant == "none"
                   and not conv.circular_padding_active())
@@ -180,6 +185,14 @@ def apply_res_block(p, x, t_emb, groups: int, policy: Policy,
         t = linear.apply(p["time_proj"], silu(t_emb), policy)
         t = jnp.broadcast_to(t, (x.shape[0], t.shape[-1]))
         h = pconv.gn_silu_conv3x3(p["norm2"], p["conv2"], h, groups, temb=t)
+    elif conv_backend == "fold":
+        h = norm.group_norm_silu_folded(p["norm1"], x, groups, policy=policy)
+        h = conv.apply(p["conv1"], h, padding=1, policy=policy, quant=quant)
+        t = linear.apply(p["time_proj"], silu(t_emb), policy)
+        t = jnp.broadcast_to(t, (x.shape[0], t.shape[-1]))
+        h = norm.group_norm_silu_folded(p["norm2"], h, groups, policy=policy,
+                                        temb=t)
+        h = conv.apply(p["conv2"], h, padding=1, policy=policy, quant=quant)
     else:
         h = norm.group_norm_silu(p["norm1"], x, groups, policy=policy,
                                  backend=backend)

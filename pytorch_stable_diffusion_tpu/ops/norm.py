@@ -62,6 +62,32 @@ def group_norm_silu(params, x, num_groups: int = 32, eps: float = EPS,
     return y
 
 
+def group_norm_silu_folded(params, x, num_groups: int = 32, eps: float = EPS,
+                           policy: Policy = FP32, temb=None):
+    """GN (+ optional per-(B,C) ``temb`` add) -> SiLU with the normalize
+    APPLIED in compute dtype as a folded per-(batch, channel) affine.
+
+    Same statistics as :func:`group_norm` (one fp32 reduce over spatial +
+    within-group channels), but instead of materializing the fp32
+    ``(x - mean) * rstd`` full-tensor intermediate and casting back, the
+    whole normalize+scale+bias (+temb) collapses to tiny fp32 ``(B, C)``
+    scale/shift arrays and ONE compute-dtype multiply-add that XLA can
+    fuse straight into the consumer conv — the ``ops/pallas/conv.py``
+    ``fold_gn_affine`` trick on the pure-XLA path (opt-in
+    ``conv_backend="fold"``; targets SDXL's 233-instance norm-stat
+    convert_reduce profile, RESULTS.md "SDXL trace").  Differs from the
+    exact path only by bf16 rounding of the affine apply.
+    """
+    from .act import silu
+    from .pallas.conv import fold_gn_affine
+
+    scale, shift = fold_gn_affine(params, x, num_groups, eps=eps, temb=temb,
+                                  norm_dtype=policy.norm_dtype)
+    y = x * scale[:, None, None, :].astype(x.dtype) \
+        + shift[:, None, None, :].astype(x.dtype)
+    return silu(y)
+
+
 def layer_norm(params, x, eps: float = EPS, policy: Policy = FP32):
     orig_dtype = x.dtype
     xf = x.astype(policy.norm_dtype)

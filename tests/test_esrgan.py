@@ -133,6 +133,39 @@ def test_tiled_upscale_matches_whole():
         > 0.99
 
 
+def test_lane_batched_tiles_match_sequential_oracle():
+    """The lane-batched tile path (shape-grouped, zero-padded fixed-lane
+    chunks) must reproduce the published RealESRGAN sequential tiling
+    scheme: oracle = apply() per clamped patch in a host loop, exactly the
+    round-4 loop this replaced.  Geometry (20x24, tile 8, pad 6) produces
+    4 patch-shape classes and a lane count not divisible by tile_lanes,
+    covering the grouping, the padding lanes, and the scatter."""
+    key = jax.random.PRNGKey(0)
+    cfg = esrgan.tiny_esrgan_config()
+    params = esrgan.init(key, cfg)
+    img = (np.random.RandomState(7).rand(20, 24, 3) * 255).astype(np.uint8)
+    arr = img.astype(np.float32)[None] / 255.0
+    s, tile, pad = cfg.scale, 8, 6
+    h, w = arr.shape[1:3]
+    want = np.zeros((1, h * s, w * s, 3), np.float32)
+    for (y0, y1, x0, x1, py0, py1, px0, px1) in \
+            esrgan._tile_metas(h, w, tile, pad):
+        patch = np.asarray(esrgan.apply(
+            params, jax.numpy.asarray(arr[:, py0:py1, px0:px1]), cfg),
+            np.float32)
+        want[:, y0 * s:y1 * s, x0 * s:x1 * s] = \
+            patch[:, (y0 - py0) * s:(y1 - py0) * s,
+                  (x0 - px0) * s:(x1 - px0) * s]
+    want = np.clip(np.round(want * 255.0), 0, 255).astype(np.uint8)[0]
+
+    got = esrgan.upscale_image(params, img, cfg, tile=tile, tile_pad=pad,
+                               tile_lanes=3)
+    # batch-position re-tiling can shift fp rounding by one uint8 bin
+    assert got.shape == want.shape
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+    assert np.mean(got == want) > 0.99
+
+
 def test_realesrgan_x2_pixel_unshuffle():
     torch = pytest.importorskip("torch")
     # scale-2 checkpoints carry 12 input channels (2x2 unshuffle)

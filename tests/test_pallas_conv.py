@@ -170,6 +170,69 @@ def test_pipeline_conv_backend_opt_in(tiny_models, tiny_tokenizer):
     assert np.abs(fused.astype(np.int16) - base.astype(np.int16)).max() <= 1
 
 
+@pytest.mark.parametrize("with_temb", [False, True])
+def test_folded_gn_silu_matches_exact(with_temb):
+    """conv_backend="fold"'s normalize: group_norm_silu_folded equals the
+    exact GN->SiLU composition (same published GroupNorm math through
+    fold_gn_affine, itself pinned by the kernel tests above) up to fp
+    ordering in fp32."""
+    key = jax.random.PRNGKey(11)
+    b, h, w, c = 2, 8, 8, 32
+    norm_p, _ = _params(key, c, c)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (b, h, w, c))
+    t = jax.random.normal(jax.random.fold_in(key, 2), (b, c)) \
+        if with_temb else None
+    v = x if t is None else x + t[:, None, None, :]
+    want = norm.group_norm_silu(norm_p, v, 4, policy=FP32)
+    got = norm.group_norm_silu_folded(norm_p, x, 4, policy=FP32, temb=t)
+    assert got.dtype == want.dtype
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_folded_gn_silu_bf16_tolerance():
+    key = jax.random.PRNGKey(13)
+    b, h, w, c = 2, 8, 8, 32
+    norm_p, _ = _params(key, c, c)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (b, h, w, c)
+                          ).astype(jnp.bfloat16)
+    want = norm.group_norm_silu(norm_p, x, 4, policy=FP32)
+    got = norm.group_norm_silu_folded(norm_p, x, 4, policy=FP32)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=0.05, atol=0.05)
+
+
+def test_pipeline_conv_backend_fold(tiny_models, tiny_tokenizer):
+    """conv_backend="fold" routes every UNet res block through the folded
+    normalize (counted) and stays within a uint8 bin of the exact path in
+    fp32."""
+    import pytorch_stable_diffusion_tpu as sdt
+    from pytorch_stable_diffusion_tpu.models.config import tiny_sd_config
+
+    kw = dict(models=tiny_models, tokenizer=tiny_tokenizer, seed=5,
+              n_inference_steps=2, height=32, width=32)
+    base = sdt.generate("a cat", "", config=tiny_sd_config(), **kw)
+
+    calls = {"n": 0}
+    orig = norm.group_norm_silu_folded
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    norm.group_norm_silu_folded = counting
+    try:
+        folded = sdt.generate("a cat", "",
+                              config=tiny_sd_config(conv_backend="fold"),
+                              **kw)
+    finally:
+        norm.group_norm_silu_folded = orig
+    assert calls["n"] > 0, "folded normalize never engaged"
+    assert np.abs(folded.astype(np.int16) - base.astype(np.int16)).max() <= 1
+
+
 def test_pipeline_conv_backend_falls_back_on_tiling(tiny_models,
                                                     tiny_tokenizer):
     """Seamless-tiling mode pads circularly; the kernel must NOT engage
