@@ -8,14 +8,26 @@ hardware for the 512^2/20-step dpm++ SD-1.5 config (and --family sdxl at
   export   build full-size bf16 models, jax.export the whole generation
            program (traces + lowers, no backend compile), write the
            artifact + time it.
+  prime    fresh process: deserialize + compile the artifact once with
+           the persistent cache ON (utils/aot.prime_pipeline) — writes
+           the ``jit_call_exported`` cache entry a serving restart looks
+           up.  This is the deployment-build step: ship artifact + the
+           cache dir this populates (one deployment, both families).
   serve    fresh process: deserialize the artifact, init weights, time
            load -> first image.  --no-cache disables the persistent XLA
            cache (true cold backend compile of the StableHLO).
   coldjit  fresh process: the live pipeline, time first image (traces,
            lowers, compiles).  --no-cache for the true-cold comparison.
 
+Round-5 root cause (see prime_pipeline): the live jit's cache entry is
+keyed ``jit_run-*`` while the artifact call looks up
+``jit_call_exported-*`` — priming through the live pipeline (round 4's
+"warm cache" rows) never helped the artifact path.  Prime through the
+artifact instead; serve then pays deserialize + cache load + run.
+
 Run via the queue (strictly serial):
   PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/exp_aot_serving.py export
+  PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/exp_aot_serving.py prime
   PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/exp_aot_serving.py serve
   PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/exp_aot_serving.py coldjit
 """
@@ -48,7 +60,7 @@ def build(family, policy):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("phase", choices=["export", "serve", "coldjit"])
+    ap.add_argument("phase", choices=["export", "prime", "serve", "coldjit"])
     ap.add_argument("--family", default="sd15", choices=["sd15", "sdxl"])
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--no-cache", action="store_true",
@@ -87,6 +99,18 @@ def main():
             f.write(blob)
         print(f"export (trace+lower, no compile): {t_exp:.1f}s, "
               f"{len(blob)/1e6:.1f} MB -> {path}", flush=True)
+        return
+
+    if args.phase == "prime":
+        from pytorch_stable_diffusion_tpu.utils import aot
+
+        cfg, models = build(args.family, BF16)
+        with open(path, "rb") as f:
+            blob = f.read()
+        t0 = time.perf_counter()
+        aot.prime_pipeline(blob, models)
+        print(f"prime (deserialize + compile + cache write): "
+              f"{time.perf_counter()-t0:.1f}s", flush=True)
         return
 
     tok = make_test_tokenizer(["a", "photo", "of", "cat"], max_len=77)

@@ -150,7 +150,13 @@ def _estimate_vmem(bg, bh, w_px, c_in, co_blk, itemsize):
     outblk = 2 * bg * bh * w_px * co_blk * itemsize
     acc = bh * w_px * co_blk * 4
     affine = 2 * bg * c_in * 4
-    return scratch + weights + outblk + acc + affine
+    # live fp32 vector temporaries in the activation body (xf/v/act are
+    # full (bh+2, w, c_in) fp32 values before the bf16 store): omitting
+    # them rode the 16 MB cliff at SDXL's (2,32,32,640->1280) level —
+    # Mosaic allocated 16.17M against a 12.94M estimate (round-5 queue-10
+    # failure; the round-2 "don't ride the cliff" lesson again).
+    temps = 2 * (bh + 2) * w_px * c_in * 4
+    return scratch + weights + outblk + acc + affine + temps
 
 
 def _divisors_desc(n, start):

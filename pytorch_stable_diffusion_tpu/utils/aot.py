@@ -200,6 +200,13 @@ class LoadedPipeline:
         leaves, so index back over however many aux entries were exported."""
         return self._exported.in_avals[-(len(self.aux_keys) + 1)].shape
 
+    @property
+    def token_shape(self):
+        """(batch, max_len) of the cond/uncond token arguments (they sit
+        just before key/cfg_scale/start_step/image/aux in the flat
+        ``in_avals``)."""
+        return self._exported.in_avals[-(len(self.aux_keys) + 6)].shape
+
     def _aux_shapes(self):
         """{aux key: exported shape} — the aux dict is the final argument,
         so its (sorted-key-ordered) leaves are the last ``in_avals``."""
@@ -300,3 +307,36 @@ class LoadedPipeline:
 
 def load_pipeline(blob: bytes) -> LoadedPipeline:
     return LoadedPipeline(blob)
+
+
+def prime_pipeline(blob: bytes, models) -> LoadedPipeline:
+    """Compile the deserialized artifact ONCE so the persistent
+    compilation cache gains the exact entry a serving restart will look
+    up, then return the ready pipeline.
+
+    Root cause this exists for (round 5): ``exported.call`` wraps the
+    StableHLO module in a ``call_exported`` computation whose cache
+    fingerprint DIFFERS from the live ``jit(run)``'s — a cache primed by
+    running the live pipeline produces a ``jit_run-<key>`` entry the
+    artifact path never hits (it looks up ``jit_call_exported-<key>``,
+    measured as the 41.3 s sd15 warm restart in RESULTS.md "AOT
+    serving").  The artifact's own entry IS stable across restarts, so
+    the fix is to prime through this call path at deployment-build time:
+    ship the artifact + the cache dir this populates, and a warm restart
+    pays only deserialize + cache load + run for EVERY family.
+
+    Enable the persistent cache (core/cache.py) before calling.  Required
+    runtime inputs (hints, ip image) are zero-filled — only the compiled
+    program, not its values, matters here.
+    """
+    loaded = load_pipeline(blob)
+    shapes = loaded._aux_shapes()
+    kw = {}
+    for name, arg in (("control_hint", "control_hint"),
+                      ("adapter_hint", "adapter_hint"),
+                      ("ip_image", "ip_image")):
+        if name in shapes:
+            kw[arg] = np.zeros(shapes[name], np.float32)
+    t = np.zeros(loaded.token_shape, np.int32)
+    loaded(models, t, t, jax.random.PRNGKey(0), 7.5, **kw)
+    return loaded

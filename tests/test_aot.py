@@ -589,3 +589,41 @@ def test_export_refiner_ensemble_handoff(tiny_tokenizer):
     with pytest.raises(ValueError, match="target_size"):
         aot.export_pipeline(cfg, models, n_steps=N_STEPS, height=H, width=W,
                             target_size=(64, 64))
+
+
+def test_prime_pipeline_writes_stable_cache_entry(tiny_cfg, tiny_models,
+                                                  tmp_path):
+    """Serving-deployment contract (round 5): prime_pipeline compiles the
+    artifact once and the persistent cache gains a ``call_exported``
+    entry; a SECOND prime of the same artifact adds no new entries (the
+    key is stable — this is what makes artifact+cache a single shipped
+    deployment).  The live jit's ``jit_run`` entries are keyed
+    differently, which is the round-4 divergence this closes."""
+    import os
+
+    from jax._src import compilation_cache as cc
+
+    blob = aot.export_pipeline(tiny_cfg, tiny_models, n_steps=N_STEPS,
+                               batch=1, height=H, width=W)
+    cache_dir = str(tmp_path / "xla_cache")
+    os.makedirs(cache_dir)
+    prev_dir = jax.config.jax_compilation_cache_dir
+    prev_secs = jax.config.jax_persistent_cache_min_compile_time_secs
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    cc.reset_cache()  # the cache object pins its dir at first use
+    try:
+        loaded = aot.prime_pipeline(blob, tiny_models)
+        entries = sorted(os.listdir(cache_dir))
+        assert any("call_exported" in e for e in entries), entries
+        aot.prime_pipeline(blob, tiny_models)
+        assert sorted(os.listdir(cache_dir)) == entries
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          prev_secs)
+        cc.reset_cache()
+    # the primed pipeline is ready to serve
+    toks = np.zeros(loaded.token_shape, np.int32)
+    images, _ = loaded(tiny_models, toks, toks, jax.random.PRNGKey(1), 7.5)
+    assert images.shape == (1, H, W, 3)

@@ -170,6 +170,22 @@ def test_pipeline_conv_backend_opt_in(tiny_models, tiny_tokenizer):
     assert np.abs(fused.astype(np.int16) - base.astype(np.int16)).max() <= 1
 
 
+def test_vmem_estimate_counts_fp32_temps():
+    """Round-5 queue-10 regression: the block chooser must account for the
+    kernel body's live fp32 activation temporaries.  At SDXL's
+    (2,32,32,640->1280) level the old estimate picked bh=32 (12.94 MiB
+    est) and Mosaic's stack allocation hit 16.17 MiB — over the 16 MiB
+    scoped-vmem limit on hardware.  With the temps term the chooser must
+    stay under budget at a smaller block."""
+    bg, bh, co = pconv._pick_blocks(2, 32, 32, 640, 1280, 2)
+    assert bh <= 16, (bg, bh, co)
+    est = pconv._estimate_vmem(bg, bh, 32, 640, co, 2)
+    assert est <= pconv._VMEM_BUDGET
+    # the estimate for the block the old chooser picked must now exceed
+    # the budget (that block measured 16.17M on hardware)
+    assert pconv._estimate_vmem(1, 32, 32, 640, 256, 2) > pconv._VMEM_BUDGET
+
+
 @pytest.mark.parametrize("with_temb", [False, True])
 def test_folded_gn_silu_matches_exact(with_temb):
     """conv_backend="fold"'s normalize: group_norm_silu_folded equals the
