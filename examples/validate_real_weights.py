@@ -203,12 +203,18 @@ def leg_sd15(args):
 
 
 # ------------------------------------------------------- structural legs
+#: dry-run shrinks every structural-leg generate (full-size weights on a
+#: 1-core CPU host): main() sets height/width/steps here.
+GEN_KW = {}
+
+
 def _gen(params, cfg, tok, **kw):
     from pytorch_stable_diffusion_tpu import pipeline
 
     base = dict(uncond_prompt="", do_cfg=True, cfg_scale=7.5,
                 sampler_name="euler", n_inference_steps=4, models=params,
                 seed=11, tokenizer=tok, config=cfg, height=256, width=256)
+    base.update(GEN_KW)
     base.update(kw)
     return pipeline.generate("a photograph of an astronaut riding a horse",
                              **base)
@@ -312,7 +318,9 @@ def leg_ip_adapter(args, base):
     from pytorch_stable_diffusion_tpu.weights.ip_adapter import (
         load_clip_vision, load_ip_adapter)
 
-    vcfg = cv.vit_h14()
+    # real h94 adapters pair with ViT-H/14; the dry run synthesizes a tiny
+    # tower (the conversion/pipeline plumbing is identical)
+    vcfg = getattr(args, "dry_vision_cfg", None) or cv.vit_h14()
     adapter = load_ip_adapter(args.ip_adapter, cfg.unet)
     vision = load_clip_vision(args.clip_vision, vcfg)
     models = dict(params, ip_adapter=adapter, clip_vision=vision)
@@ -338,12 +346,14 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--dry-run", action="store_true",
-                    help="synthesize the full-size SD-1.5 ckpt and run the "
-                         "sd15 leg at 128^2/3 steps (no downloads)")
+                    help="synthesize every leg's artifact (full-size SD-1.5 "
+                         "ckpt + esrgan/lora/controlnet/ip-adapter) and run "
+                         "the whole matrix at 128^2 (no downloads)")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
     if args.dry_run:
+        import jax
         import torch
 
         import fullsize_utils
@@ -351,6 +361,7 @@ def main():
         from pytorch_stable_diffusion_tpu.weights import convert
 
         args.steps, args.size = 3, 128
+        GEN_KW.update(height=128, width=128, n_inference_steps=2)
         ckpt = os.path.join(args.out, "synthetic_sd15.ckpt")
         if not os.path.exists(ckpt):
             print("[dry-run] synthesizing full-size SD-1.5 ckpt ...",
@@ -362,6 +373,100 @@ def main():
                                        for k, v in sd.items()}}, ckpt)
             del params, sd
         args.sd15 = ckpt
+
+        # --- the remaining legs' artifacts (VERDICT r4 next #7): every
+        # loader/converter/pipeline path the real files will flow through
+        if not args.esrgan:
+            from test_esrgan import _torch_rrdbnet
+
+            ep = os.path.join(args.out, "synthetic_esrgan.pth")
+            if not os.path.exists(ep):
+                torch.manual_seed(0)
+                torch.save(_torch_rrdbnet(torch, nf=8, nb=2,
+                                          gc=4).state_dict(), ep)
+            args.esrgan = ep
+        if not args.lora:
+            # rank-4 kohya factors at the FULL SD-1.5 target shapes
+            # (shapes via eval_shape — no need to load the 4.3 GB ckpt)
+            from pytorch_stable_diffusion_tpu.core.pytree import flatten
+            from pytorch_stable_diffusion_tpu.models import clip, unet
+            from pytorch_stable_diffusion_tpu.weights import lora as lora_mod
+
+            lp = os.path.join(args.out, "synthetic_lora.pt")
+            if not os.path.exists(lp):
+                cfg15 = sd15_config()
+                shapes = {
+                    "diffusion": jax.eval_shape(
+                        lambda: unet.init(jax.random.PRNGKey(0), cfg15.unet)),
+                    "clip": jax.eval_shape(
+                        lambda: clip.init(jax.random.PRNGKey(0), cfg15.clip)),
+                }
+                targets = lora_mod._weight_targets(cfg15)
+                rng = np.random.RandomState(3)
+                sd = {}
+                for substr in ("attn1.to_q", "attn2.to_out.0",
+                               "self_attn.q_proj"):
+                    dotted = next(k for k in targets if substr in k)
+                    model, dst, kind = targets[dotted][0]
+                    leaf = flatten(shapes[model])[dst]
+                    out_d, in_d = leaf.shape[1], leaf.shape[0]
+                    root = dotted.split(".", 1)[0]
+                    name = {"unet": "lora_unet_", "text_encoder": "lora_te_"}[
+                        root] + dotted.split(".", 1)[1].replace(".", "_")
+                    sd[f"{name}.lora_down.weight"] = torch.as_tensor(
+                        rng.randn(4, in_d).astype(np.float32) * 0.05)
+                    sd[f"{name}.lora_up.weight"] = torch.as_tensor(
+                        rng.randn(out_d, 4).astype(np.float32) * 0.05)
+                    sd[f"{name}.alpha"] = torch.tensor(4.0)
+                torch.save(sd, lp)
+            args.lora = lp
+        if not args.controlnet:
+            from pytorch_stable_diffusion_tpu.models import controlnet as cn
+            from pytorch_stable_diffusion_tpu.weights.convert import (
+                deconvert_controlnet)
+
+            cp = os.path.join(args.out, "synthetic_controlnet.pth")
+            if not os.path.exists(cp):
+                print("[dry-run] synthesizing full-size ControlNet ...",
+                      flush=True)
+                cfg15 = sd15_config()
+                ctrl = cn.init(jax.random.PRNGKey(5), cfg15.unet,
+                               downsample_factor=cfg15.vae.downsample_factor)
+                sd = deconvert_controlnet(ctrl, cfg15)
+                torch.save({k: torch.as_tensor(np.asarray(v))
+                            for k, v in sd.items()}, cp)
+                del ctrl, sd
+            args.controlnet = cp
+        if not getattr(args, "ip_adapter", None):
+            from pytorch_stable_diffusion_tpu.models import clip_vision as cv
+            from pytorch_stable_diffusion_tpu.weights import ip_adapter as ipw
+
+            vcfg = cv.tiny_vision_config()
+            args.dry_vision_cfg = vcfg
+            ip_p = os.path.join(args.out, "synthetic_ip_adapter.bin")
+            vis_p = os.path.join(args.out, "synthetic_clip_vision.bin")
+            if not os.path.exists(ip_p):
+                state = ipw.synthetic_ip_state(
+                    sd15_config().unet, embed_dim=vcfg.proj_dim, seed=5)
+                torch.save({g: {k: torch.as_tensor(v)
+                                for k, v in d.items()}
+                            for g, d in state.items()}, ip_p)
+            if not os.path.exists(vis_p):
+                from transformers import CLIPVisionConfig as HFCfg
+                from transformers import CLIPVisionModelWithProjection
+
+                hf_cfg = HFCfg(hidden_size=vcfg.width,
+                               intermediate_size=vcfg.d_ff,
+                               num_hidden_layers=vcfg.n_layers,
+                               num_attention_heads=vcfg.n_heads,
+                               image_size=vcfg.image_size,
+                               patch_size=vcfg.patch_size,
+                               projection_dim=vcfg.proj_dim,
+                               hidden_act="gelu")
+                torch.manual_seed(7)
+                torch.save(CLIPVisionModelWithProjection(hf_cfg).eval()
+                           .state_dict(), vis_p)
+            args.ip_adapter, args.clip_vision = ip_p, vis_p
 
     base = None
     if args.sd15:

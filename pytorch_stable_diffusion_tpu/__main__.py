@@ -175,6 +175,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="DeepCache interval: full UNet every N-th step, "
                         "shallow cached steps between (opt-in speed/quality "
                         "trade; 1 = exact)")
+    p.add_argument("--fast", action="store_true",
+                   help="apply the measured fast preset (models/config."
+                        "fast_preset): hypertile 32 + DeepCache 3 — the "
+                        "hardware-measured win combination (+18.6%%/+36%% "
+                        "individually at 512^2, +129.9%% stacked at 768^2; "
+                        "RESULTS.md).  Explicit --deepcache wins")
     p.add_argument("--freeu", nargs="*", type=float, default=None,
                    metavar="B1 B2 S1 S2",
                    help="FreeU decoder re-weighting: bare --freeu uses the "
@@ -263,6 +269,14 @@ def main(argv=None) -> int:
         import dataclasses
 
         cfg = dataclasses.replace(cfg, zero_terminal_snr=True)
+    if args.fast:
+        from .models.config import fast_preset
+
+        cfg, fast_kw = fast_preset(cfg)
+        if args.deepcache is None:
+            args.deepcache = fast_kw["deepcache"]
+        print(f"[cli] fast preset: hypertile {cfg.unet.hypertile[0]} + "
+              f"deepcache {args.deepcache}", flush=True)
 
     print(f"[cli] backend={jax.default_backend()} attention={backend} "
           f"policy={'bf16' if args.bf16 else 'fp32'}", flush=True)

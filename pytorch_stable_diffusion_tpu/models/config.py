@@ -494,3 +494,21 @@ def with_freeu(cfg: SDConfig, freeu=True) -> SDConfig:
         raise ValueError(f"freeu wants (b1, b2, s1, s2), got {freeu!r}")
     return dataclasses.replace(
         cfg, unet=dataclasses.replace(cfg.unet, freeu=vals))
+
+
+def fast_preset(cfg: SDConfig):
+    """The measured-win approximate-mode bundle ("fast preset"): returns
+    ``(config, generate_kwargs)`` — use the config and merge the kwargs
+    into ``generate()``/``txt2img()`` calls (CLI: ``--fast``).
+
+    Composition = Hypertile tile 32 (tile-local self-attention) +
+    DeepCache interval 3 (cached deep features, full UNet every 3rd
+    step), the two knobs whose hardware A/Bs won at every config
+    (benchmarks/RESULTS.md): 512^2 +18.6% / +36% individually, 768^2
+    stacked +129.9% (0.365 -> 0.84 img/s), SDXL 1024^2 DeepCache -53%
+    time; the round-5 queue measured the remaining 1024^2/2048^2 and
+    SDXL stacked cells.  Both knobs trade exactness for speed
+    (quality-neutral at these settings in the published papers' metrics);
+    drop whichever you need exact.
+    """
+    return with_hypertile(cfg, 32), {"deepcache": 3}

@@ -311,7 +311,8 @@ def apply_attn_block(p, x, context, n_heads: int, groups: int, policy: Policy,
                      fuse_qkv: bool = True, quant: str = "none",
                      sp_mesh=None, pag_self_attn: bool = False,
                      return_self_probs: bool = False, ip=None, tome=None,
-                     hypertile=None, ref=None, ref_key: str = None):
+                     hypertile=None, ref=None, ref_key: str = None,
+                     fold_norms: bool = False):
     """diffusion.py:212-381.
 
     The whole block runs in flattened (B, HW, C) form — one reshape at each
@@ -322,8 +323,16 @@ def apply_attn_block(p, x, context, n_heads: int, groups: int, policy: Policy,
     (benchmarks/exp_attn_variants2.py)."""
     n, h, w, c = x.shape
     y0 = x.reshape(n, h * w, c)
-    y = norm.group_norm_silu(p["norm"], y0, groups, policy=policy,
-                             backend=backend, apply_silu=False)
+    # conv_backend="fold": every norm in the block applies its normalize
+    # as a compute-dtype affine (fp32 stats unchanged) — ops/norm.py
+    if fold_norms:
+        ln = lambda pp, t: norm.layer_norm_folded(pp, t, policy=policy)  # noqa: E731
+        y = norm.group_norm_silu_folded(p["norm"], y0, groups,
+                                        policy=policy, apply_silu=False)
+    else:
+        ln = lambda pp, t: norm.layer_norm(pp, t, policy=policy)  # noqa: E731
+        y = norm.group_norm_silu(p["norm"], y0, groups, policy=policy,
+                                 backend=backend, apply_silu=False)
     y = _proj1x1(p["conv_in"], y, policy, quant)
 
     # ToMe (ops/tome.py): static merge plan for this block's grid; only
@@ -352,7 +361,7 @@ def apply_attn_block(p, x, context, n_heads: int, groups: int, policy: Policy,
     # a "blocks" list of stacked transformer layers
     self_probs = None
     for li, lp in enumerate(p.get("blocks", [p])):
-        t = norm.layer_norm(lp["ln1"], y, policy=policy)
+        t = ln(lp["ln1"], y)
         if pag_self_attn:
             # PAG perturbed branch: identity attention map (every token
             # attends to itself) in this block's self-attention layers
@@ -421,7 +430,7 @@ def apply_attn_block(p, x, context, n_heads: int, groups: int, policy: Policy,
                                     backend=backend, policy=policy,
                                     fuse=fuse_qkv, quant=quant,
                                     sp_mesh=sp_mesh)
-        t = norm.layer_norm(lp["ln2"], y, policy=policy)
+        t = ln(lp["ln2"], y)
         # IP-Adapter decoupled attention: ip = (per-layer param list,
         # image tokens, traced scale); each stacked transformer layer has
         # its own to_k_ip/to_v_ip (ops/attention.apply)
@@ -430,7 +439,7 @@ def apply_attn_block(p, x, context, n_heads: int, groups: int, policy: Policy,
                                 n_heads=n_heads, backend=backend,
                                 policy=policy, fuse=fuse_qkv, quant=quant,
                                 ip=ip_li)
-        t = norm.layer_norm(lp["ln3"], y, policy=policy)
+        t = ln(lp["ln3"], y)
         t = geglu(linear.apply(lp["geglu_proj"], t, policy, quant),
                   reference_quirks)
         y = y + linear.apply(lp["geglu_out"], t, policy, quant)
@@ -615,6 +624,10 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
     # cannot spatially partition the opaque pallas_call (parallel/sp.py
     # relies on conv halo propagation)
     rb_conv_backend = "xla" if sp_mesh is not None else conv_backend
+    # "fold" also switches the transformer blocks' GN/LN normalize applies
+    # to compute-dtype affines (210 of SDXL's 233 norm-stat convert_reduce
+    # instances are these LNs — RESULTS.md "SDXL trace")
+    fold_norms = rb_conv_backend == "fold"
     if add_cond is not None:
         # SDXL: emb = time_emb + add_embedding(concat(pooled, size_embs))
         a = linear.apply(params["add_embed"]["fc1"],
@@ -667,7 +680,8 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
                                  sp_mesh=sp_mesh, tome=cfg.tome,
                                  hypertile=cfg.hypertile,
                                  ip=ip_for(ip_key, stage["attn"]),
-                                 ref=ref, ref_key=ip_key)
+                                 ref=ref, ref_key=ip_key,
+                                 fold_norms=fold_norms)
         if motion is not None and ip_key in motion:
             # AnimateDiff temporal module after the stage's (res+attn)
             # pair, BEFORE the skip is recorded (the UNet3D block order)
@@ -716,7 +730,7 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
                 quant=quant, pag_self_attn=pag, return_self_probs=True,
                 tome=cfg.tome, hypertile=cfg.hypertile,
                 ip=ip_for("mid", mid["attn"]),
-                ref=ref, ref_key="mid")
+                ref=ref, ref_key="mid", fold_norms=fold_norms)
         else:
             x = apply_attn_block(mid["attn"], x, context,
                                  cfg.heads_for(x.shape[-1]), cfg.groups,
@@ -727,7 +741,8 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
                                  tome=cfg.tome,
                                  hypertile=cfg.hypertile,
                                  ip=ip_for("mid", mid["attn"]),
-                                 ref=ref, ref_key="mid")
+                                 ref=ref, ref_key="mid",
+                                 fold_norms=fold_norms)
         if motion is not None and "mid" in motion:
             # v2 checkpoints carry a bottleneck module (attn -> motion ->
             # res2, the UNetMidBlock3D order)

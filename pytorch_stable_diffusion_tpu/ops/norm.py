@@ -63,7 +63,8 @@ def group_norm_silu(params, x, num_groups: int = 32, eps: float = EPS,
 
 
 def group_norm_silu_folded(params, x, num_groups: int = 32, eps: float = EPS,
-                           policy: Policy = FP32, temb=None):
+                           policy: Policy = FP32, temb=None,
+                           apply_silu: bool = True):
     """GN (+ optional per-(B,C) ``temb`` add) -> SiLU with the normalize
     APPLIED in compute dtype as a folded per-(batch, channel) affine.
 
@@ -83,9 +84,27 @@ def group_norm_silu_folded(params, x, num_groups: int = 32, eps: float = EPS,
 
     scale, shift = fold_gn_affine(params, x, num_groups, eps=eps, temb=temb,
                                   norm_dtype=policy.norm_dtype)
-    y = x * scale[:, None, None, :].astype(x.dtype) \
-        + shift[:, None, None, :].astype(x.dtype)
-    return silu(y)
+    bshape = (x.shape[0],) + (1,) * (x.ndim - 2) + (x.shape[-1],)
+    y = x * scale.reshape(bshape).astype(x.dtype) \
+        + shift.reshape(bshape).astype(x.dtype)
+    return silu(y) if apply_silu else y
+
+
+def layer_norm_folded(params, x, eps: float = EPS, policy: Policy = FP32):
+    """LayerNorm with fp32 per-token statistics but the normalize applied
+    in compute dtype (the :func:`group_norm_silu_folded` trick for the
+    transformer-block LNs — 210 of SDXL's 233 norm-stat convert_reduce
+    instances; opt-in via ``conv_backend="fold"``).  Differs from
+    :func:`layer_norm` only by bf16 rounding of the affine apply."""
+    nd = policy.norm_dtype
+    xf = x.astype(nd)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = ((xf - mean) ** 2).mean(axis=-1, keepdims=True)
+    rstd = jnp.reciprocal(jnp.sqrt(var + eps))
+    gamma = params["scale"].astype(nd)
+    scale = (rstd * gamma).astype(x.dtype)
+    shift = (params["bias"].astype(nd) - mean * rstd * gamma).astype(x.dtype)
+    return x * scale + shift
 
 
 def layer_norm(params, x, eps: float = EPS, policy: Policy = FP32):

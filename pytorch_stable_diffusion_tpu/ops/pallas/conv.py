@@ -289,9 +289,13 @@ def fold_gn_affine(norm_params, x, num_groups: int, *, eps: float = 1e-5,
     res-block second half).  Returns fp32 (B, C) arrays for
     ``scaled_silu_conv3x3``.
     """
-    b_n, _, _, c = x.shape
-    v = x if temb is None else \
-        x + temb[:, None, None, :].astype(x.dtype)
+    b_n, c = x.shape[0], x.shape[-1]
+    if temb is None:
+        v = x
+    else:
+        tb = temb.reshape((temb.shape[0],) + (1,) * (x.ndim - 2)
+                          + (temb.shape[-1],))
+        v = x + tb.astype(x.dtype)
     vf = v.astype(norm_dtype).reshape(b_n, -1, num_groups, c // num_groups)
     mean = vf.mean(axis=(1, 3))                       # (B, G)
     var = ((vf - mean[:, None, :, None]) ** 2).mean(axis=(1, 3))

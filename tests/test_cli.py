@@ -256,3 +256,27 @@ def test_cli_color_correction(assets):
     ref = np.asarray(Image.open(init)).astype(np.float64)
     # histogram-matched output: per-channel means track the init image
     assert np.abs(got.mean(axis=(0, 1)) - ref.mean(axis=(0, 1))).max() < 12
+
+
+def test_cli_fast_preset(assets):
+    """--fast applies the measured hypertile+deepcache bundle: image
+    produced; hypertile engages at the config level (min-token threshold
+    keeps tiny 16px latents un-tiled, so check the config wiring) and
+    deepcache defaults to 3 unless --deepcache is explicit."""
+    d, ckpt, vocab, merges = assets
+    out = os.path.join(d, "fast.png")
+    rc = main(["--ckpt", ckpt, "--vocab", vocab, "--merges", merges,
+               "--prompt", "a cat", "--steps", "3", "--seed", "3",
+               "--width", "16", "--height", "16", "--config-preset", "tiny",
+               "--fast", "--out", out])
+    assert rc == 0 and os.path.exists(out)
+    assert np.asarray(Image.open(out)).shape == (16, 16, 3)
+
+
+def test_fast_preset_helper():
+    from pytorch_stable_diffusion_tpu.models.config import (fast_preset,
+                                                            sd15_config)
+
+    cfg, kw = fast_preset(sd15_config())
+    assert cfg.unet.hypertile[0] == 32
+    assert kw == {"deepcache": 3}

@@ -1,6 +1,7 @@
 """Driver entry points: entry() traces; dryrun_multichip executes on the
 8-virtual-device mesh."""
 
+import os
 import pytest
 import sys
 
@@ -63,3 +64,22 @@ def test_scrubbed_cpu_env_drops_every_relay_hook(monkeypatch):
     assert "--xla_force_host_platform_device_count=8" in env["XLA_FLAGS"]
     assert env["XLA_FLAGS"].count("host_platform_device_count") == 1
     assert "axon_site" not in env["PYTHONPATH"]
+
+
+def test_bench_multichip_dry_run():
+    """benchmarks/bench_multichip.py --dry-run must rehearse the DP
+    throughput + SP latency flow green on the virtual CPU mesh (the
+    day->1-chip command for BASELINE config 5; VERDICT r4 next #6)."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "benchmarks",
+                                      "bench_multichip.py"),
+         "--devices", "4", "--dry-run"],
+        capture_output=True, text=True, cwd=repo,
+        env={**os.environ, "PYTHONPATH": repo})
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "PASS" in proc.stdout
+    assert '"rehearsal": true' in proc.stdout

@@ -206,6 +206,26 @@ def test_folded_gn_silu_matches_exact(with_temb):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_folded_layer_norm_matches_exact():
+    """conv_backend="fold" also folds the transformer-block LayerNorms:
+    fp32 stats, compute-dtype affine apply — equal to ops/norm.layer_norm
+    up to fp ordering in fp32, loose tolerance in bf16."""
+    key = jax.random.PRNGKey(17)
+    p = {"scale": jax.random.normal(key, (32,)) * 0.2 + 1.0,
+         "bias": jax.random.normal(jax.random.fold_in(key, 1), (32,)) * 0.1}
+    x = jax.random.normal(jax.random.fold_in(key, 2), (2, 64, 32))
+    want = norm.layer_norm(p, x, policy=FP32)
+    got = norm.layer_norm_folded(p, x, policy=FP32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+    xb = x.astype(jnp.bfloat16)
+    got_b = norm.layer_norm_folded(p, xb, policy=FP32)
+    assert got_b.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got_b, np.float32),
+                               np.asarray(norm.layer_norm(p, xb, policy=FP32),
+                                          np.float32), rtol=0.05, atol=0.05)
+
+
 def test_folded_gn_silu_bf16_tolerance():
     key = jax.random.PRNGKey(13)
     b, h, w, c = 2, 8, 8, 32
