@@ -48,7 +48,7 @@ def main():
     ap.add_argument("--backend", default="pallas",
                     choices=["pallas", "xla"])
     ap.add_argument("--conv-backend", default="xla",
-                    choices=["xla", "pallas", "fold"],
+                    choices=["xla", "pallas", "fold", "pallas_fold"],
                     help="res-block GN->SiLU->conv3x3 path; pallas = the "
                          "fused halo-DMA kernel at 128-lane-aligned "
                          "channel levels (ops/pallas/conv.py); fold = XLA "

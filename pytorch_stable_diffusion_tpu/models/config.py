@@ -163,14 +163,17 @@ class SDConfig:
     #: flash grid has too little parallelism there.  Overridable.
     vae_attention_backend: str = "xla"
     #: "xla" (lax.conv + separate GN/SiLU — parity path), "pallas" (the
-    #: fused GN->SiLU->conv3x3 res-block kernel, ops/pallas/conv.py), or
-    #: "fold" (XLA convs with the GN normalize folded to a compute-dtype
-    #: per-(B,C) affine — ops/norm.group_norm_silu_folded).  pallas/fold
-    #: are opt-in perf tiers, equivalent up to bf16 rounding of the
-    #: normalize / (h + t_emb) apply; pallas auto-falls back per block for
-    #: ineligible shapes / int8 / seamless tiling, and both fall back
-    #: globally under sequence parallelism (per-shard GN stats would be
-    #: wrong / GSPMD cannot spatially partition the opaque kernel).
+    #: fused GN->SiLU->conv3x3 res-block kernel, ops/pallas/conv.py),
+    #: "fold" (XLA convs with every UNet norm's normalize folded to a
+    #: compute-dtype affine — ops/norm.group_norm_silu_folded /
+    #: layer_norm_folded; measured −1.3% SDXL 1024², ±0 at 512²), or
+    #: "pallas_fold" (both: pallas res blocks where eligible, folded
+    #: norms everywhere else).  All opt-in perf tiers, equivalent up to
+    #: bf16 rounding of the normalize / (h + t_emb) apply; pallas
+    #: auto-falls back per block for ineligible shapes / int8 / seamless
+    #: tiling, and every non-xla tier falls back globally under sequence
+    #: parallelism (per-shard GN stats would be wrong / GSPMD cannot
+    #: spatially partition the opaque kernel).
     conv_backend: str = "xla"
     #: Reproduce the reference's three genuine bugs for golden parity:
     #: dropped GeGLU gate (diffusion.py:359-363), the VAE attention

@@ -170,7 +170,8 @@ def apply_res_block(p, x, t_emb, groups: int, policy: Policy,
     (ops/norm.group_norm_silu_folded) — no fp32 full-tensor normalize
     intermediate; the temb add rides the second half's shift.
     """
-    use_pallas = (conv_backend == "pallas" and quant == "none"
+    use_pallas = (conv_backend in ("pallas", "pallas_fold")
+                  and quant == "none"
                   and not conv.circular_padding_active())
     if use_pallas:
         from ..ops.pallas import conv as pconv
@@ -185,7 +186,9 @@ def apply_res_block(p, x, t_emb, groups: int, policy: Policy,
         t = linear.apply(p["time_proj"], silu(t_emb), policy)
         t = jnp.broadcast_to(t, (x.shape[0], t.shape[-1]))
         h = pconv.gn_silu_conv3x3(p["norm2"], p["conv2"], h, groups, temb=t)
-    elif conv_backend == "fold":
+    elif conv_backend in ("fold", "pallas_fold"):
+        # pallas_fold reaches here only when the kernel was ineligible for
+        # this block's shapes — fall back to the folded-XLA half
         h = norm.group_norm_silu_folded(p["norm1"], x, groups, policy=policy)
         h = conv.apply(p["conv1"], h, padding=1, policy=policy, quant=quant)
         t = linear.apply(p["time_proj"], silu(t_emb), policy)
@@ -627,7 +630,7 @@ def apply(params, latents, context, t, cfg: UNetConfig, policy: Policy = FP32,
     # "fold" also switches the transformer blocks' GN/LN normalize applies
     # to compute-dtype affines (210 of SDXL's 233 norm-stat convert_reduce
     # instances are these LNs — RESULTS.md "SDXL trace")
-    fold_norms = rb_conv_backend == "fold"
+    fold_norms = rb_conv_backend in ("fold", "pallas_fold")
     if add_cond is not None:
         # SDXL: emb = time_emb + add_embedding(concat(pooled, size_embs))
         a = linear.apply(params["add_embed"]["fc1"],

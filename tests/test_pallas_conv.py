@@ -269,6 +269,38 @@ def test_pipeline_conv_backend_fold(tiny_models, tiny_tokenizer):
     assert np.abs(folded.astype(np.int16) - base.astype(np.int16)).max() <= 1
 
 
+def test_pipeline_conv_backend_pallas_fold(tiny_models, tiny_tokenizer):
+    """conv_backend="pallas_fold" engages BOTH tiers: the fused res-block
+    kernel where eligible AND the folded norms in the attn blocks."""
+    import pytorch_stable_diffusion_tpu as sdt
+    from pytorch_stable_diffusion_tpu.models.config import tiny_sd_config
+
+    kw = dict(models=tiny_models, tokenizer=tiny_tokenizer, seed=5,
+              n_inference_steps=2, height=32, width=32)
+    base = sdt.generate("a cat", "", config=tiny_sd_config(), **kw)
+
+    calls = {"kernel": 0, "ln": 0}
+    orig_k, orig_ln = pconv.gn_silu_conv3x3, norm.layer_norm_folded
+
+    def ck(*a, **k):
+        calls["kernel"] += 1
+        return orig_k(*a, **k)
+
+    def cl(*a, **k):
+        calls["ln"] += 1
+        return orig_ln(*a, **k)
+
+    pconv.gn_silu_conv3x3, norm.layer_norm_folded = ck, cl
+    try:
+        both = sdt.generate(
+            "a cat", "", config=tiny_sd_config(conv_backend="pallas_fold"),
+            **kw)
+    finally:
+        pconv.gn_silu_conv3x3, norm.layer_norm_folded = orig_k, orig_ln
+    assert calls["kernel"] > 0 and calls["ln"] > 0, calls
+    assert np.abs(both.astype(np.int16) - base.astype(np.int16)).max() <= 1
+
+
 def test_pipeline_conv_backend_falls_back_on_tiling(tiny_models,
                                                     tiny_tokenizer):
     """Seamless-tiling mode pads circularly; the kernel must NOT engage
