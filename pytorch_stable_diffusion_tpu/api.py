@@ -17,6 +17,13 @@ from .weights.convert import load_sd_checkpoint
 from .weights.tokenizer import CLIPTokenizer
 
 
+# The standard (non-adapter) model entries that carry Megatron shardings
+# on a tensor-parallel mesh.  One constant shared by _place_host_arrays's
+# TP guard and _clone(reshard=True) — keeping two copies risked the guard
+# going blind to a key only one site learned about (round-5 review).
+_STD_MODEL_KEYS = ("clip", "clip2", "encoder", "decoder", "diffusion")
+
+
 def _place_host_arrays(tree, mesh):
     """Device-put numpy leaves in a models pytree ONCE, at attach time.
 
@@ -40,8 +47,7 @@ def _place_host_arrays(tree, mesh):
 
     if mesh is not None and mesh.shape.get("model", 1) > 1 \
             and isinstance(tree, dict):
-        std_keys = ("clip", "clip2", "encoder", "decoder", "diffusion")
-        for k in std_keys:
+        for k in _STD_MODEL_KEYS:
             if k in tree and any(isinstance(l, np.ndarray)
                                  for l in jax.tree_util.tree_leaves(tree[k])):
                 raise RuntimeError(
@@ -173,8 +179,8 @@ class StableDiffusion:
         if reshard and self.mesh is not None:
             # re-place only the standard model entries; extras (controlnet
             # list, hypernetwork tree) keep their existing placement
-            std_keys = ("clip", "clip2", "encoder", "decoder", "diffusion")
-            std = {k: v for k, v in out.models.items() if k in std_keys}
+            std = {k: v for k, v in out.models.items()
+                   if k in _STD_MODEL_KEYS}
             if self.mesh.shape.get("model", 1) > 1:
                 from .parallel.tp import shard_models
 
@@ -423,6 +429,8 @@ class StableDiffusion:
             from .weights.esrgan import load_esrgan
 
             upscaler = load_esrgan(upscaler)
+        from .models.esrgan import ESRGANConfig
+
         try:
             params, ecfg = upscaler
         except (TypeError, ValueError) as e:
@@ -430,6 +438,13 @@ class StableDiffusion:
                 "with_upscaler expects a weight file path or a "
                 "(params, ESRGANConfig) pair, got "
                 f"{type(upscaler).__name__}") from e
+        # a 2-unpackable wrong value (e.g. a (path, strength) guess)
+        # must also fail HERE, not as an AttributeError deep in upscale()
+        if not isinstance(ecfg, ESRGANConfig) or not isinstance(params,
+                                                                dict):
+            raise ValueError(
+                "with_upscaler pair must be (params dict, ESRGANConfig); "
+                f"got ({type(params).__name__}, {type(ecfg).__name__})")
         out = self._clone()
         out._upscaler = (_place_host_arrays(params, self.mesh), ecfg)
         return out

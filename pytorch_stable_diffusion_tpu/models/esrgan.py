@@ -19,6 +19,7 @@ and the new ``conv_first.weight`` naming): weights/esrgan.py.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -136,6 +137,18 @@ def apply(params, x, cfg: ESRGANConfig, policy: Policy = FP32):
     return conv.apply(params["conv_last"], feat, padding=1, policy=policy)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "policy"))
+def _run_uint8(params, v, cfg: ESRGANConfig, policy: Policy):
+    """apply + uint8 conversion ON DEVICE: the fetch back through the
+    relay tunnel is 4x smaller than fp32 and the 1-core host skips the
+    clip/round pass (identical math — fp32 round-half-even).  Module
+    level so the jit cache is shared across upscale_image calls: a
+    per-call closure would retrace/relower every tile-shape class on
+    every call (round-5 review finding)."""
+    out = apply(params, v, cfg, policy).astype(jnp.float32)
+    return jnp.clip(jnp.round(out * 255.0), 0, 255).astype(jnp.uint8)
+
+
 def _tile_metas(h: int, w: int, tile: int, tile_pad: int):
     """RealESRGAN tiling grid: output tile [y0:y1, x0:x1], padded input
     patch [py0:py1, px0:px1] clamped at the image bounds."""
@@ -175,13 +188,8 @@ def upscale_image(params, image, cfg: ESRGANConfig,
         arr = arr / 255.0
     s = cfg.scale
 
-    @jax.jit
     def run(v):
-        # uint8 conversion ON DEVICE: the fetch back through the relay
-        # tunnel is 4x smaller than fp32 and the 1-core host skips the
-        # clip/round pass (identical math — fp32 round-half-even)
-        out = apply(params, v, cfg, policy).astype(jnp.float32)
-        return jnp.clip(jnp.round(out * 255.0), 0, 255).astype(jnp.uint8)
+        return _run_uint8(params, v, cfg, policy)
 
     if tile is None:
         out = np.asarray(run(jnp.asarray(arr)))

@@ -154,8 +154,11 @@ def _estimate_vmem(bg, bh, w_px, c_in, co_blk, itemsize):
     # full (bh+2, w, c_in) fp32 values before the bf16 store): omitting
     # them rode the 16 MB cliff at SDXL's (2,32,32,640->1280) level —
     # Mosaic allocated 16.17M against a 12.94M estimate (round-5 queue-10
-    # failure; the round-2 "don't ride the cliff" lesson again).
-    temps = 2 * (bh + 2) * w_px * c_in * 4
+    # failure; the round-2 "don't ride the cliff" lesson again).  The
+    # activation loop is UNROLLED over bg, and Mosaic's stack assignment
+    # is not guaranteed to reuse a dead iteration's slots, so the term
+    # scales with bg (conservative beats the cliff).
+    temps = 2 * bg * (bh + 2) * w_px * c_in * 4
     return scratch + weights + outblk + acc + affine + temps
 
 
