@@ -507,10 +507,12 @@ def fast_preset(cfg: SDConfig):
     Composition = Hypertile tile 32 (tile-local self-attention) +
     DeepCache interval 3 (cached deep features, full UNet every 3rd
     step), the two knobs whose hardware A/Bs won at every config
-    (benchmarks/RESULTS.md): 512^2 +18.6% / +36% individually, 768^2
-    stacked +129.9% (0.365 -> 0.84 img/s), SDXL 1024^2 DeepCache -53%
-    time; the round-5 queue measured the remaining 1024^2/2048^2 and
-    SDXL stacked cells.  Both knobs trade exactness for speed
+    (benchmarks/RESULTS.md "Hi-res approximate-mode matrix"): 512^2
+    +18.6% / +36% individually, 768^2 stacked +129.9% (0.365 -> 0.84
+    img/s), 1024^2 stacked 2.671 -> 0.944 s (+183%), 2048^2 stacked
+    15.34 -> 2.60 s (5.9x — hypertile carries that one: tile-local
+    attention at 65536 tokens), SDXL 1024^2 stacked 2.462 -> 1.087 s
+    (+126%).  Both knobs trade exactness for speed
     (quality-neutral at these settings in the published papers' metrics);
     drop whichever you need exact.
     """
