@@ -302,8 +302,11 @@ def leg_controlnet(args, base):
     from pytorch_stable_diffusion_tpu.weights.convert import load_controlnet
 
     net = load_controlnet(args.controlnet, cfg)
-    hint = np.zeros((256, 256, 3), np.float32)
-    hint[64:192, 64:192] = 1.0
+    # hint must match the generate geometry, which the dry run shrinks
+    h = GEN_KW.get("height", 256)
+    w = GEN_KW.get("width", 256)
+    hint = np.zeros((h, w, 3), np.float32)
+    hint[h // 4:3 * h // 4, w // 4:3 * w // 4] = 1.0
     models = dict(params, controlnet=net)
     out = _gen(models, cfg, tok, control_image=hint)
     plain = _gen(params, cfg, tok)
@@ -325,7 +328,10 @@ def leg_ip_adapter(args, base):
     vision = load_clip_vision(args.clip_vision, vcfg)
     models = dict(params, ip_adapter=adapter, clip_vision=vision)
     rng = np.random.RandomState(2)
-    ipp = (rng.rand(224, 224, 3) * 255).astype(np.uint8)
+    # raw arrays must already be at the vision tower's input size (the
+    # dry run's synthetic tower is 16x16; real ViT-H/14 is 224)
+    s = vcfg.image_size
+    ipp = (rng.rand(s, s, 3) * 255).astype(np.uint8)
     out = _gen(models, cfg, tok, ip_adapter_image=ipp,
                clip_vision_config=vcfg)
     off = _gen(models, cfg, tok, ip_adapter_image=ipp, ip_adapter_scale=0.0,
@@ -432,6 +438,18 @@ def main():
                 cfg15 = sd15_config()
                 ctrl = cn.init(jax.random.PRNGKey(5), cfg15.unet,
                                downsample_factor=cfg15.vae.downsample_factor)
+                # a fresh ControlNet is a mathematical no-op (the zero
+                # convs ARE zeros, faithful to the published init), so
+                # the "conditions the output" check needs them perturbed
+                # the way training would
+                import jax.numpy as jnp_
+
+                rngz = np.random.RandomState(7)
+                for z in (list(ctrl["zero_convs"]) + [ctrl["mid_out"]]
+                          + [ctrl["hint_block"][-1]]):
+                    z["kernel"] = jnp_.asarray(
+                        rngz.randn(*np.shape(z["kernel"])) * 0.05,
+                        jnp_.float32)
                 sd = deconvert_controlnet(ctrl, cfg15)
                 torch.save({k: torch.as_tensor(np.asarray(v))
                             for k, v in sd.items()}, cp)

@@ -509,10 +509,12 @@ def fast_preset(cfg: SDConfig):
     step), the two knobs whose hardware A/Bs won at every config
     (benchmarks/RESULTS.md "Hi-res approximate-mode matrix"): 512^2
     +18.6% / +36% individually, 768^2 stacked +129.9% (0.365 -> 0.84
-    img/s), 1024^2 stacked 2.671 -> 0.944 s (+183%), 2048^2 stacked
-    15.34 -> 2.60 s (5.9x — hypertile carries that one: tile-local
-    attention at 65536 tokens), SDXL 1024^2 stacked 2.462 -> 1.087 s
-    (+126%).  Both knobs trade exactness for speed
+    img/s), 512^2 batch-4 stacked 1.26 -> 2.217 img/s (+76%), 1024^2
+    stacked 2.671 -> 0.944 s (+183%), 2048^2 stacked 15.34 -> 2.60 s
+    (5.9x — hypertile carries that one: tile-local attention at 65536
+    tokens), SDXL 1024^2 stacked 2.462 -> 1.087 s (+126%; add
+    conv_backend="fold" for 1.064 s).  Both knobs trade exactness for
+    speed
     (quality-neutral at these settings in the published papers' metrics);
     drop whichever you need exact.
     """
