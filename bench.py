@@ -80,6 +80,10 @@ def main():
     ap.add_argument("--hypertile", type=int, default=None, metavar="TILE",
                     help="Hypertile tile side in latent tokens (~32; "
                          "approximate — tile-local self-attention)")
+    ap.add_argument("--decode-tile", type=int, default=None, metavar="LAT",
+                    help="Tiled VAE decode with this latent tile side "
+                         "(exact — memory valve for >=4096^2 outputs "
+                         "where the whole-image decode exceeds HBM)")
     ap.add_argument("--pag-scale", type=float, default=0.0,
                     help="Perturbed-Attention Guidance (extra cond-lane "
                          "eval per step)")
@@ -124,6 +128,7 @@ def main():
     do_cfg = not args.no_cfg
     run = _compiled_txt2img(cfg, args.steps, do_cfg, b, h_lat, w_lat, False,
                             sampler=args.sampler, deepcache=args.deepcache,
+                            decode_tile=args.decode_tile,
                             pag=args.pag_scale != 0.0,
                             sag=args.sag_scale != 0.0)
 
@@ -176,6 +181,8 @@ def main():
                      else "")
                   + (f", pag={args.pag_scale}" if args.pag_scale else "")
                   + (f", sag={args.sag_scale}" if args.sag_scale else "")
+                  + (f", decode_tile={args.decode_tile}"
+                     if args.decode_tile else "")
                   + ")",
         "value": round(ips, 4),
         "unit": "images/sec/chip",
