@@ -55,6 +55,11 @@ SAMPLERS = ("ddpm", "ddim", "dpm++", "dpm++_sde", "dpm++_3m_sde",
             "dpm++_2s_a", "euler", "euler_a", "heun", "unipc", "lcm", "plms",
             "lms", "dpm2", "dpm2_a", "restart", "dpm_fast", "dpm_adaptive")
 
+#: Largest GLOBAL self-attention sequence validated on hardware (2048²'s
+#: 65536-token level-1 runs clean; 262144 faults the TPU worker mid-run —
+#: round-5 queue 21).  generate() refuses bigger exact-mode grids.
+MAX_VALIDATED_ATTN_TOKENS = 65536
+
 # --------------------------------------------------------------- tokenizing
 def _encode_tokens(tokenizer, prompts, max_len: int) -> np.ndarray:
     """Accept our CLIPTokenizer or a transformers tokenizer (duck-typed)."""
@@ -1596,6 +1601,17 @@ def _run_generate(
     if cfg.quant not in ("none", "wide", "conv", "w8"):
         # unknown tiers would otherwise silently run the exact path
         raise ValueError(f"unknown quant tier {cfg.quant!r}")
+    n_lvl1 = (height // cfg.vae.downsample_factor) * \
+        (width // cfg.vae.downsample_factor)
+    if n_lvl1 > MAX_VALIDATED_ATTN_TOKENS and cfg.unet.hypertile is None:
+        # 2048^2 (65536 tokens) runs clean; 4096^2 (262144) compiles but
+        # FAULTS the TPU worker mid-run (round-5 queue 21) — fail with a
+        # message instead of crashing the device
+        raise ValueError(
+            f"{height}x{width} needs {n_lvl1}-token global self-attention, "
+            f"beyond the validated streamed-kernel scale "
+            f"({MAX_VALIDATED_ATTN_TOKENS}); enable hypertile (models/"
+            f"config.with_hypertile or the fast preset) or reduce the size")
     if clip_skip is not None:
         # A1111 "CLIP skip": condition on an earlier text-encoder layer
         # (models/config.with_clip_skip); a distinct cfg keys a distinct

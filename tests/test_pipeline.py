@@ -131,6 +131,23 @@ def test_input_validation(tiny_cfg, tiny_models, tiny_tokenizer):
         sdt.generate("x", sampler_name="not_a_sampler", **kw)
     with pytest.raises(ValueError, match="models"):
         sdt.generate("x", tokenizer=tiny_tokenizer)
+    # exact-mode global attention past the validated streamed-kernel
+    # scale must refuse up front: 4096^2 compiled but FAULTED the TPU
+    # worker mid-run (round-5 queue 21) — the guard raises before any
+    # trace/compile, so this is instant even on CPU
+    with pytest.raises(ValueError, match="hypertile"):
+        sdt.generate("x", height=4096, width=4096, **kw)
+    # ... and the hypertile (fast-preset) path must NOT be refused
+    from pytorch_stable_diffusion_tpu.models.config import with_hypertile
+    from pytorch_stable_diffusion_tpu.pipeline import (
+        MAX_VALIDATED_ATTN_TOKENS)
+    ht = dict(kw, config=with_hypertile(tiny_cfg, 32))
+    with pytest.raises(ValueError, match="motion"):
+        # the n_frames/motion check sits AFTER the size guard, so
+        # raising "motion" (not the size message) proves hypertile
+        # configs pass the guard — still before any trace/compile
+        sdt.generate("x", height=4096, width=4096, n_frames=2, **ht)
+    assert (4096 // 8) ** 2 > MAX_VALIDATED_ATTN_TOKENS
 
 
 def test_img2img_pil_input(tiny_cfg, tiny_models, tiny_tokenizer):
